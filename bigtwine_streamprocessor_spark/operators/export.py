@@ -1,0 +1,226 @@
+"""Export-job row shapers + single-file ordered write (SURVEY.md §2.3 P8-P12, §3.2).
+
+The reference's `ExportResultsJob` scans assembled results, unnests the
+per-tweet entity arrays, formats one of four export formats, and writes a
+single ordered file with a header (`ExportResultsJob.java:128-172`,
+`GridFSOutputFormat.java:185-195`). Here each format is a pure DataFrame
+transform over the engine's ``assembled_flat`` grain (one row per
+tweet x entity, bare row for zero-entity tweets), so Catalyst prunes the
+result scan down to exactly the referenced columns.
+
+Deviations from the reference, deliberate and documented (SURVEY.md §7.4):
+
+* `twitter-neel-dataset` actually emits rows — the reference never collects
+  them (`TwitterNeelInputRowMapper.java:34-43`), a bug we fix, not copy;
+* output order is deterministic (tweet id, entity position) instead of Mongo
+  scan order, so golden files are stable;
+* the header for the dataset format matches the dataset schema — the
+  reference hard-codes the extended-row header for every format
+  (`ResultRowToCsvMapper.java:50-55`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FORMATS = ("twitter-neel-challenge", "tsv", "json", "twitter-neel-dataset")
+
+# Column order fixed by the reference's @JsonPropertyOrder
+# (`TwitterNeelExtendedResultRow.java:6-25`).
+EXTENDED_COLUMNS = [
+    "status__id",
+    "status__text",
+    "status__coordinates",
+    "status__user__id",
+    "status__user__name",
+    "status__user__location",
+    "status__user__coordinates",
+    "entity__position",
+    "entity__link",
+    "entity__nil",
+    "entity__nil__cluster",
+    "entity__confidence",
+    "entity__category",
+    "entity__resource__name",
+    "entity__resource__thumb",
+    "entity__resource__coordinates",
+    "entity__resource__extra",
+    "process_date",
+]
+
+
+def challenge_rows(flat: DataFrame) -> DataFrame:
+    """NEEL-challenge rows: one per entity (`TwitterNeelResultRowMapper.java:17-48`).
+
+    ``resource_uri = nilCluster if isNil else link`` (`:35-39`); tweets with
+    no entities emit nothing (inner unnest).
+    """
+    return flat.filter(F.col("ent_start").isNotNull()).select(
+        F.col("id").alias("tweet_id"),
+        F.col("ent_start").alias("pos_start"),
+        F.col("ent_end").alias("pos_end"),
+        F.when(F.col("is_nil"), F.col("nil_cluster"))
+        .otherwise(F.col("link"))
+        .alias("resource_uri"),
+        F.col("confidence"),
+        F.col("category"),
+    )
+
+
+CHALLENGE_SQL = """
+challenge AS (
+    SELECT id AS tweet_id,
+           ent_start AS pos_start,
+           ent_end AS pos_end,
+           CASE WHEN is_nil THEN nil_cluster ELSE link END AS resource_uri,
+           confidence,
+           category
+    FROM assembled_flat
+    WHERE ent_start IS NOT NULL
+)
+"""
+
+
+def extended_rows(flat: DataFrame, process_date: str) -> DataFrame:
+    """Extended TSV rows, all-string, left-outer unnest
+    (`TwitterNeelExtendedResultRowMapper.java:24-81`).
+
+    Formats preserved: position ``"start,end"`` (`:57`), nil ``"1"/"0"``
+    (`:59`), confidence ``%.3f`` (`:61`); zero-entity tweets emit one bare row
+    (`:48-50`). User coordinates stringify as ``"lat,lng"`` when decoded.
+    """
+    has_ent = F.col("ent_start").isNotNull()
+    user_coords = F.when(
+        F.col("user_lat").isNotNull(),
+        F.concat_ws(",", F.col("user_lat").cast("string"), F.col("user_lng").cast("string")),
+    )
+    return flat.select(
+        F.col("id").alias("status__id"),
+        F.col("text").alias("status__text"),
+        F.lit(None).cast("string").alias("status__coordinates"),
+        F.col("user__id").alias("status__user__id"),
+        F.col("user__name").alias("status__user__name"),
+        F.col("user__location").alias("status__user__location"),
+        user_coords.alias("status__user__coordinates"),
+        F.when(has_ent, F.format_string("%d,%d", "ent_start", "ent_end")).alias(
+            "entity__position"
+        ),
+        F.col("link").alias("entity__link"),
+        F.when(has_ent, F.when(F.col("is_nil"), "1").otherwise("0")).alias(
+            "entity__nil"
+        ),
+        F.col("nil_cluster").alias("entity__nil__cluster"),
+        F.when(has_ent, F.format_string("%.3f", "confidence")).alias(
+            "entity__confidence"
+        ),
+        F.col("category").alias("entity__category"),
+        F.col("resource_name").alias("entity__resource__name"),
+        F.col("resource_thumb").alias("entity__resource__thumb"),
+        F.lit(None).cast("string").alias("entity__resource__coordinates"),
+        F.lit(None).cast("string").alias("entity__resource__extra"),
+        F.lit(process_date).alias("process_date"),
+    )
+
+
+def extended_sql(process_date: str) -> str:
+    return f"""
+extended AS (
+    SELECT id AS status__id,
+           text AS status__text,
+           CAST(NULL AS VARCHAR) AS status__coordinates,
+           user__id AS status__user__id,
+           user__name AS status__user__name,
+           user__location AS status__user__location,
+           CASE WHEN user_lat IS NOT NULL
+                THEN CAST(user_lat AS VARCHAR) || ',' || CAST(user_lng AS VARCHAR)
+           END AS status__user__coordinates,
+           CASE WHEN ent_start IS NOT NULL
+                THEN printf('%d,%d', ent_start, ent_end) END AS entity__position,
+           link AS entity__link,
+           CASE WHEN ent_start IS NOT NULL
+                THEN CASE WHEN is_nil THEN '1' ELSE '0' END END AS entity__nil,
+           nil_cluster AS entity__nil__cluster,
+           CASE WHEN ent_start IS NOT NULL
+                THEN printf('%.3f', confidence) END AS entity__confidence,
+           category AS entity__category,
+           resource_name AS entity__resource__name,
+           resource_thumb AS entity__resource__thumb,
+           CAST(NULL AS VARCHAR) AS entity__resource__coordinates,
+           CAST(NULL AS VARCHAR) AS entity__resource__extra,
+           '{process_date}' AS process_date
+    FROM assembled_flat
+)
+"""
+
+
+def dataset_rows(flat: DataFrame) -> DataFrame:
+    """Dataset-input re-extraction (`TwitterNeelInputRowMapper.java:25-47`,
+    fixed to actually emit — see module docstring). One row per tweet."""
+    return (
+        flat.select(
+            "id",
+            "text",
+            "user__id",
+            "user__name",
+            "user__location",
+        )
+        .distinct()
+    )
+
+
+DATASET_SQL = """
+dataset AS (
+    SELECT DISTINCT id, text, user__id, user__name, user__location
+    FROM assembled_flat
+)
+"""
+
+
+def json_rows(nested: DataFrame, analysis_id: str, process_date: str) -> DataFrame:
+    """JSON-lines export (`AnalysisResultToJsonFlatMapFunction.java:17-39`):
+    one compact object per line with ISO processDate; `_class` equivalent
+    never exists here."""
+    return nested.select(
+        F.to_json(
+            F.struct(
+                F.lit(analysis_id).alias("analysisId"),
+                F.lit(process_date).alias("processDate"),
+                F.struct(F.col("status"), F.col("entities")).alias("payload"),
+            )
+        ).alias("json")
+    )
+
+
+def to_tsv_lines(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Rows -> tab-joined lines (`ExportResultsJob.java:132-139`,
+    `ResultRowToCsvMapper.java:14-60`); nulls print empty."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in columns]
+    return df.select(F.concat_ws("\t", *cols).alias("line"))
+
+
+def write_single_file(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    sep: str = "\t",
+    header: bool = True,
+) -> None:
+    """Single ordered file with header-first, the K4 sink contract
+    (`GridFSOutputFormat.java:185-195`, parallelism 1 per
+    `ExportResultsJob.java:162-172`).
+
+    Scale note: everything up to the final write runs fully parallel; only the
+    terminal file assembly is single-writer, exactly like the reference. For
+    cluster-scale exports prefer ``df.write.csv`` (many parts) and concatenate
+    at the storage layer.
+    """
+    (
+        df.orderBy(*order_by)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("emptyValue", "")
+        .csv(path)
+    )

@@ -1,0 +1,365 @@
+"""Query registry: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness harness (see ``__spark_entry__.py``).
+
+Each spark_fn takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle is
+ANSI SQL DuckDB runs on the same parquet tables (driver pre-registers views
+``region nation customer supplier part orders lineitem events documents
+embeddings``). Column names/aliases match on both sides — the driver's compare
+sorts columns by name before hashing values.
+
+Aggregate queries round floating-point sums to 2 decimals on BOTH sides so the
+hash is insensitive to summation order (Spark partial aggregation vs DuckDB's
+single-threaded fold).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .operators import export
+from .session import load_events
+
+PROCESS_DATE = "2026-01-01T00:00:00Z"
+ANALYSIS_ID = "analysis-r1"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _neel_oracle(upto: str, extra_cte: str | None = None, select: str | None = None):
+    sql = pipeline.with_clause(upto)
+    if extra_cte:
+        sql += ",\n" + extra_cte.strip().rstrip(",")
+    sql += "\n" + (select or f"SELECT * FROM {upto}")
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# NEEL pipeline stages (SURVEY.md §2.3-2.5, §2.10)
+# ---------------------------------------------------------------------------
+
+@register("neel_parsed", _neel_oracle("parsed"))
+def neel_parsed(spark, sf_dir):
+    """P1/F1: tweet validity filter over the documents-derived corpus."""
+    return pipeline.stages(spark, sf_dir)["parsed"]
+
+
+@register("neel_ner", _neel_oracle("ner"))
+def neel_ner(spark, sf_dir):
+    """Mock NER: lexicon match with 0-based char positions (shuffle-free fold)."""
+    return pipeline.stages(spark, sf_dir)["ner"]
+
+
+@register("neel_nel", _neel_oracle("nel"))
+def neel_nel(spark, sf_dir):
+    """Mock NEL: link-or-NIL assignment with deterministic confidence."""
+    return pipeline.stages(spark, sf_dir)["nel"]
+
+
+@register("neel_resources", _neel_oracle("resources"))
+def neel_resources(spark, sf_dir):
+    """Mock link-resolver: distinct resource dimension for resolved links."""
+    return pipeline.stages(spark, sf_dir)["resources"]
+
+
+@register("neel_geo", _neel_oracle("geo"))
+def neel_geo(spark, sf_dir):
+    """Mock geo-decoder over tweets passing statusHasUserLocation (F5)."""
+    return pipeline.stages(spark, sf_dir)["geo"]
+
+
+@register("neel_assembled", _neel_oracle("assembled_flat"))
+def neel_assembled(spark, sf_dir):
+    """Full fan-in assembly, flat grain (the flagship query)."""
+    return pipeline.stages(spark, sf_dir)["assembled_flat"]
+
+
+@register(
+    "neel_export_challenge",
+    _neel_oracle("assembled_flat", export.CHALLENGE_SQL, "SELECT * FROM challenge"),
+)
+def neel_export_challenge(spark, sf_dir):
+    """P8: NEEL-challenge rows (inner entity unnest, nil -> cluster uri)."""
+    return export.challenge_rows(pipeline.stages(spark, sf_dir)["assembled_flat"])
+
+
+@register(
+    "neel_export_extended",
+    _neel_oracle(
+        "assembled_flat", export.extended_sql(PROCESS_DATE), "SELECT * FROM extended"
+    ),
+)
+def neel_export_extended(spark, sf_dir):
+    """P9: extended 18-column all-string rows, outer unnest, %.3f / 1-0 / s,e."""
+    return export.extended_rows(
+        pipeline.stages(spark, sf_dir)["assembled_flat"], PROCESS_DATE
+    )
+
+
+@register(
+    "neel_export_dataset",
+    _neel_oracle("assembled_flat", export.DATASET_SQL, "SELECT * FROM dataset"),
+)
+def neel_export_dataset(spark, sf_dir):
+    """P10 (fixed): dataset-input re-extraction, one row per tweet."""
+    return export.dataset_rows(pipeline.stages(spark, sf_dir)["assembled_flat"])
+
+
+@register("neel_export_json")  # JSON key order differs engine-to-engine: rows-only
+def neel_export_json(spark, sf_dir):
+    """P11: JSON-lines export of the nested result."""
+    return export.json_rows(
+        pipeline.stages(spark, sf_dir)["assembled_nested"], ANALYSIS_ID, PROCESS_DATE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core on the TPC-H-ish tables (scale/bench workhorses)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style grouped aggregation (map-side partials, 2-col group key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star join: fact joins two broadcast dims — zero shuffle on the fact side
+    until the final partial-agg exchange."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_fact_fact",
+    """
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_fact_fact(spark, sf_dir):
+    """Fact-fact equi-join on the natural key; AQE picks the join strategy."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-K per group via ranking window (deterministic tie-break on key)."""
+    from pyspark.sql import Window as W
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_tumbling_events",
+    """
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
+             AT TIME ZONE 'UTC' AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_events(spark, sf_dir):
+    """A1: tumbling 5-minute count/sum over the event stream table (batch twin
+    of the streaming heartbeat count, `TwitterStreamJob.java:384-394`)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "union_tagged_streams",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS tag, 'status' AS stream_type
+    FROM events WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) AS tag, 'linkedTweet' AS stream_type
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def union_tagged_streams(spark, sf_dir):
+    """P4/§2.7: tagged-union normalization of differently-shaped inputs
+    (`TwitterStreamJob.java:309-346`) via unionByName."""
+    ev = load_events(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").cast("string").alias("tag"),
+        F.lit("status").alias("stream_type"),
+    )
+    b = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").cast("string").alias("tag"),
+        F.lit("linkedTweet").alias("stream_type"),
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "chunked_requests",
+    """
+    WITH numbered AS (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(floor(rn / 15) AS BIGINT) AS chunk_id,
+           count(*) AS n_items, min(event_id) AS first_item, max(event_id) AS last_item
+    FROM numbered GROUP BY user_id, 2
+    """,
+)
+def chunked_requests(spark, sf_dir):
+    """§2.7 request chunking: 15-item chunks per key, the geo-decoder's
+    maxItemsPerRequest grouping (`GeoDecoderRequestMessageBuilder.java:29-32`,
+    wired with 15 at `TwitterStreamJob.java:300`)."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "event_id", "user_id", (F.row_number().over(w) - 1).alias("rn")
+        )
+        .groupBy("user_id", F.floor(F.col("rn") / 15).alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("event_id").alias("first_item"),
+            F.max("event_id").alias("last_item"),
+        )
+    )
+
+
+@register("group_collect_entities")  # oracle attached below (needs NEEL CTEs)
+def group_collect_entities(spark, sf_dir):
+    """§2.6 A3 analog: per-key array collection (ordered for determinism)."""
+    st = pipeline.stages(spark, sf_dir)
+    return (
+        st["ner"]
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "token"))
+            ).getField("token").alias("tokens"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# fix the group_collect_entities oracle (needs the NEEL CTE prefix)
+ORACLES["group_collect_entities"] = (
+    pipeline.with_clause("ner")
+    + "\nSELECT id, list(token ORDER BY pos) AS tokens, count(*) AS n FROM ner GROUP BY id"
+)

@@ -224,8 +224,10 @@ GEO_SQL = """
 geo AS (
     SELECT id,
            user__location AS address,
-           CAST(string_split(user__location, '_')[2] AS INT) * 1.5 - 10.0 AS lat,
-           27.0 - CAST(string_split(user__location, '_')[2] AS INT) * 0.75 AS lng
+           CAST(CAST(string_split(user__location, '_')[2] AS INT) * 1.5 - 10.0
+                AS DOUBLE) AS lat,
+           CAST(27.0 - CAST(string_split(user__location, '_')[2] AS INT) * 0.75
+                AS DOUBLE) AS lng
     FROM parsed
     WHERE user__location IS NOT NULL AND length(trim(user__location)) >= 2
 )

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects
+        # by default; read as long and convert in load_events().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -51,6 +54,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """events.parquet with its NANOS timestamp normalized to TimestampType.
+
+    With ``nanosAsLong`` the column arrives as nanos-since-epoch; integer-DIV
+    to micros matches DuckDB's truncating nanos->micros read exactly.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -67,4 +84,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {
+        n: (load_events(spark, sf_dir) if n == "events"
+            else spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+        for n in names
+    }

@@ -1,0 +1,70 @@
+"""Export format oracle tests + single-file write contract."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from bigtwine_streamprocessor_spark import pipeline
+from bigtwine_streamprocessor_spark.operators import export
+from tests.conftest import assert_frames_match
+
+PD = "2026-01-01T00:00:00Z"
+
+
+def test_challenge_rows(spark, ddb, sf_dir):
+    flat = pipeline.stages(spark, sf_dir)["assembled_flat"]
+    df = export.challenge_rows(flat)
+    sql = (
+        pipeline.with_clause("assembled_flat")
+        + ",\n"
+        + export.CHALLENGE_SQL.strip().rstrip(",")
+        + "\nSELECT * FROM challenge"
+    )
+    assert_frames_match(df, ddb, sql)
+
+
+def test_extended_rows(spark, ddb, sf_dir):
+    flat = pipeline.stages(spark, sf_dir)["assembled_flat"]
+    df = export.extended_rows(flat, PD)
+    sql = (
+        pipeline.with_clause("assembled_flat")
+        + ",\n"
+        + export.extended_sql(PD).strip().rstrip(",")
+        + "\nSELECT * FROM extended"
+    )
+    assert_frames_match(df, ddb, sql)
+
+
+def test_dataset_rows(spark, ddb, sf_dir):
+    flat = pipeline.stages(spark, sf_dir)["assembled_flat"]
+    df = export.dataset_rows(flat)
+    sql = (
+        pipeline.with_clause("assembled_flat")
+        + ",\n"
+        + export.DATASET_SQL.strip().rstrip(",")
+        + "\nSELECT * FROM dataset"
+    )
+    assert_frames_match(df, ddb, sql)
+
+
+def test_json_rows_parse_back(spark, sf_dir):
+    st = pipeline.stages(spark, sf_dir)
+    js = export.json_rows(st["assembled_nested"], "analysis-1", PD)
+    n = js.count()
+    assert n == st["parsed"].count()
+    parsed_back = spark.read.json(js.rdd.map(lambda r: r["json"]))
+    assert parsed_back.filter(F.col("analysisId") != "analysis-1").count() == 0
+    assert "payload" in parsed_back.columns
+
+
+def test_single_file_write(spark, sf_dir, tmp_path):
+    flat = pipeline.stages(spark, sf_dir)["assembled_flat"]
+    df = export.challenge_rows(flat)
+    out = str(tmp_path / "challenge")
+    export.write_single_file(df, out, order_by=["tweet_id", "pos_start"])
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1, "single ordered file expected"
+    with open(files[0]) as f:
+        lines = f.read().splitlines()
+    assert lines[0].split("\t")[0] == "tweet_id"  # header first
+    assert len(lines) == df.count() + 1
