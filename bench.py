@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect). First a warmup touch of each input file primes the OS
+page cache so timings measure the engine, not cold disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigtwine_streamprocessor_spark import registry  # noqa: E402
+from bigtwine_streamprocessor_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "neel_assembled",
+    "neel_export_challenge",
+    "neel_export_extended",
+    "agg_pricing_summary",
+    "join_fact_fact",
+    "join_broadcast_dims",
+    "window_topk_per_group",
+    "window_tumbling_events",
+    "chunked_requests",
+    "group_collect_entities",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # include any extension headliners registered later
+    names += [n for n in registry.BENCH_EXTRA if n in registry.QUERIES and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque ``binary``
+columns beside typed metadata, decoding only inside Arrow-batched Python
+(`mapInPandas`) at the last moment. The image/audio codec libraries are not in
+this container, so the decode kernels are STUBS (clearly marked); everything
+Spark-side — schema, batching, partition behavior, UDF signatures — is real
+and tested.
+
+``synthesize_assets`` manufactures a deterministic binary corpus from the
+documents table so the plumbing has data to flow through (utf-8 payload +
+per-modality magic prefix).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = {"image": b"\x89IMG", "audio": b"AUD0", "video": b"VID0"}
+MODALITIES = tuple(MAGIC)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("magic_ok", T.BooleanType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("checksum", T.StringType(), False),
+    ]
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """documents -> deterministic binary asset table (modality by doc_id % 3)."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(MAGIC["image"]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(MAGIC["audio"]))
+        .otherwise(F.lit(MAGIC["video"]))
+    )
+    payload = F.concat(magic, F.encode(F.col("text"), "utf-8"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("int").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real deployments plug Pillow/libvips here."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB: real deployments plug soundfile/ffmpeg here."""
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (`mapInPandas`).
+
+    The deterministic fake kernel stands in for decode+featurize: it validates
+    the magic prefix, derives a frame count from payload length, and computes
+    a driver-independent checksum. Batch shape/partitioning is exactly what a
+    real decoder would see — swap `_fake_kernel` for a real codec per modality.
+    """
+
+    def _fake_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            magics = pdf["modality"].map(lambda m: MAGIC[m])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "magic_ok": [
+                        bytes(p[:4]) == m for p, m in zip(payloads, magics)
+                    ],
+                    "n_frames": payloads.map(lambda p: max(len(p) // 100, 1)).astype(
+                        "int32"
+                    ),
+                    # checksum over the lowercase-hex encoding (not raw bytes):
+                    # keeps the oracle portable — DuckDB's md5 is VARCHAR-only
+                    "checksum": payloads.map(
+                        lambda p: hashlib.md5(bytes(p).hex().encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(_fake_kernel, FEATURE_SCHEMA)
+
+
+# Oracle twin for the fake kernel (DuckDB): same features from the same
+# synthesized payloads.
+FEATURES_SQL = """
+WITH assets AS (
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           (CASE WHEN doc_id % 3 = 0 THEN '\\x89IMG'::BLOB
+                 WHEN doc_id % 3 = 1 THEN 'AUD0'::BLOB
+                 ELSE 'VID0'::BLOB END) || encode(text) AS payload
+    FROM documents
+)
+SELECT asset_id, modality,
+       CAST(octet_length(payload) AS INT) AS n_bytes,
+       true AS magic_ok,
+       CAST(greatest(octet_length(payload) // 100, 1) AS INT) AS n_frames,
+       md5(lower(hex(payload))) AS checksum
+FROM assets
+"""

@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions over the ``documents`` table — the hot path stays
+in whole-stage codegen; at 100 TB these are embarrassingly parallel scans with
+zero shuffle (fingerprint excepted: per-doc window over in-doc positions only).
+Every function has a DuckDB SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space symbols.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+FP_WINDOW = 4  # winnowing window (in shingle positions)
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: (doc_id, pred_lang, en_hits, es_hits, de_hits).
+
+    argmax over marker hits with deterministic tie-break (en > es > de by
+    hit count then fixed order) — matches the oracle exactly.
+    """
+    toks = F.split(F.col("text"), " ")
+
+    def _hit_count(words):
+        # NB: no default-arg capture — a 2-param lambda would make Spark's
+        # HOF pass the array index as the second argument.
+        wl = list(words)
+        return F.size(F.filter(toks, lambda t: t.isin(wl)))
+
+    hits = {lang: _hit_count(words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), F.lit("en")
+        )
+        .when(hits["es"] >= hits["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+LANGUAGE_ID_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ({_marker_list('en')}))) AS en_hits,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ({_marker_list('es')}))) AS es_hits,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ({_marker_list('de')}))) AS de_hits,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('en')})))
+                 >= len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('es')})))
+            AND  len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('en')})))
+                 >= len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('de')})))
+            THEN 'en'
+            WHEN len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('es')})))
+                 >= len(list_filter(string_split(text, ' '), t -> t IN ({_marker_list('de')})))
+            THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM documents
+"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features: n_chars, n_tokens, avg token length, stopword ratio, alpha
+    ratio. Score = stopword-ratio-centered quality heuristic in [0, 1]-ish.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    n_chars = F.length(F.col("text"))
+    avg_tok = F.round(n_chars.cast("double") / n_tokens.cast("double"), 6)
+    sw_ratio = F.round(sw.cast("double") / n_tokens.cast("double"), 6)
+    alpha_ratio = F.round(n_alpha.cast("double") / n_chars.cast("double"), 6)
+    score = F.round(
+        (F.lit(1.0) - F.abs(sw_ratio - F.lit(0.4))) * alpha_ratio, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+         AS avg_token_len,
+       round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST})))
+             AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       round((1.0 - abs(round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_SW_LIST}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) - 0.4))
+             * round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6), 6) AS quality_score
+FROM documents
+"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)).alias(
+            "re_tokens"
+        ),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS re_tokens
+FROM documents
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprints: distinct per-window-min shingle hashes.
+
+    Rolling md5 over word 3-grams; per FP_WINDOW consecutive shingles keep the
+    min hash; the distinct set of kept hashes is the document fingerprint.
+    Output: (doc_id, fp_hash) pairs — set semantics, join-friendly.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, 3), " ")),
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "h")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(FP_WINDOW - 1), 0)
+    )
+    return (
+        pos.select("doc_id", F.min("h").over(w).alias("fp_hash"))
+        .distinct()
+    )
+
+
+FINGERPRINTS_SQL = f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))
+           )) AS h,
+           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)))
+             AS pos
+    FROM documents
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN {FP_WINDOW - 1} PRECEDING AND CURRENT ROW)
+         AS fp_hash
+FROM grams
+"""

@@ -29,6 +29,9 @@ ANALYSIS_ID = "analysis-r1"
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# extension queries bench.py should also time (appended by later modules)
+BENCH_EXTRA: list[str] = []
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -362,4 +365,135 @@ def group_collect_entities(spark, sf_dir):
 ORACLES["group_collect_entities"] = (
     pipeline.with_clause("ner")
     + "\nSELECT id, list(token ORDER BY pos) AS tokens, count(*) AS n FROM ner GROUP BY id"
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / similarity / textstats / multimodal
+# ---------------------------------------------------------------------------
+
+from .operators import dedup, multimodal, similarity, textstats  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register("dedup_exact_groups", dedup.EXACT_SQL)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact-duplicate groups via content-hash groupBy (shuffles digests only)."""
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+@register("dedup_exact_keep", dedup.DEDUP_EXACT_SQL)
+def dedup_exact_keep(spark, sf_dir):
+    """Exact dedup: one surviving row per distinct text (min doc_id wins)."""
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_signatures",
+    "WITH " + dedup.minhash_sql().strip() + "\nSELECT doc_id, sig FROM signatures",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (K md5 permutations over word 3-gram shingles)."""
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_lsh_pairs",
+    "WITH " + dedup.lsh_pairs_sql().strip() + "\nSELECT doc_a, doc_b FROM lsh_pairs",
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    """Banded-LSH near-dup candidate pairs (bucket join, no cross join)."""
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + dedup.ngram_jaccard_sql().strip()
+    + "\nSELECT doc_a, doc_b, jaccard FROM jaccard_pairs",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidates, threshold 0.5."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
+
+
+@register(
+    "dedup_simhash",
+    "WITH " + dedup.simhash_sql().strip() + "\nSELECT doc_id, simhash FROM simhash",
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (md5-nibble bit majority)."""
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+@register("similarity_bruteforce_topk", similarity.cosine_topk_sql())
+def similarity_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for the first 20 query vectors (broadcast + HOF dot)."""
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+@register("similarity_ann_lsh", similarity.ann_lsh_topk_sql())
+def similarity_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-5 (scale path: bucket-local search)."""
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+@register("similarity_embedding_neardup", similarity.embedding_neardup_sql(0.2))
+def similarity_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.2) within LSH buckets."""
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), 0.2)
+
+
+@register("text_language_id", textstats.LANGUAGE_ID_SQL)
+def text_language_id(spark, sf_dir):
+    """Stopword-hit language identification with deterministic argmax."""
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+@register("text_quality_scores", textstats.QUALITY_SQL)
+def text_quality_scores(spark, sf_dir):
+    """Length/stopword/alpha quality features + composite score."""
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+@register("text_token_counts", textstats.TOKEN_COUNTS_SQL)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", textstats.FINGERPRINTS_SQL)
+def text_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (rolling-min md5 shingle hashes, distinct set)."""
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+@register("multimodal_features", multimodal.FEATURES_SQL)
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (deterministic fake kernel; real codecs are stubbed)."""
+    return multimodal.extract_features(
+        multimodal.synthesize_assets(_docs(spark, sf_dir))
+    )
+
+
+BENCH_EXTRA.extend(
+    [
+        "dedup_exact_keep",
+        "dedup_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "similarity_bruteforce_topk",
+        "similarity_ann_lsh",
+        "text_quality_scores",
+        "text_fingerprints",
+        "multimodal_features",
+    ]
 )
