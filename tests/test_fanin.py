@@ -1,0 +1,151 @@
+"""Streaming fan-in: completion firing, timeout partials, orphan purge, and
+batch/stream parity (`TwitterStreamTypeWindowTrigger` semantics)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigtwine_streamprocessor_spark.streaming import fanin
+
+ENT = {
+    "position": {"start": 0, "end": 5},
+    "value": None,
+    "link": "http://dbpedia.org/resource/spark",
+    "isNil": False,
+    "nilCluster": None,
+    "confidence": 0.9,
+    "category": "product",
+    "resource": None,
+}
+RES = {
+    "url": "http://dbpedia.org/resource/spark",
+    "tag": "1",
+    "name": "SPARK",
+    "shortDesc": None,
+    "thumb": "https://img.example/spark.png",
+    "thumbLarger": None,
+    "coordinates": None,
+}
+LOC = {"address": "city_3", "coordinates": {"lat": -5.5, "lng": 24.75}, "tag": "1"}
+
+
+def _status(tag, text="spark is here"):
+    return {
+        "id": tag,
+        "text": text,
+        "retweet": False,
+        "lang": "en",
+        "coordinates": None,
+        "user": None,
+    }
+
+
+def frag(tag, stream_type, payload):
+    return {
+        "tag": tag,
+        "stream_type": stream_type,
+        "payload_json": json.dumps(payload) if payload is not None else None,
+    }
+
+
+FRAGMENTS = [
+    # tweet 1: complete (4 types, duplicate linkedTweet -> entities concat)
+    frag("1", "status", _status("1")),
+    frag("1", "linkedTweet", [ENT]),
+    frag("1", "linkedTweet", [ENT]),
+    frag("1", "resource", [RES]),
+    frag("1", "decodedLocation", LOC),
+    # tweet 2: status only -> timeout partial
+    frag("2", "status", _status("2", "no enrichments arrived")),
+    # tweet 3: orphan fragments without status -> purged silently
+    frag("3", "linkedTweet", [ENT]),
+    frag("3", "resource", []),
+]
+
+
+def test_fanin_batch_semantics(spark):
+    df = spark.createDataFrame(
+        [(f["tag"], f["stream_type"], f["payload_json"]) for f in FRAGMENTS],
+        schema=fanin.FRAGMENT_IN,
+    )
+    out = fanin.fanin_batch(df).orderBy("tag").collect()
+    assert [r["tag"] for r in out] == ["1", "2"]  # orphan "3" purged
+    t1, t2 = out
+    assert t1["is_partial"] is False
+    assert len(t1["entities"]) == 2  # duplicate fragment -> concat
+    assert len(t1["resources"]) == 1
+    assert t1["decoded_location"]["coordinates"]["lat"] == -5.5
+    assert t2["is_partial"] is True
+    assert t2["entities"] == []
+
+
+@pytest.mark.slow
+def test_fanin_stream_completion_timeout_and_parity(spark, tmp_path):
+    indir = tmp_path / "frags"
+    indir.mkdir()
+    # batch 1: everything except tweet 2/3 completions
+    with open(indir / "b1.json", "w") as f:
+        for fr in FRAGMENTS:
+            f.write(json.dumps(fr) + "\n")
+
+    stream = (
+        spark.readStream.schema(fanin.FRAGMENT_IN)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        fanin.fanin_stream(stream, timeout_ms=1500)
+        .writeStream.format("memory")
+        .queryName("fanin_out")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            done = {
+                r["tag"]
+                for r in spark.sql("SELECT tag FROM fanin_out").collect()
+            }
+            if "1" in done:
+                break
+            time.sleep(0.5)
+        assert "1" in done, "complete tweet should fire as soon as all 4 arrive"
+
+        # let the timeout elapse, then feed a new batch so timers evaluate
+        time.sleep(2.0)
+        with open(indir / "b2.json", "w") as f:
+            f.write(json.dumps(frag("9", "status", _status("9"))) + "\n")
+
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM fanin_out").collect()
+            if {"1", "2"} <= {r["tag"] for r in rows}:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = {r["tag"]: r for r in spark.sql("SELECT * FROM fanin_out").collect()}
+    assert rows["1"]["is_partial"] is False
+    assert rows["2"]["is_partial"] is True
+    assert "3" not in rows, "orphans (no status) must purge without emitting"
+
+    # ---- batch/stream parity on the emitted keys ----
+    stream_typed = fanin.parse_assembled(
+        spark.createDataFrame(
+            [rows["1"], rows["2"]], schema=fanin.ASSEMBLED_OUT
+        )
+    )
+    batch_typed = fanin.fanin_batch(
+        spark.createDataFrame(
+            [(f["tag"], f["stream_type"], f["payload_json"]) for f in FRAGMENTS],
+            schema=fanin.FRAGMENT_IN,
+        )
+    ).filter(F.col("tag").isin("1", "2"))
+    canon = lambda df: sorted(
+        df.select(F.to_json(F.struct(*sorted(df.columns))).alias("j")).collect()
+    )
+    assert canon(stream_typed) == canon(batch_typed)
