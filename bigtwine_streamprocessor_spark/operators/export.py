@@ -82,7 +82,7 @@ challenge AS (
 """
 
 
-def extended_rows(flat: DataFrame, process_date: str) -> DataFrame:
+def extended_rows(flat: DataFrame, process_date: str | None = None) -> DataFrame:
     """Extended TSV rows, all-string, left-outer unnest
     (`TwitterNeelExtendedResultRowMapper.java:24-81`).
 
@@ -90,6 +90,11 @@ def extended_rows(flat: DataFrame, process_date: str) -> DataFrame:
     (`:59`), confidence ``%.3f`` (`:61`); zero-entity tweets emit one bare row
     (`:48-50`). User coordinates stringify as ``"lat,lng"`` when decoded.
     """
+    pd_col = (
+        F.col("process_date")
+        if "process_date" in flat.columns
+        else F.lit(process_date)
+    )
     has_ent = F.col("ent_start").isNotNull()
     user_coords = F.when(
         F.col("user_lat").isNotNull(),
@@ -119,7 +124,7 @@ def extended_rows(flat: DataFrame, process_date: str) -> DataFrame:
         F.col("resource_thumb").alias("entity__resource__thumb"),
         F.lit(None).cast("string").alias("entity__resource__coordinates"),
         F.lit(None).cast("string").alias("entity__resource__extra"),
-        F.lit(process_date).alias("process_date"),
+        pd_col.alias("process_date"),
     )
 
 
@@ -224,3 +229,8 @@ def write_single_file(
         .option("emptyValue", "")
         .csv(path)
     )
+
+
+def write_single_text_file(df: DataFrame, path: str, order_by: list[str]) -> None:
+    """Single ordered raw-text file (JSON-lines export — no CSV quoting)."""
+    df.orderBy(*order_by).coalesce(1).write.mode("overwrite").text(path)
