@@ -42,6 +42,10 @@ def main() -> None:
     # include any extension headliners registered later
     names += [n for n in registry.BENCH_EXTRA if n in registry.QUERIES and n not in names]
 
+    # warm up the JVM/codegen paths so query timings measure the engine
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

