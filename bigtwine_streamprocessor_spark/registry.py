@@ -497,3 +497,205 @@ BENCH_EXTRA.extend(
         "multimodal_features",
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 surface: projections, predicates, progress, envelope, pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_nested_json",
+    """
+    SELECT id,
+           to_json(struct_pack(
+               id := id,
+               text := text,
+               "user" := struct_pack(
+                   id := user__id,
+                   name := user__name,
+                   screen_name := user__screen_name
+               )
+           )) AS tweet_json
+    FROM (
+        SELECT CAST(doc_id AS VARCHAR) AS id, text,
+               CAST(doc_id * 7 + 11 AS VARCHAR) AS user__id,
+               'user_' || CAST(doc_id % 50 AS VARCHAR) AS user__name,
+               'sn_' || CAST(doc_id % 50 AS VARCHAR) AS user__screen_name
+        FROM documents
+    )
+    """,
+)
+def project_nested_json(spark, sf_dir):
+    """P5: `__`-nested flat columns re-inflated to nested JSON
+    (`MapToJsonSerializer.java:21-55`)."""
+    t = pipeline.stages(spark, sf_dir)["tweets"]
+    return t.select(
+        "id",
+        F.to_json(
+            F.struct(
+                F.col("id"),
+                F.col("text"),
+                F.struct(
+                    F.col("user__id").alias("id"),
+                    F.col("user__name").alias("name"),
+                    F.col("user__screen_name").alias("screen_name"),
+                ).alias("user"),
+            )
+        ).alias("tweet_json"),
+    )
+
+
+@register(
+    "project_dump_rows",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           regexp_replace(text, '[\\n\\r]', '', 'g') AS text,
+           CAST(doc_id * 7 + 11 AS VARCHAR) AS user__id,
+           'sn_' || CAST(doc_id % 50 AS VARCHAR) AS user__screen_name
+    FROM documents
+    """,
+)
+def project_dump_rows(spark, sf_dir):
+    """P13: dump projection with newline strip (`TwitterStreamDump.java:50-66`)."""
+    t = pipeline.stages(spark, sf_dir)["tweets"]
+    return t.select(
+        "id",
+        F.regexp_replace(F.col("text"), "[\\n\\r]", "").alias("text"),
+        "user__id",
+        "user__screen_name",
+    )
+
+
+@register("filter_has_links")  # oracle attached below (needs NEEL CTEs)
+def filter_has_links(spark, sf_dir):
+    """F3/F4 `linkedTweetHasLinks`: EXISTS over the per-tweet entity array
+    (`TwitterNeelUtils.java:9-21`), via the ``exists`` higher-order predicate."""
+    from .fragments import _ner_array, _nel_entity
+
+    parsed = pipeline.stages(spark, sf_dir)["parsed"]
+    ents = F.transform(_ner_array(), _nel_entity)
+    return (
+        parsed.withColumn("_ents", ents)
+        .select(
+            "id",
+            F.exists("_ents", lambda e: e["link"].isNotNull()).alias("has_links"),
+        )
+    )
+
+
+ORACLES["filter_has_links"] = (
+    pipeline.with_clause("nel")
+    + """
+SELECT p.id,
+       COALESCE(bool_or(n.link IS NOT NULL), false) AS has_links
+FROM parsed p LEFT JOIN nel n ON n.id = p.id
+GROUP BY p.id
+"""
+)
+
+
+@register(
+    "progress_running_totals",
+    """
+    SELECT event_id, ts,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS processed,
+           round(CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
+                 / (SELECT count(*) FROM events), 6) AS progress
+    FROM events
+    """,
+)
+def progress_running_totals(spark, sf_dir):
+    """A2 batch analog: cumulative processed count / expected total — the
+    dataset-progress accounting (`DatasetProgressWindowFunction.java:59-65`)
+    as a ranking window over the event stream."""
+    from pyspark.sql import Window as W
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    total = ev.count()
+    w = W.orderBy("ts", "event_id")
+    rn = F.row_number().over(w).cast("long")
+    return ev.select(
+        "event_id",
+        "ts",
+        rn.alias("processed"),
+        F.round(rn.cast("double") / F.lit(float(total)), 6).alias("progress"),
+    )
+
+
+@register("enrich_request_envelopes")  # uuid requestId -> rows-only check
+def enrich_request_envelopes(spark, sf_dir):
+    """§2.10: geo-decoder request envelopes — 15-item chunks wrapped with
+    requestId/outputTopic/expiration (`AbstractRequestMessageBuilder.java:
+    32-50`, chunk size `TwitterStreamJob.java:300`)."""
+    from .operators import enrich
+
+    geo = pipeline.stages(spark, sf_dir)["geo"]
+    chunks = enrich.chunk_items(geo, "address", max_items=15)
+    return enrich.request_envelopes(chunks, "geodecoder", "analysis-r1")
+
+
+@register("dedup_simhash_pairs")  # oracle attached below
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: signature-collision self-join (bucket
+    join on the 16-bit signature — no cross join)."""
+    from .operators import dedup
+
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.col("sig_a").alias("simhash"))
+    )
+
+
+def _simhash_pairs_oracle():
+    from .operators import dedup
+
+    return (
+        "WITH "
+        + dedup.simhash_sql().strip()
+        + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+FROM simhash a JOIN simhash b
+  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+    )
+
+
+ORACLES["dedup_simhash_pairs"] = _simhash_pairs_oracle()
+
+
+@register("text_fingerprint_overlap")  # oracle attached below
+def text_fingerprint_overlap(spark, sf_dir):
+    """Winnowing-fingerprint containment candidates: doc pairs sharing >= 5
+    fingerprint hashes (plagiarism-detector style candidate generation)."""
+    from .operators import textstats
+
+    fp = textstats.fingerprints(_docs(spark, sf_dir))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, ["fp_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+
+
+def _fp_overlap_oracle():
+    from .operators import textstats
+
+    return f"""
+WITH fp AS ({textstats.FINGERPRINTS_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
+ORACLES["text_fingerprint_overlap"] = _fp_overlap_oracle()
