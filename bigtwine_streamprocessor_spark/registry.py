@@ -699,3 +699,22 @@ HAVING count(*) >= 5
 
 
 ORACLES["text_fingerprint_overlap"] = _fp_overlap_oracle()
+
+
+@register(
+    "sampling_deterministic",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 7 = 0
+    """,
+)
+def sampling_deterministic(spark, sf_dir):
+    """F2 deterministic analog: keep 1/7 of tweets by portable key hash
+    (the wall-clock throttle itself is property-tested, not golden-compared —
+    `TwitterStatusSamplingFilter.java:21-27` is non-deterministic by design)."""
+    from .operators import sampling
+
+    t = pipeline.stages(spark, sf_dir)["tweets"].select("id", "text")
+    return sampling.deterministic_sample(t, "id", 7)

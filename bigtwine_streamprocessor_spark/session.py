@@ -20,6 +20,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -48,6 +49,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if rocksdb_state:
+        # RocksDB state store: keeps fan-in state off-heap and spillable so
+        # per-key streaming state scales past executor memory (SURVEY.md §4.2
+        # rebuild consequence). In-memory provider (default) is fine for tests.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

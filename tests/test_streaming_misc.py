@@ -1,0 +1,160 @@
+"""Streaming coverage beyond the fan-in: windowed aggregation with watermark
+(A1), replay source filters, RocksDB state store provider, nest/flatten
+round-trip."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigtwine_streamprocessor_spark.sources import dataset as ds
+from bigtwine_streamprocessor_spark.sources.streams import (
+    term_filter,
+    tweet_replay_source,
+)
+
+
+@pytest.mark.slow
+def test_windowed_count_stream_matches_batch(spark, sf_dir, tmp_path):
+    """A1 tumbling count: streaming result == batch result on bounded input."""
+    from bigtwine_streamprocessor_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    evdir = str(tmp_path / "events")
+    ev.write.mode("overwrite").parquet(evdir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(evdir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in (
+            ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_replay_source_filters(spark, tmp_path):
+    d = tmp_path / "tw"
+    d.mkdir()
+    rows = [
+        {"id": "1", "text": "big Spark release", "lang": "en"},
+        {"id": "2", "text": "nothing relevant", "lang": "en"},
+        {"id": "3", "text": "spark otra vez", "lang": "es"},
+        "not json at all",
+    ]
+    with open(d / "a.json", "w") as f:
+        for r in rows:
+            f.write((json.dumps(r) if isinstance(r, dict) else r) + "\n")
+
+    src = tweet_replay_source(
+        spark, str(d), terms=["spark"], languages=["en"]
+    )
+    q = (
+        src.writeStream.format("memory").queryName("replay_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    ids = [r["status"]["id"] for r in spark.sql("SELECT * FROM replay_out").collect()]
+    assert ids == ["1"]  # term+lang filtered, malformed dropped
+
+
+def test_nest_flatten_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("1", "t", "u9", "loc", "nested")],
+        "id string, text string, user__id string, user__location string, a__b__c string",
+    )
+    nested = ds.nest_columns(df)
+    assert "user" in nested.columns and "a" in nested.columns
+    row = nested.collect()[0]
+    assert row["user"]["id"] == "u9" and row["a"]["b"]["c"] == "nested"
+    flat = ds.flatten_columns(nested)
+    assert sorted(flat.columns) == sorted(df.columns)
+    assert flat.collect()[0]["user__id"] == "u9"
+
+
+@pytest.mark.slow
+def test_fanin_on_rocksdb_state_store(spark, tmp_path):
+    """The fan-in runs with the RocksDB state store provider (scale config).
+
+    Sets the provider on the shared session (it is a runtime SQL conf picked
+    up at query start) and restores it after.
+    """
+    from bigtwine_streamprocessor_spark.streaming import fanin
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        assert "RocksDB" in spark.conf.get(key)
+        d = tmp_path / "frags"
+        d.mkdir()
+        frag = {
+            "tag": "1",
+            "stream_type": "status",
+            "payload_json": json.dumps({"id": "1", "text": "x"}),
+        }
+        with open(d / "b.json", "w") as f:
+            for st in ("status", "linkedTweet", "resource", "decodedLocation"):
+                payload = (
+                    frag["payload_json"] if st == "status" else json.dumps([])
+                    if st in ("linkedTweet", "resource")
+                    else json.dumps({"tag": "1"})
+                )
+                f.write(
+                    json.dumps(
+                        {"tag": "1", "stream_type": st, "payload_json": payload}
+                    )
+                    + "\n"
+                )
+        stream = spark.readStream.schema(fanin.FRAGMENT_IN).json(str(d))
+        q = (
+            fanin.fanin_stream(stream, timeout_ms=2000)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.sql("SELECT * FROM rocks_out").collect()
+            time.sleep(0.5)
+        q.stop()
+        assert rows and rows[0]["tag"] == "1" and rows[0]["is_partial"] is False
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
