@@ -1,0 +1,189 @@
+"""Async enrichment transport: the reference's full Kafka request/response
+topology (SURVEY.md §2.10) over pluggable topics.
+
+The reference runs each enrichment hop as an independent Kafka round-trip:
+the job produces request envelopes to a service's shared topic and separately
+consumes a per-analysis reply topic; NEL requests are built from NER
+*responses*, the link-resolver from NEL responses with links, the geo-decoder
+from raw tweets (`TwitterStreamJob.java:227-307`). This module reproduces that
+topology as N concurrent Structured Streaming queries connected by **topics**.
+
+``FileTopic`` is the broker stand-in for this environment (no Kafka broker is
+available): a directory of atomically-renamed JSON-line files, readable as a
+file stream. The engine-side topology is broker-agnostic — on a real cluster
+swap ``FileTopic.read_stream`` for ``spark.readStream.format("kafka")`` and
+the ``append_lines`` calls inside ``foreachBatch`` for a Kafka producer; every
+transform in between is unchanged.
+
+Scale note: the ``foreachBatch`` bodies collect only REQUEST ENVELOPES (a few
+per micro-batch — one per service per window, 15-item chunks for geo), never
+the tweet stream itself; fragments flow through topics partitioned by file =
+micro-batch, and the fan-in keys by tweet id exactly as in local mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..services_local import CATEGORIES, LEXICON, LINK_PREFIX, THUMB_PREFIX
+
+
+class FileTopic:
+    """Append-only JSON-lines topic backed by a directory (atomic renames)."""
+
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._tmp = os.path.join(root, f".tmp-{name}")
+        os.makedirs(self._tmp, exist_ok=True)
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def append_lines(self, lines: list[str]) -> None:
+        if not lines:
+            return
+        with self._lock:
+            self._n += 1
+            fname = f"{os.getpid()}-{self._n}-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self._tmp, fname)
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(self.dir, fname))
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        return spark.readStream.schema("value STRING").text(self.dir)
+
+    def read_all(self) -> list[str]:
+        out: list[str] = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out += [ln for ln in f.read().splitlines() if ln.strip()]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# External service simulators (plain Python — these model the OUT-OF-REPO
+# microservices; semantics identical to services_local so the async topology
+# golden-compares against the in-process pipeline)
+# ---------------------------------------------------------------------------
+
+def _ner_entities(text: str) -> list[dict]:
+    ents, off = [], 0
+    for idx, tok in enumerate(text.split(" ")):
+        if tok in LEXICON:
+            ents.append(
+                {"token": tok, "pos": idx, "start": off, "end": off + len(tok)}
+            )
+        off += len(tok) + 1
+    return ents
+
+
+def _nel_link(e: dict) -> dict:
+    tl = len(e["token"])
+    nil = (e["pos"] + tl) % 3 == 0
+    return {
+        **e,
+        "isNil": nil,
+        "link": None if nil else LINK_PREFIX + e["token"],
+        "nilCluster": f"nil-{tl % 5}" if nil else None,
+        "confidence": ((e["pos"] * 7 + tl * 13) % 100) / 100.0,
+        "category": CATEGORIES[tl % 3],
+    }
+
+
+def ner_service(items: list[dict]) -> list[dict]:
+    return [{**it, "entities": _ner_entities(it["text"])} for it in items]
+
+
+def nel_service(items: list[dict]) -> list[dict]:
+    return [
+        {**it, "entities": [_nel_link(e) for e in it["entities"]]} for it in items
+    ]
+
+
+def resolver_service(items: list[dict]) -> list[dict]:
+    out = []
+    for it in items:
+        res = [
+            {
+                "url": LINK_PREFIX + tok,
+                "name": tok.upper(),
+                "thumb": f"{THUMB_PREFIX}{tok}.png",
+            }
+            for tok in it["tokens"]
+            if len(tok) % 2 == 0
+        ]
+        out.append({"tag": it["tag"], "resources": res})
+    return out
+
+
+def geo_service(items: list[dict]) -> list[dict]:
+    out = []
+    for it in items:
+        try:
+            k = int(it["address"].split("_")[1])
+            coords = {"lat": k * 1.5 - 10.0, "lng": 27.0 - k * 0.75}
+        except (IndexError, ValueError):
+            coords = None
+        out.append({"tag": it["tag"], "address": it["address"], "coordinates": coords})
+    return out
+
+
+class ServiceSimulator(threading.Thread):
+    """Polls a request topic, applies the service fn, produces responses —
+    the stand-in for one external enrichment microservice."""
+
+    def __init__(self, req: FileTopic, resp: FileTopic, fn: Callable, poll_s=0.2):
+        super().__init__(daemon=True)
+        self.req, self.resp, self.fn, self.poll_s = req, resp, fn, poll_s
+        self._seen: set[str] = set()
+        self._stop = threading.Event()
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        while not self._stop.is_set():
+            for fn_ in sorted(os.listdir(self.req.dir)):
+                if not fn_.endswith(".json") or fn_ in self._seen:
+                    continue
+                self._seen.add(fn_)
+                with open(os.path.join(self.req.dir, fn_)) as f:
+                    for line in f.read().splitlines():
+                        if not line.strip():
+                            continue
+                        env = json.loads(line)
+                        items = self.fn(env["items"])
+                        self.resp.append_lines(
+                            [
+                                json.dumps(
+                                    {"requestId": env["requestId"], "items": items}
+                                )
+                            ]
+                        )
+            time.sleep(self.poll_s)
+
+
+def make_envelope(items: list, out_topic: str, timeout_s: int = 15) -> str:
+    """Request envelope (`AbstractRequestMessageBuilder.java:44-50`)."""
+    return json.dumps(
+        {
+            "requestId": uuid.uuid4().hex,
+            "outputTopic": out_topic,
+            "expiration": int(time.time() * 1000) + timeout_s * 1000,
+            "items": items,
+        }
+    )
+
+
+def chunked(items: list, n: int) -> list[list]:
+    return [items[i : i + n] for i in range(0, len(items), n)] or []
