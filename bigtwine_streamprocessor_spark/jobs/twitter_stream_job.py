@@ -73,7 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tweet-json-path")
     p.add_argument("--output-path", required=True)
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
-    p.add_argument("--transport", choices=["local"], default="local")
+    p.add_argument(
+        "--transport",
+        choices=["local", "async"],
+        default="local",
+        help="local = in-process Column-transform services (fused plan); "
+        "async = full request/response topology over file topics with "
+        "service simulators (stream mode only)",
+    )
     p.add_argument("--skip-retweets", action="store_true")
     p.add_argument("--lang", default=None, help="comma-separated language filter")
     p.add_argument("--processing-timeout", type=int, default=None)
@@ -151,6 +158,41 @@ def run(argv: list[str] | None = None) -> None:
         args.job_id, min_interval_s=args.heartbeat_interval
     )
     spark.streams.addListener(listener)
+
+    if args.transport == "async":
+        from ..streaming import topology
+
+        queries, sims, topics = topology.start_topology(
+            spark,
+            args.output_path + "_topics",
+            parsed,
+            args.analysis_id,
+            timeout_ms=timeout_s * 1000,
+            trigger_s=args.trigger_seconds,
+        )
+        try:
+            run_until_idle(
+                queries[0], idle_timeout_s=timeout_s + 2 * args.trigger_seconds
+            )
+            # let downstream hops drain after the source idles
+            import time as _t
+
+            _t.sleep(timeout_s + 2 * args.trigger_seconds)
+        finally:
+            for q in queries:
+                q.stop()
+            for s in sims:
+                s.stop()
+        lines = topics["results"].read_all()
+        import os
+
+        os.makedirs(args.output_path, exist_ok=True)
+        with open(os.path.join(args.output_path, "results.json"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        print(f"job={args.job_id} mode=stream transport=async results={len(lines)}")
+        spark.stop()
+        return
+
     assembled = fanin.fanin_stream(frags, timeout_ms=timeout_s * 1000)
     final = finalize_results(fanin.parse_assembled(assembled))
     events = _result_events(final, args.analysis_id)
