@@ -353,18 +353,23 @@ def group_collect_entities(spark, sf_dir):
         st["ner"]
         .groupBy("id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "token"))
-            ).getField("token").alias("tokens"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))).getField(
+                    "token"
+                ),
+                ",",
+            ).alias("tokens"),
             F.count(F.lit(1)).alias("n"),
         )
     )
 
 
-# fix the group_collect_entities oracle (needs the NEEL CTE prefix)
+# group_collect_entities oracle (needs the NEEL CTE prefix); arrays emitted
+# as canonical comma-joined strings so the compare is list-free
 ORACLES["group_collect_entities"] = (
     pipeline.with_clause("ner")
-    + "\nSELECT id, list(token ORDER BY pos) AS tokens, count(*) AS n FROM ner GROUP BY id"
+    + "\nSELECT id, array_to_string(list(token ORDER BY pos), ',') AS tokens,"
+    + " count(*) AS n FROM ner GROUP BY id"
 )
 
 
@@ -397,11 +402,15 @@ def dedup_exact_keep(spark, sf_dir):
 
 @register(
     "dedup_minhash_signatures",
-    "WITH " + dedup.minhash_sql().strip() + "\nSELECT doc_id, sig FROM signatures",
+    "WITH " + dedup.minhash_sql().strip()
+    + "\nSELECT doc_id, array_to_string(sig, ',') AS sig FROM signatures",
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (K md5 permutations over word 3-gram shingles)."""
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    """MinHash signatures (md5-chunk permutations over word 3-gram shingles);
+    emitted as a canonical comma-joined string so the compare is list-free."""
+    return dedup.minhash_signatures(_docs(spark, sf_dir)).select(
+        "doc_id", F.array_join("sig", ",").alias("sig")
+    )
 
 
 @register(
@@ -718,3 +727,113 @@ def sampling_deterministic(spark, sf_dir):
 
     t = pipeline.stages(spark, sf_dir)["tweets"].select("id", "text")
     return sampling.deterministic_sample(t, "id", 7)
+
+
+# ---------------------------------------------------------------------------
+# Analytical breadth: rollup, sessionization, pivot (engine capabilities the
+# 100 TB pipeline leans on even though the reference never needed them)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (grouping-set aggregation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions via lag + running sum — the
+    batch twin of streaming ``session_window``."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 30 * 60, 0).otherwise(1).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "pivot_event_types",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns."""
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(c), F.lit(0)).alias(c)
+        for c in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return out.select(*cols)
