@@ -837,3 +837,85 @@ def pivot_event_types(spark, sf_dir):
         for c in ["click", "view", "purchase", "signup", "error"]
     ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Fan-in path in the correctness gate: fragments -> batch fan-in -> finalize,
+# flattened to the assembled_flat grain (same oracle, minus the token index
+# which the fragment payload deliberately drops)
+# ---------------------------------------------------------------------------
+
+_FANIN_FLAT_SELECT = """
+SELECT id, text, user__id, user__name, user__screen_name, user__location,
+       user_lat, user_lng, ent_start, ent_end, is_nil, link, nil_cluster,
+       confidence, category, value, resource_name, resource_thumb
+FROM assembled_flat
+"""
+
+
+def _fanin_flat(spark, sf_dir):
+    from . import fragments as frag_mod
+    from .streaming import fanin as fanin_mod
+
+    parsed = pipeline.stages(spark, sf_dir)["parsed"]
+    final = frag_mod.finalize_results(
+        fanin_mod.fanin_batch(frag_mod.build_fragments(parsed))
+    )
+    e = F.col("e")
+    return final.select(
+        F.col("tag").alias("id"),
+        F.col("payload.status.text").alias("text"),
+        F.col("payload.status.user.id").alias("user__id"),
+        F.col("payload.status.user.name").alias("user__name"),
+        F.col("payload.status.user.screenName").alias("user__screen_name"),
+        F.col("payload.status.user.location").alias("user__location"),
+        F.col("payload.status.user.coordinates.lat").alias("user_lat"),
+        F.col("payload.status.user.coordinates.lng").alias("user_lng"),
+        F.explode_outer("payload.entities").alias("e"),
+    ).select(
+        "id",
+        "text",
+        "user__id",
+        "user__name",
+        "user__screen_name",
+        "user__location",
+        "user_lat",
+        "user_lng",
+        e["position"]["start"].alias("ent_start"),
+        e["position"]["end"].alias("ent_end"),
+        e["isNil"].alias("is_nil"),
+        e["link"].alias("link"),
+        e["nilCluster"].alias("nil_cluster"),
+        e["confidence"].alias("confidence"),
+        e["category"].alias("category"),
+        e["value"].alias("value"),
+        e["resource"]["name"].alias("resource_name"),
+        e["resource"]["thumb"].alias("resource_thumb"),
+    )
+
+
+@register("neel_fanin_batch", _neel_oracle("assembled_flat", None, _FANIN_FLAT_SELECT))
+def neel_fanin_batch(spark, sf_dir):
+    """The fan-in operator itself (SURVEY.md §2.5) under the oracle gate:
+    fragment streams -> completion/timeout correlation (batch twin) ->
+    finalize -> flat grain. Must equal the fused pipeline's output."""
+    return _fanin_flat(spark, sf_dir)
+
+
+@register(
+    "neel_assembled_join",
+    _neel_oracle("assembled_flat"),
+)
+def neel_assembled_join(spark, sf_dir):
+    """The join-based physical strategy for the assembly (broadcast resource
+    dim + id-keyed joins) — same logical op and oracle as `neel_assembled`,
+    proving both physical plans agree."""
+    from .operators import assemble
+
+    st = pipeline.stages(spark, sf_dir)
+    return assemble.assemble_flat(
+        st["parsed"], st["nel"], st["resources"], st["geo"]
+    )
+
+
+BENCH_EXTRA.append("neel_fanin_batch")
