@@ -33,12 +33,27 @@ ORACLES: dict[str, str] = {}
 BENCH_EXTRA: list[str] = []
 
 
+def _ensure_portable_session(spark: SparkSession) -> None:
+    """Make any caller-provided session safe for these queries: the testdata
+    events table uses TIMESTAMP(NANOS) (unreadable without nanosAsLong) and
+    oracle comparison requires UTC session time. Both are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            _ensure_portable_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
