@@ -353,3 +353,18 @@ simhash AS (
     FROM tok_hashes GROUP BY doc_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup
+# ---------------------------------------------------------------------------
+
+def streaming_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str,
+                    delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys within the watermark window.
+
+    The state store keeps one entry per key inside the watermark horizon —
+    bounded state, unlike an unwatermarked dropDuplicates. This is the
+    streaming face of `dedup_exact` for continuous ingestion pipelines.
+    """
+    return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)

@@ -934,3 +934,24 @@ def neel_assembled_join(spark, sf_dir):
 
 
 BENCH_EXTRA.append("neel_fanin_batch")
+
+
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate aggregates validated against exact values: the engine
+    exposes approx_count_distinct / percentile_approx for the 100 TB path;
+    the oracle-gated form uses their exact twins (approximations cannot
+    hash-match a different engine — accuracy asserted in pytest instead)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+    )

@@ -158,3 +158,52 @@ def test_fanin_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@pytest.mark.slow
+def test_streaming_dedup(spark, tmp_path):
+    """Watermarked dropDuplicates: duplicate keys across micro-batches drop."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    from bigtwine_streamprocessor_spark.operators.dedup import streaming_dedup
+
+    d = tmp_path / "dd"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows_b1 = [{"k": "a", "ts": str(t0)}, {"k": "b", "ts": str(t0 + timedelta(seconds=1))},
+               {"k": "a", "ts": str(t0 + timedelta(seconds=2))}]
+    rows_b2 = [{"k": "b", "ts": str(t0 + timedelta(seconds=3))},
+               {"k": "c", "ts": str(t0 + timedelta(seconds=4))}]
+    with open(d / "b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows_b1))
+    with open(d / "b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows_b2))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = streaming_dedup(stream, ["k"], "ts")
+    q = (
+        out.writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    keys = sorted(r["k"] for r in spark.sql("SELECT k FROM dd_out").collect())
+    assert keys == ["a", "b", "c"]  # each key once despite duplicates
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    """approx_count_distinct / percentile_approx stay within tolerance of the
+    exact values (the scale path for 100 TB cardinalities)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    r = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p_approx"),
+    ).collect()[0]
+    assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 3)
+    assert abs(r["p_approx"] - r["p_exact"]) <= 0.05 * abs(r["p_exact"]) + 1
