@@ -260,3 +260,133 @@ WHERE round(list_sum(list_transform(
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
       / (a.nrm * b.nrm), {COS_ROUND}) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def _assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+    """Rank cells per vector by cosine to each centroid (deterministic
+    tie-break on centroid id); keep the top ``n_best`` cells."""
+    from pyspark.sql import Window as W
+
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
+            COS_ROUND,
+        ).alias("c_cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_best)
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize into N_CELLS cells (centroids =
+    the first N_CELLS vectors, a deterministic stand-in for k-means), assign
+    each vector to its nearest cell, probe the query's N_PROBE nearest cells,
+    exact cosine only within the probed cells.
+
+    At scale this is the classic IVF layout: the corpus partitions by cell id
+    (each cell a shard), queries fan out to n_probe shards — candidate count
+    is ~n_probe/n_cells of the corpus, and the join key (cell) is uniform.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # corpus side: each vector lives in its single nearest cell
+    corpus = _assignments(emb, centroids, 1).select(
+        "vec_id", "embedding", F.col("cid").alias("cell")
+    )
+    corpus = corpus.withColumn("nrm", _norm(F.col("embedding")))
+    # query side: probe the N_PROBE nearest cells
+    queries = (
+        _assignments(emb.filter(F.col("vec_id") < n_queries), centroids, N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("cell"),
+        )
+        .withColumn("q_nrm", _norm(F.col("q_emb")))
+    )
+    pairs = corpus.join(
+        queries, ["cell"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        COS_ROUND,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .distinct()  # a neighbor can appear via both probed cells
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+WITH centroids AS (
+    SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+    WHERE vec_id < {N_CELLS}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round(list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.c_emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 {COS_ROUND}) AS c_cos
+    FROM embeddings e, centroids c
+),
+ranked_cells AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_cos DESC, cid) AS c_rank
+    FROM scored
+),
+corpus AS (
+    SELECT vec_id, embedding, cid AS cell,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM ranked_cells WHERE c_rank = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
+    FROM ranked_cells WHERE c_rank <= {N_PROBE} AND vec_id < {n_queries}
+),
+pairs AS (
+    SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id,
+           round(list_sum(list_transform(
+                     generate_series(1, len(q.q_emb)),
+                     i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                 / (q.q_nrm * n.nrm), {COS_ROUND}) AS cos
+    FROM corpus n JOIN queries q ON n.cell = q.cell AND n.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""

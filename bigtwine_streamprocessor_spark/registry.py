@@ -955,3 +955,10 @@ def agg_approx_distinct(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact_custs"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
     )
+
+
+@register("similarity_ivf_topk", similarity.ivf_topk_sql())
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: coarse cells + n_probe=2 probing, exact cosine
+    within probed cells only (the shard-per-cell ANN layout for 100 TB)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir))
