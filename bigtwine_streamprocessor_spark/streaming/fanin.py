@@ -5,7 +5,11 @@ keyed global window + custom trigger (SURVEY.md §2.5):
 
 * keep a per-key set of which stream types arrived
   (`TwitterStreamTypeWindowTrigger.java:39-66`);
-* register a processing-time timer at first element (+timeout) (`:44-48`);
+* register a processing-time timer ONCE at the first element (+timeout)
+  (`:44-48`) — later fragments must NOT push the deadline forward. Spark's
+  ``GroupState`` clears its timeout on every invocation unless re-set, so the
+  first-arrival deadline is persisted in state and each invocation re-arms
+  with the REMAINING time, preserving the reference's one-shot semantics;
 * FIRE_AND_PURGE the instant all four types are present (`:60-62`);
 * on the timer: fire a partial result iff the ``status`` fragment arrived,
   else purge the orphan fragments silently (`:69-78`);
@@ -57,6 +61,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("resources_json", T.ArrayType(T.StringType()), True),
         T.StructField("location_json", T.StringType(), True),
         T.StructField("received", T.ArrayType(T.StringType()), True),
+        # first-arrival deadline (epoch ms): fixed at first element + timeout
+        T.StructField("deadline_ms", T.LongType(), True),
     ]
 )
 
@@ -100,7 +106,7 @@ def make_fanin_fn(timeout_ms: int):
         if state.hasTimedOut:
             # timer path: partial emit iff status arrived, else silent purge
             # (`TwitterStreamTypeWindowTrigger.java:69-78`)
-            (sj, ej, rj, lj, recv) = state.get
+            (sj, ej, rj, lj, recv, _dl) = state.get
             state.remove()
             if sj is not None:
                 yield _emit(
@@ -116,7 +122,7 @@ def make_fanin_fn(timeout_ms: int):
             return
 
         if state.exists:
-            (sj, ej, rj, lj, recv) = state.get
+            (sj, ej, rj, lj, recv, deadline_ms) = state.get
             s = {
                 "status_json": sj,
                 "entities_json": list(ej),
@@ -125,6 +131,9 @@ def make_fanin_fn(timeout_ms: int):
                 "received": set(recv),
             }
         else:
+            # one-shot timer: deadline fixes at FIRST element + timeout
+            # (`TwitterStreamTypeWindowTrigger.java:44-48`)
+            deadline_ms = state.getCurrentProcessingTimeMs() + timeout_ms
             s = {
                 "status_json": None,
                 "entities_json": [],
@@ -162,9 +171,13 @@ def make_fanin_fn(timeout_ms: int):
                     s["resources_json"],
                     s["location_json"],
                     sorted(s["received"]),
+                    deadline_ms,
                 )
             )
-            state.setTimeoutDuration(timeout_ms)
+            # Spark clears the timeout each invocation; re-arm with the
+            # REMAINING time so the original deadline holds (no roll-forward)
+            remaining = max(1, deadline_ms - state.getCurrentProcessingTimeMs())
+            state.setTimeoutDuration(remaining)
 
     return fanin
 

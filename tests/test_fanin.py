@@ -65,6 +65,73 @@ FRAGMENTS = [
 ]
 
 
+class _FakeState:
+    """Minimal GroupState stand-in to drive make_fanin_fn deterministically."""
+
+    def __init__(self, now_ms=1_000_000):
+        self.now_ms = now_ms
+        self._state = None
+        self.hasTimedOut = False
+        self.armed_ms = None  # last setTimeoutDuration argument
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def update(self, t):
+        self._state = tuple(t)
+
+    def remove(self):
+        self._state = None
+
+    def setTimeoutDuration(self, ms):
+        self.armed_ms = ms
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+
+def _pdf(frs):
+    import pandas as pd
+
+    return iter([pd.DataFrame([frag(**f) for f in frs])])
+
+
+def test_fanin_timeout_is_one_shot_not_rolling():
+    """The partial-emit timer must fire at FIRST-element + period even while
+    later (duplicate / non-status) fragments keep arriving
+    (`TwitterStreamTypeWindowTrigger.java:44-48`: timer registered once)."""
+    fn = fanin.make_fanin_fn(timeout_ms=10_000)
+    st = _FakeState(now_ms=1_000_000)
+
+    # first fragment arrives at t=1_000_000 -> armed for the full 10s
+    list(fn(("7",), _pdf([dict(tag="7", stream_type="linkedTweet", payload=[ENT])]), st))
+    assert st.armed_ms == 10_000
+    deadline = st._state[5]
+    assert deadline == 1_010_000
+
+    # 6s later another non-status fragment trickles in: deadline must NOT
+    # move -> re-armed with the REMAINING 4s, not a fresh 10s
+    st.now_ms = 1_006_000
+    list(fn(("7",), _pdf([dict(tag="7", stream_type="resource", payload=[])]), st))
+    assert st._state[5] == deadline, "deadline must stay at first arrival + period"
+    assert st.armed_ms == 4_000
+
+    # past the deadline: remaining clamps to the 1ms minimum (fires next tick)
+    st.now_ms = 1_011_000
+    list(fn(("7",), _pdf([dict(tag="7", stream_type="resource", payload=[])]), st))
+    assert st.armed_ms == 1
+
+    # timer fires: no status arrived -> orphan purge, no emit
+    st.hasTimedOut = True
+    out = list(fn(("7",), iter([]), st))
+    assert out == [] and not st.exists
+
+
 def test_fanin_batch_semantics(spark):
     df = spark.createDataFrame(
         [(f["tag"], f["stream_type"], f["payload_json"]) for f in FRAGMENTS],
