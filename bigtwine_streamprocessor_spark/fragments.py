@@ -79,15 +79,11 @@ def _nel_entity(e: Column) -> Column:
     )
 
 
-def build_fragments(parsed: DataFrame) -> DataFrame:
-    """Parsed tweets -> unioned fragment stream (tag, stream_type, payload_json).
-
-    parsed columns: id, text, lang, user__id, user__name, user__screen_name,
-    user__location (the corpus shape after P1).
-    """
-    ents = F.transform(_ner_array(), _nel_entity)
-
-    status_payload = F.to_json(
+def status_payload_col() -> Column:
+    """The ``status`` fragment payload as a JSON Column over parsed-tweet
+    columns — shared by the batch fragment builder and the async topology's
+    Q1 (which builds fragment lines on executors, never the driver)."""
+    return F.to_json(
         F.struct(
             F.col("id"),
             F.col("text"),
@@ -106,6 +102,17 @@ def build_fragments(parsed: DataFrame) -> DataFrame:
             ).alias("user"),
         )
     )
+
+
+def build_fragments(parsed: DataFrame) -> DataFrame:
+    """Parsed tweets -> unioned fragment stream (tag, stream_type, payload_json).
+
+    parsed columns: id, text, lang, user__id, user__name, user__screen_name,
+    user__location (the corpus shape after P1).
+    """
+    ents = F.transform(_ner_array(), _nel_entity)
+
+    status_payload = status_payload_col()
 
     entity_clean = lambda e: e.dropFields("_token")
     linked_payload = F.to_json(F.transform(ents, entity_clean))

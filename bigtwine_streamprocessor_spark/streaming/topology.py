@@ -15,10 +15,15 @@ Faithful reconstruction of `TwitterStreamJob`'s dataflow graph (SURVEY.md
 NEL requests build from NER *responses* (`TwitterStreamJob.java:248-263`),
 the resolver from NEL responses with links (`:279-288`), geo from raw tweets
 with a location (`:296-307`); the two empty-synth branches guarantee fan-in
-completion (`:327-343`). Message shaping inside ``foreachBatch`` collects
-envelope-scale data only (requests + fragment lines per micro-batch); a
-production deployment replaces FileTopic appends with a Kafka producer over
-``foreachPartition`` — every stream transform is transport-agnostic.
+completion (`:327-343`).
+
+Scale contract: all row-proportional message shaping (Q1's status fragments /
+request items, Q6's result lines) is DataFrame expressions + ``to_json``
+written from EXECUTORS via ``foreachPartition`` — the driver never holds the
+tweet stream. Only Q2–Q5's response-envelope drains collect, and those are
+envelope-scale (a handful of lines per micro-batch). Swapping the
+``foreachPartition`` file writers for a Kafka producer is a config switch
+(see ``kafka_transport``), not a rewrite.
 """
 
 from __future__ import annotations
@@ -28,8 +33,10 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fragments import status_payload_col
+from ..operators.parse import has_user_location
 from .fanin import FRAGMENT_IN, fanin_stream, parse_assembled
-from .transport import FileTopic, ServiceSimulator, chunked, make_envelope
+from .transport import FileTopic, ServiceSimulator, make_envelope
 from .transport import geo_service, nel_service, ner_service, resolver_service
 
 TOPIC_NAMES = [
@@ -103,48 +110,61 @@ def start_topology(
         return f"{name}.{analysis_id}"
 
     # ---- Q1: tweet stream -> status frags + ner/geo requests + synth ------
+    # All row-proportional shaping stays on executors: fragment lines are
+    # to_json Columns written via foreachPartition; request envelopes are
+    # built per-partition from JSON item rows. The driver touches nothing
+    # proportional to the stream (`TwitterStreamJob.java:309-343`).
+    has_loc = has_user_location()
+    frag_struct = lambda st, payload: F.to_json(
+        F.struct(
+            F.col("id").alias("tag"),
+            F.lit(st).alias("stream_type"),
+            payload.alias("payload_json"),
+        )
+    )
+    # empty-location synth (`TwitterStreamJob.java:339-343`): null payload
+    # fields drop out of to_json; from_json restores them as nulls.
+    synth_loc_payload = F.to_json(
+        F.struct(
+            F.lit(None).cast("string").alias("address"),
+            F.lit(None).cast("struct<lat:double,lng:double>").alias("coordinates"),
+            F.col("id").alias("tag"),
+        )
+    )
+    q1_frag_lines = F.array_compact(
+        F.array(
+            frag_struct("status", status_payload_col()),
+            F.when(~has_loc, frag_struct("decodedLocation", synth_loc_payload)),
+        )
+    )
+
     def q1(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
-        frag_lines, ner_items, geo_items = [], [], []
-        for r in rows:
-            status = {
-                "id": r["id"],
-                "text": r["text"],
-                "retweet": False,
-                "lang": r["lang"],
-                "coordinates": None,
-                "user": {
-                    "id": r["user__id"],
-                    "name": r["user__name"],
-                    "screenName": r["user__screen_name"],
-                    "profileImageUrl": None,
-                    "location": r["user__location"],
-                    "coordinates": None,
-                },
-            }
-            frag_lines.append(_frag_line(r["id"], "status", status))
-            ner_items.append({"tag": r["id"], "text": r["text"]})
-            loc = r["user__location"]
-            if loc is not None and len(loc.strip()) >= 2:
-                geo_items.append({"tag": r["id"], "address": loc})
-            else:
-                # empty-location synth (`TwitterStreamJob.java:339-343`)
-                frag_lines.append(
-                    _frag_line(
-                        r["id"],
-                        "decodedLocation",
-                        {"address": None, "coordinates": None, "tag": r["id"]},
+        bdf = batch_df.persist()
+        try:
+            bdf.select(F.explode(q1_frag_lines).alias("value")).foreachPartition(
+                topics["fragments"].line_writer()
+            )
+            bdf.select(
+                F.to_json(
+                    F.struct(F.col("id").alias("tag"), F.col("text"))
+                ).alias("item")
+            ).foreachPartition(
+                topics["ner-requests"].envelope_writer(reply("ner-responses"))
+            )
+            bdf.filter(has_loc).select(
+                F.to_json(
+                    F.struct(
+                        F.col("id").alias("tag"),
+                        F.col("user__location").alias("address"),
                     )
+                ).alias("item")
+            ).foreachPartition(
+                topics["geodecoder-requests"].envelope_writer(
+                    reply("geodecoder-responses"), chunk=GEO_CHUNK
                 )
-        topics["fragments"].append_lines(frag_lines)
-        if ner_items:
-            topics["ner-requests"].append_lines(
-                [make_envelope(ner_items, reply("ner-responses"))]
             )
-        for chunk in chunked(geo_items, GEO_CHUNK):
-            topics["geodecoder-requests"].append_lines(
-                [make_envelope(chunk, reply("geodecoder-responses"))]
-            )
+        finally:
+            bdf.unpersist()
 
     q1_query = (
         parsed.writeStream.foreachBatch(q1)
@@ -276,15 +296,12 @@ def start_topology(
     final = finalize_results(parse_assembled(assembled))
 
     def q6(batch_df: DataFrame, epoch_id: int) -> None:
-        lines = [
-            r["value"]
-            for r in batch_df.select(
-                F.to_json(F.struct(F.col("payload"), F.col("is_partial"))).alias(
-                    "value"
-                )
-            ).collect()
-        ]
-        topics["results"].append_lines(lines)
+        # result lines serialize and write on executors — never the driver
+        batch_df.select(
+            F.to_json(F.struct(F.col("payload"), F.col("is_partial"))).alias(
+                "value"
+            )
+        ).foreachPartition(topics["results"].line_writer())
 
     q6_query = (
         final.writeStream.foreachBatch(q6)

@@ -15,10 +15,13 @@ swap ``FileTopic.read_stream`` for ``spark.readStream.format("kafka")`` and
 the ``append_lines`` calls inside ``foreachBatch`` for a Kafka producer; every
 transform in between is unchanged.
 
-Scale note: the ``foreachBatch`` bodies collect only REQUEST ENVELOPES (a few
-per micro-batch — one per service per window, 15-item chunks for geo), never
-the tweet stream itself; fragments flow through topics partitioned by file =
-micro-batch, and the fan-in keys by tweet id exactly as in local mode.
+Scale note: everything row-proportional (fragment lines, request items,
+result lines) is built with DataFrame expressions and written from EXECUTORS
+via ``foreachPartition`` — the driver never materializes the tweet stream.
+The only driver-side collects left in the topology are the response-envelope
+drains of Q2–Q5 (one envelope per service per micro-batch — truly
+envelope-scale). Request envelopes are emitted one-per-partition (15-item
+chunks for geo), which the reply-topic consumers are agnostic to.
 """
 
 from __future__ import annotations
@@ -36,27 +39,70 @@ from pyspark.sql import functions as F
 from ..services_local import CATEGORIES, LEXICON, LINK_PREFIX, THUMB_PREFIX
 
 
+def append_lines_to_dir(topic_dir: str, lines: list[str]) -> None:
+    """Atomically publish JSON lines into a topic directory.
+
+    Module-level and lock-free (uuid filenames cannot collide) so it is
+    picklable into ``foreachPartition`` closures and safe to call
+    concurrently from many executor Python workers.
+    """
+    if not lines:
+        return
+    tmp_dir = os.path.join(
+        os.path.dirname(topic_dir), f".tmp-{os.path.basename(topic_dir)}"
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    fname = f"{os.getpid()}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(tmp_dir, fname)
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(topic_dir, fname))
+
+
+def dir_line_writer(topic_dir: str):
+    """foreachPartition sink: rows with a ``value`` column -> topic lines.
+    The Kafka twin is ``KafkaTopic.line_writer`` (same contract)."""
+
+    def write(rows) -> None:
+        append_lines_to_dir(topic_dir, [r["value"] for r in rows])
+
+    return write
+
+
+def dir_envelope_writer(topic_dir: str, out_topic: str, chunk: int | None = None):
+    """foreachPartition sink: rows with an ``item`` JSON column -> one request
+    envelope per partition (or per ``chunk`` items, e.g. 15 for the
+    geo-decoder, `TwitterStreamJob.java:300`)."""
+
+    def write(rows) -> None:
+        items = [json.loads(r["item"]) for r in rows]
+        if not items:
+            return
+        groups = chunked(items, chunk) if chunk else [items]
+        append_lines_to_dir(
+            topic_dir, [make_envelope(g, out_topic) for g in groups]
+        )
+
+    return write
+
+
 class FileTopic:
     """Append-only JSON-lines topic backed by a directory (atomic renames)."""
 
     def __init__(self, root: str, name: str):
+        self.name = name
         self.dir = os.path.join(root, name)
         os.makedirs(self.dir, exist_ok=True)
-        self._tmp = os.path.join(root, f".tmp-{name}")
-        os.makedirs(self._tmp, exist_ok=True)
-        self._n = 0
-        self._lock = threading.Lock()
 
     def append_lines(self, lines: list[str]) -> None:
-        if not lines:
-            return
-        with self._lock:
-            self._n += 1
-            fname = f"{os.getpid()}-{self._n}-{uuid.uuid4().hex[:8]}.json"
-        tmp = os.path.join(self._tmp, fname)
-        with open(tmp, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        os.replace(tmp, os.path.join(self.dir, fname))
+        append_lines_to_dir(self.dir, lines)
+
+    def line_writer(self):
+        """Picklable executor-side writer (captures only the dir path)."""
+        return dir_line_writer(self.dir)
+
+    def envelope_writer(self, out_topic: str, chunk: int | None = None):
+        return dir_envelope_writer(self.dir, out_topic, chunk)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         return spark.readStream.schema("value STRING").text(self.dir)
