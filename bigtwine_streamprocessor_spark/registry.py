@@ -808,12 +808,15 @@ def sessionize_events(spark, sf_dir):
 
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap: cast('long') would truncate to seconds while the
+    # DuckDB oracle compares full-precision intervals — a (1799s, 1801s] gap
+    # would then sessionize differently engine vs oracle
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap <= 30 * 60, 0).otherwise(1).alias("new_session"),
+        F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1).alias("new_session"),
     )
     sess = flagged.withColumn(
         "session_no",

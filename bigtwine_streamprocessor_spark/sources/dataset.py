@@ -24,6 +24,7 @@ is re-inflated by ``nest_columns`` into proper structs.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,25 +103,60 @@ def flatten_columns(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def write_replay_files(df: DataFrame, out_dir: str, rows_per_file: int) -> int:
-    """Split a bounded dataset into N-row json files for rate-limited replay.
+def _bucket_file_writer(out_dir: str):
+    """Executor-side writer: one atomically-renamed json file per bucket.
+    Partition rows must arrive sorted by (_bucket, _rn)."""
+    import itertools
 
-    With ``maxFilesPerTrigger=1`` the streaming reader then ingests
-    ``rows_per_file`` rows per micro-batch — the Spark-native realization of
-    the reference's rows/s cap. Returns the file count.
+    def write(rows) -> None:
+        for bucket, grp in itertools.groupby(rows, key=lambda r: r["_bucket"]):
+            lines = [r["value"] for r in grp]
+            tmp = os.path.join(out_dir, f".part-{bucket:06d}.tmp")
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(tmp, os.path.join(out_dir, f"part-{bucket:06d}.json"))
+
+    return write
+
+
+def write_replay_files(
+    df: DataFrame,
+    out_dir: str,
+    rows_per_file: int,
+    order_by: list[str] | None = None,
+) -> int:
+    """Split a bounded dataset into EXACTLY-N-row json files for rate-limited
+    replay. With ``maxFilesPerTrigger=1`` the streaming reader then ingests at
+    most ``rows_per_file`` rows per micro-batch — the Spark-native realization
+    of the reference's rows/s cap (`GridFSCsvSource.java:66-96` rate gate).
+
+    Buckets are assigned by contiguous ``row_number() DIV rows_per_file`` over
+    a deterministic order, and each bucket is written as its own file by an
+    executor-side groupby writer — hash ``repartition(files, bucket)`` cannot
+    guarantee the 1:1 bucket→file mapping (collisions merge buckets and
+    overfill a micro-batch). The global row_number is a single-task sort: fine
+    by design — replay prep is a bounded dev/test-harness utility, not a
+    production operator. Returns the file count.
     """
+    from pyspark.sql import Window as W
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
     n = df.count()
-    os.makedirs(out_dir, exist_ok=True)
     files = max(1, -(-n // rows_per_file))
+    order_cols = order_by or df.columns
+    indexed = df.withColumn(
+        "_rn", F.row_number().over(W.orderBy(*order_cols)) - 1
+    ).select(
+        F.expr(f"_rn DIV {int(rows_per_file)}").alias("_bucket"),
+        "_rn",
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
     (
-        df.withColumn(
-            "_bucket",
-            F.monotonically_increasing_id() % files,
-        )
-        .repartition(files, "_bucket")
-        .drop("_bucket")
-        .write.mode("overwrite")
-        .json(out_dir)
+        indexed.repartitionByRange(files, "_bucket")
+        .sortWithinPartitions("_bucket", "_rn")
+        .foreachPartition(_bucket_file_writer(out_dir))
     )
     return files
 

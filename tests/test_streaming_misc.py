@@ -207,3 +207,29 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
     ).collect()[0]
     assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 3)
     assert abs(r["p_approx"] - r["p_exact"]) <= 0.05 * abs(r["p_exact"]) + 1
+
+
+def test_write_replay_files_exact_bucketing(spark, tmp_path):
+    """Every replay file must hold exactly rows_per_file rows (last one the
+    remainder) so maxFilesPerTrigger=1 can never overfill a micro-batch."""
+    df = spark.range(23).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "replay")
+    files = ds.write_replay_files(df, out, rows_per_file=5, order_by=["k"])
+    assert files == 5
+
+    import os
+
+    names = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert len(names) == 5
+    sizes = []
+    seen = []
+    for fn in names:
+        with open(os.path.join(out, fn)) as f:
+            rows = [json.loads(ln) for ln in f.read().splitlines() if ln.strip()]
+        sizes.append(len(rows))
+        seen.extend(r["k"] for r in rows)
+    assert sizes == [5, 5, 5, 5, 3]
+    # deterministic order: bucket files cover the ordered key space contiguously
+    assert seen == list(range(23))
