@@ -1,29 +1,58 @@
 """Similarity search over embedding columns (`embeddings` table: vec_id,
 embedding array<float>, label).
 
-Two paths, as a 100 TB pipeline needs both:
+Three paths, as a 100 TB pipeline needs all of them:
 
 * **brute-force cosine top-k** — exact baseline: broadcast the (small) query
   set against the full corpus; per-row dot product with `zip_with` +
   `aggregate` higher-order functions (JVM-side, no Python); top-k via ranking
   window partitioned by query. Scales as O(|Q| * N) with N fully partitioned —
   right answer for |Q| small.
-* **sign-LSH bucketed ANN** — scale path: 4 data-derived anchor hyperplanes
-  (the first 4 vectors) give a 4-bit bucket; candidates = same-bucket rows
-  only, then exact cosine within bucket. The anchor join is a broadcast; the
-  bucket self-join shuffles on uniform 16-value keys (salt-friendly).
+* **sign-LSH bucketed ANN** — scale path: ``n_bits`` data-independent
+  Rademacher (+-1) hyperplanes derived from a portable LCG give a
+  ``2^n_bits``-bucket code; candidates = rows in the query's bucket or any
+  bucket at Hamming distance <= ``probe_radius`` (multiprobe), then exact
+  cosine on candidates only. Bucket count — and with it join parallelism and
+  per-bucket candidate size — is a dial: 2^16 buckets default, so a
+  1000-executor cluster shuffles on ~65k uniform keys instead of 16 (the
+  round-1 ceiling this replaces).
+* **IVF top-k** — cluster-aware scale path: coarse-quantize into ``n_cells``
+  cells with a real (unrolled-Lloyd) k-means over stratified deterministic
+  seeds; corpus vectors live in their nearest cell, queries probe their
+  ``n_probe`` nearest cells. Candidates ~ n_probe/n_cells of the corpus, and
+  cells follow the data distribution instead of the first-k vectors (the
+  round-1 skew hazard this replaces). ``n_cells ~ sqrt(n)`` is the classic
+  sizing at scale.
 
-Cosines are rounded to 6 decimals on BOTH engine and oracle before ranking so
-float summation order can't flip the comparison; ties break on neighbor id.
+Every variant is oracle-gated: the DuckDB SQL twins are generated from the
+SAME constants (bit/LCG arithmetic, seed stride, iteration count), so engine
+and oracle stay in lock-step as parameters move. Cosines, plane projections,
+and centroid components round to 6 decimals on BOTH sides so float summation
+order can't flip a comparison; ties break on id.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_ANCHORS = 4
+N_BITS = 16  # sign-LSH hyperplanes (2^16 buckets) — scale default
+PROBE_RADIUS = 1  # multiprobe Hamming radius (0 = exact bucket only)
 COS_ROUND = 6
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_ITERS = 2
+
+# Portable LCG for the +-1 hyperplane components: both engines compute
+# sign(i, j) = +1 iff (((i*1024 + j) * 1103515245 + 12345) mod 2^31) div 2^16
+# is odd — pure 64-bit-safe integer arithmetic, identical in Spark and DuckDB.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+_PLANE_STRIDE = 1024  # > any embedding dim we handle
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -43,6 +72,15 @@ def _norm(a: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
 
 
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
@@ -78,16 +116,12 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
 def cosine_topk_sql(k: int = 5, n_queries: int = 20) -> str:
     return f"""
 WITH norms AS (
-    SELECT vec_id, embedding,
-           sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    SELECT vec_id, embedding, {_NORM_SQL.format(a="embedding")} AS nrm
     FROM embeddings
 ),
 pairs AS (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           round(list_sum(list_transform(
-                     generate_series(1, len(q.embedding)),
-                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           round({_DOT_SQL.format(a="q.embedding", b="n.embedding")}
                  / (q.nrm * n.nrm), {COS_ROUND}) AS cos
     FROM norms q JOIN norms n ON n.vec_id <> q.vec_id
     WHERE q.vec_id < {n_queries}
@@ -101,49 +135,118 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _bucket(emb: DataFrame) -> DataFrame:
-    """4-bit sign-LSH bucket per vector from the first N_ANCHORS vectors."""
-    anchors = (
-        emb.filter(F.col("vec_id") < N_ANCHORS)
-        .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("a_emb"))
+# ---------------------------------------------------------------------------
+# sign-LSH: n_bits Rademacher hyperplanes + Hamming-radius multiprobe
+# ---------------------------------------------------------------------------
+
+
+def _sign_col(i: int, j: Column) -> Column:
+    """+-1.0 component j of hyperplane i (the portable LCG, Spark side)."""
+    v = (
+        (j.cast("bigint") + F.lit(i * _PLANE_STRIDE)) * F.lit(_LCG_A)
+        + F.lit(_LCG_C)
+    ) % F.lit(_LCG_M)
+    bit = F.floor(v / F.lit(65536)).cast("bigint") % 2
+    return F.when(bit == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _plane_term(i: int):
+    # closure (NOT a default arg: extra params change the HOF's lambda arity)
+    def term(x, j):
+        return x.cast("double") * _sign_col(i, j)
+
+    return term
+
+
+def _plane_dot(i: int) -> Column:
+    """Projection of ``embedding`` onto hyperplane i, rounded so an
+    ulp-of-summation can't flip the sign differently engine vs oracle."""
+    term = _plane_term(i)
+    return F.round(
+        F.aggregate(
+            F.transform(F.col("embedding"), term), F.lit(0.0), lambda a, x: a + x
+        ),
+        COS_ROUND,
     )
-    crossed = emb.crossJoin(F.broadcast(anchors))
-    signed = crossed.select(
+
+
+def bucket_col(n_bits: int) -> Column:
+    """The n_bits-bit sign-LSH bucket of ``embedding`` as an int Column."""
+    bits = [
+        F.when(_plane_dot(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    return reduce(add, bits).cast("int")
+
+
+def _plane_dot_sql(i: int, emb: str = "embedding") -> str:
+    # DuckDB's generate_series index is 1-based; Spark's transform index is
+    # 0-based -> (j-1) aligns them.
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({emb})), "
+        f"j -> CAST({emb}[j] AS DOUBLE) * "
+        f"(CASE WHEN ((((j - 1) + {i * _PLANE_STRIDE}) * {_LCG_A} + {_LCG_C}) "
+        f"% {_LCG_M}) // 65536 % 2 = 1 THEN 1.0 ELSE -1.0 END))), {COS_ROUND})"
+    )
+
+
+def bucket_sql(n_bits: int, emb: str = "embedding") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(i, emb)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def _probes(bucket: Column, n_bits: int, probe_radius: int) -> Column:
+    """Array of buckets to probe: the bucket itself plus every single-bit
+    flip when probe_radius >= 1. Probe values are distinct, so a
+    (query, neighbor) pair joins at most once — no dedup needed."""
+    probes = [bucket]
+    if probe_radius >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    return F.array(*probes)
+
+
+def _probes_sql(n_bits: int, probe_radius: int, bucket: str = "bucket") -> str:
+    if probe_radius < 1:
+        return f"[{bucket}]"
+    return (
+        f"list_prepend({bucket}, list_transform(generate_series(0, {n_bits - 1}), "
+        f"i -> xor({bucket}, 1 << i)))"
+    )
+
+
+def _bucketed(emb: DataFrame, n_bits: int) -> DataFrame:
+    return emb.select(
         "vec_id",
         "embedding",
-        "aid",
-        F.when(_dot(F.col("embedding"), F.col("a_emb")) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
-        ).alias("bit"),
-    )
-    return (
-        signed.groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("aid")).cast("long"))
-            .cast("int")
-            .alias("bucket"),
-        )
+        bucket_col(n_bits).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
 
 
-def ann_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to same-LSH-bucket candidates."""
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to multiprobed sign-LSH
+    bucket candidates. The bucket join shuffles on 2^n_bits uniform keys."""
     from pyspark.sql import Window as W
 
-    b = _bucket(emb)
-    base = b.select(
-        "vec_id", "bucket", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+    base = _bucketed(emb, n_bits)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
+        F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
     )
     pairs = base.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
@@ -159,36 +262,30 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
     )
 
 
-def ann_lsh_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+def ann_lsh_topk_sql(
+    k: int = 5,
+    n_queries: int = 20,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> str:
     return f"""
-WITH anchors AS (
-    SELECT vec_id AS aid, embedding AS a_emb FROM embeddings
-    WHERE vec_id < {N_ANCHORS}
+WITH bucketed AS (
+    SELECT vec_id, embedding,
+           {bucket_sql(n_bits)} AS bucket,
+           {_NORM_SQL.format(a="embedding")} AS nrm
+    FROM embeddings
 ),
-buckets AS (
-    SELECT e.vec_id,
-           CAST(sum(CASE WHEN list_sum(list_transform(
-                        generate_series(1, len(e.embedding)),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.a_emb[i] AS DOUBLE)
-                    )) >= 0 THEN CAST(pow(2, a.aid) AS BIGINT) ELSE 0 END) AS INT)
-             AS bucket
-    FROM embeddings e, anchors a
-    GROUP BY e.vec_id
-),
-norms AS (
-    SELECT e.vec_id, b.bucket, e.embedding,
-           sqrt(list_sum(list_transform(e.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-    FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+q_probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+           unnest({_probes_sql(n_bits, probe_radius)}) AS probe
+    FROM bucketed WHERE vec_id < {n_queries}
 ),
 pairs AS (
-    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           round(list_sum(list_transform(
-                     generate_series(1, len(q.embedding)),
-                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
-                 / (q.nrm * n.nrm), {COS_ROUND}) AS cos
-    FROM norms q JOIN norms n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
-    WHERE q.vec_id < {n_queries}
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
+                 / (q.q_nrm * n.nrm), {COS_ROUND}) AS cos
+    FROM bucketed n JOIN q_probes q
+      ON n.bucket = q.probe AND n.vec_id <> q.query_id
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -199,22 +296,26 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets (scale path:
-    candidate generation is bucket-local, never O(n^2))."""
-    b = _bucket(emb)
-    base = b.select(
-        "vec_id", "bucket", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within multiprobed LSH buckets
+    (scale path: candidate generation is bucket-local, never O(n^2)). The
+    probe expansion runs on ONE side of the self-join, so each candidate pair
+    appears exactly once."""
+    base = _bucketed(emb, n_bits)
     a = base.select(
         F.col("vec_id").alias("id_a"),
-        F.col("bucket").alias("bucket_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
+        F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
     )
     pairs = base.join(
         a,
-        (F.col("bucket") == F.col("bucket_a")) & (F.col("id_a") < F.col("vec_id")),
+        (F.col("bucket") == F.col("probe")) & (F.col("id_a") < F.col("vec_id")),
     )
     cos = F.round(
         _dot(F.col("emb_a"), F.col("embedding")) / (F.col("nrm_a") * F.col("nrm")),
@@ -227,55 +328,42 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame
     ).filter(F.col("cos") >= threshold)
 
 
-def embedding_neardup_sql(threshold: float = 0.9) -> str:
+def embedding_neardup_sql(
+    threshold: float = 0.9,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> str:
     return f"""
-WITH anchors AS (
-    SELECT vec_id AS aid, embedding AS a_emb FROM embeddings
-    WHERE vec_id < {N_ANCHORS}
+WITH bucketed AS (
+    SELECT vec_id, embedding,
+           {bucket_sql(n_bits)} AS bucket,
+           {_NORM_SQL.format(a="embedding")} AS nrm
+    FROM embeddings
 ),
-buckets AS (
-    SELECT e.vec_id,
-           CAST(sum(CASE WHEN list_sum(list_transform(
-                        generate_series(1, len(e.embedding)),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.a_emb[i] AS DOUBLE)
-                    )) >= 0 THEN CAST(pow(2, a.aid) AS BIGINT) ELSE 0 END) AS INT)
-             AS bucket
-    FROM embeddings e, anchors a
-    GROUP BY e.vec_id
+a_probes AS (
+    SELECT vec_id AS id_a, embedding AS emb_a, nrm AS nrm_a,
+           unnest({_probes_sql(n_bits, probe_radius)}) AS probe
+    FROM bucketed
 ),
-norms AS (
-    SELECT e.vec_id, b.bucket, e.embedding,
-           sqrt(list_sum(list_transform(e.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-    FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+pairs AS (
+    SELECT a.id_a AS doc_a, b.vec_id AS doc_b,
+           round({_DOT_SQL.format(a="a.emb_a", b="b.embedding")}
+                 / (a.nrm_a * b.nrm), {COS_ROUND}) AS cos
+    FROM bucketed b JOIN a_probes a
+      ON b.bucket = a.probe AND a.id_a < b.vec_id
 )
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_sum(list_transform(
-                 generate_series(1, len(a.embedding)),
-                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (a.nrm * b.nrm), {COS_ROUND}) AS cos
-FROM norms a JOIN norms b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
-WHERE round(list_sum(list_transform(
-          generate_series(1, len(a.embedding)),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / (a.nrm * b.nrm), {COS_ROUND}) >= {threshold}
+SELECT doc_a, doc_b, cos FROM pairs WHERE cos >= {threshold}
 """
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN
+# IVF (inverted-file) ANN with unrolled-Lloyd k-means centroids
 # ---------------------------------------------------------------------------
 
-N_CELLS = 8
-N_PROBE = 2
 
-
-def _assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
-    """Rank cells per vector by cosine to each centroid (deterministic
-    tie-break on centroid id); keep the top ``n_best`` cells."""
-    from pyspark.sql import Window as W
-
-    scored = emb.join(F.broadcast(centroids)).select(
+def _scored(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Cosine of every vector against every centroid (centroids broadcast)."""
+    return emb.join(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
         "cid",
@@ -285,36 +373,85 @@ def _assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame
             COS_ROUND,
         ).alias("c_cos"),
     )
+
+
+def _best_cells(scored: DataFrame, n_best: int) -> DataFrame:
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_best)
+    return scored.withColumn("c_rank", F.row_number().over(w)).filter(
+        F.col("c_rank") <= n_best
     )
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize into N_CELLS cells (centroids =
-    the first N_CELLS vectors, a deterministic stand-in for k-means), assign
-    each vector to its nearest cell, probe the query's N_PROBE nearest cells,
-    exact cosine only within the probed cells.
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int = IVF_CELLS, n_iters: int = IVF_ITERS
+) -> DataFrame:
+    """Spherical k-means centroids: stratified deterministic seeds (every
+    ``n // n_cells``-th vec_id — spread across the corpus, unlike the round-1
+    first-k choice) refined by ``n_iters`` Lloyd steps. Each step is one
+    broadcast score + one explode/groupBy mean — fully distributed, and the
+    centroid count stays broadcast-small. Components round to 6 decimals so
+    the DuckDB twin (same unrolled iterations) lands on identical cells.
 
-    At scale this is the classic IVF layout: the corpus partitions by cell id
-    (each cell a shard), queries fan out to n_probe shards — candidate count
-    is ~n_probe/n_cells of the corpus, and the join key (cell) is uniform.
+    The driver-side ``count()`` is a scalar pre-count for the seed stride —
+    the same envelope-scale pattern as the export pre-count (A4).
     """
     from pyspark.sql import Window as W
 
-    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    n = emb.count()
+    stride = max(1, n // n_cells)
+    cents = (
+        emb.filter((F.col("vec_id") % stride) == 0)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
     )
-    # corpus side: each vector lives in its single nearest cell
-    corpus = _assignments(emb, centroids, 1).select(
-        "vec_id", "embedding", F.col("cid").alias("cell")
+    for _ in range(n_iters):
+        assign = _best_cells(_scored(emb, cents), 1)
+        exploded = assign.select("cid", F.posexplode("embedding").alias("j", "x"))
+        means = exploded.groupBy("cid", "j").agg(
+            F.round(F.avg(F.col("x").cast("double")), COS_ROUND).alias("m")
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+            ).alias("c_emb")
+        )
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, corpus sharded by
+    nearest cell, queries probe their ``n_probe`` nearest cells, exact cosine
+    within probed cells only.
+
+    At scale this is the classic IVF layout: the corpus partitions by cell id
+    (each cell a shard), queries fan out to n_probe shards — candidate count
+    is ~n_probe/n_cells of the corpus; size ``n_cells ~ sqrt(n)``. A corpus
+    vector lives in exactly one cell, so no candidate dedup is needed.
+    """
+    from pyspark.sql import Window as W
+
+    cents = kmeans_centroids(emb, n_cells, n_iters)
+    scored = _scored(emb, cents)
+    corpus = (
+        _best_cells(scored, 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
-    corpus = corpus.withColumn("nrm", _norm(F.col("embedding")))
-    # query side: probe the N_PROBE nearest cells
     queries = (
-        _assignments(emb.filter(F.col("vec_id") < n_queries), centroids, N_PROBE)
+        _best_cells(scored.filter(F.col("vec_id") < n_queries), n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -322,9 +459,9 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
         )
         .withColumn("q_nrm", _norm(F.col("q_emb")))
     )
-    pairs = corpus.join(
-        queries, ["cell"]
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    pairs = corpus.join(queries, ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
         COS_ROUND,
@@ -334,52 +471,87 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
         pairs.select(
             "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
         )
-        .distinct()  # a neighbor can appear via both probed cells
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
 
-def ivf_topk_sql(k: int = 5, n_queries: int = 20) -> str:
-    return f"""
-WITH centroids AS (
-    SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
-    WHERE vec_id < {N_CELLS}
+def _kmeans_sql(n_cells: int, n_iters: int) -> str:
+    """CTE chain computing cent{n_iters} — the unrolled Lloyd twin."""
+    ctes = [
+        f"""seeds AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // {n_cells}) FROM embeddings) = 0
+    ORDER BY vec_id LIMIT {n_cells}
 ),
-scored AS (
+cent0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS c_emb
+    FROM seeds
+)"""
+    ]
+    for t in range(n_iters):
+        ctes.append(
+            f"""scored{t} AS (
     SELECT e.vec_id, e.embedding, c.cid,
-           round(list_sum(list_transform(
-                     generate_series(1, len(e.embedding)),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(c.c_emb,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                 {COS_ROUND}) AS c_cos
-    FROM embeddings e, centroids c
+           round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+                 / ({_NORM_SQL.format(a="e.embedding")}
+                    * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) AS c_cos
+    FROM embeddings e, cent{t} c
 ),
-ranked_cells AS (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY c_cos DESC, cid) AS c_rank
-    FROM scored
+assign{t} AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, cid) AS rn
+        FROM scored{t}
+    ) WHERE rn = 1
+),
+cent{t + 1} AS (
+    SELECT cid, list(m ORDER BY j) AS c_emb FROM (
+        SELECT cid, j, round(avg(CAST(x AS DOUBLE)), {COS_ROUND}) AS m FROM (
+            SELECT cid, unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS j
+            FROM assign{t}
+        ) GROUP BY cid, j
+    ) GROUP BY cid
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    n_queries: int = 20,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    return f"""
+WITH {_kmeans_sql(n_cells, n_iters)},
+scored_final AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+                 / ({_NORM_SQL.format(a="e.embedding")}
+                    * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) AS c_cos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+                                             / ({_NORM_SQL.format(a="e.embedding")}
+                                                * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) DESC,
+                                       c.cid) AS c_rank
+    FROM embeddings e, cent{n_iters} c
 ),
 corpus AS (
     SELECT vec_id, embedding, cid AS cell,
-           sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-    FROM ranked_cells WHERE c_rank = 1
+           {_NORM_SQL.format(a="embedding")} AS nrm
+    FROM scored_final WHERE c_rank = 1
 ),
 queries AS (
     SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell,
-           sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
-    FROM ranked_cells WHERE c_rank <= {N_PROBE} AND vec_id < {n_queries}
+           {_NORM_SQL.format(a="embedding")} AS q_nrm
+    FROM scored_final WHERE c_rank <= {n_probe} AND vec_id < {n_queries}
 ),
 pairs AS (
-    SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id,
-           round(list_sum(list_transform(
-                     generate_series(1, len(q.q_emb)),
-                     i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
                  / (q.q_nrm * n.nrm), {COS_ROUND}) AS cos
     FROM corpus n JOIN queries q ON n.cell = q.cell AND n.vec_id <> q.query_id
 ),

@@ -463,16 +463,23 @@ def similarity_bruteforce_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir))
 
 
-@register("similarity_ann_lsh", similarity.ann_lsh_topk_sql())
+@register("similarity_ann_lsh", similarity.ann_lsh_topk_sql(n_bits=8))
 def similarity_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed approximate top-5 (scale path: bucket-local search)."""
-    return similarity.ann_lsh_topk(_emb(spark, sf_dir))
+    """Sign-LSH multiprobed approximate top-5 (scale path: bucket-local
+    search). 8 bits here keeps candidates non-trivial at test scale; the
+    operator defaults to 16 bits (65k buckets) and the oracle SQL is
+    generated from whatever bit count is passed."""
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), n_bits=8)
 
 
-@register("similarity_embedding_neardup", similarity.embedding_neardup_sql(0.2))
+@register(
+    "similarity_embedding_neardup",
+    similarity.embedding_neardup_sql(0.2, n_bits=8),
+)
 def similarity_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (>= 0.2) within LSH buckets."""
-    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), 0.2)
+    """Embedding-cosine near-dup pairs (>= 0.2) within multiprobed LSH
+    buckets (8 bits at test scale; parameterized for 2^16 at 100 TB)."""
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), 0.2, n_bits=8)
 
 
 @register("text_language_id", textstats.LANGUAGE_ID_SQL)
@@ -962,6 +969,7 @@ def agg_approx_distinct(spark, sf_dir):
 
 @register("similarity_ivf_topk", similarity.ivf_topk_sql())
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: coarse cells + n_probe=2 probing, exact cosine
-    within probed cells only (the shard-per-cell ANN layout for 100 TB)."""
+    """IVF approximate top-5: unrolled-Lloyd k-means cells (stratified seeds,
+    2 iterations) + n_probe=4 probing, exact cosine within probed cells only
+    (the shard-per-cell ANN layout for 100 TB; size n_cells ~ sqrt(n))."""
     return similarity.ivf_topk(_emb(spark, sf_dir))
