@@ -12,8 +12,11 @@ dedup) with the standard document-dedup arsenal, each designed for the
   only shuffles are (a) explode-shingles -> per-doc min-agg and (b) the
   band-bucket self-join, both key-partitioned and skew-tolerant (band keys
   are uniform by construction of the hash).
-* **SimHash** — 16-bit signature from per-token md5 nibbles, bit-majority
-  folded per document; near-dups = signature collision.
+* **SimHash** — 64-bit signature from per-token md5 bits, bit-majority folded
+  per document; near-dups by banded sub-signature equality (4 x 16-bit bands)
+  plus an exact Hamming-distance check — complete for distance <= 3 by
+  pigeonhole, without the n^2/65536 random-collision floor of a 16-bit
+  whole-signature join.
 * **n-gram Jaccard** — exact pairwise similarity, but only over LSH/bucket
   candidates, never all pairs.
 
@@ -303,54 +306,196 @@ jaccard_pairs AS (
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (64-bit, banded Hamming candidates)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16  # BITS = BANDS * BAND_BITS
+SIMHASH_HAMMING_T = 3
+# Banded recall guarantee: a pair at Hamming distance <= 3 differs in at most
+# 3 of the 4 bands, so AT LEAST ONE 16-bit band matches exactly (pigeonhole)
+# -> the band-equality join finds every such pair. Random 64-bit collisions
+# per band are ~n^2/65536 per band but only for docs that genuinely agree on
+# 16 signature bits — unlike the round-1 16-bit whole-signature join, where
+# EVERY pair collided at rate 1/65536 with Hamming-0-only recall.
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per doc from per-token md5 nibble parities.
+def simhash_bands(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: (doc_id, bands array<int>[4], simhash hex).
 
-    Bit j of a token's hash = parity of hex digit j of md5(token); the doc
+    Bit j of a token's hash = bit (j mod 2) of hex digit (j div 2) of
+    md5(token) — 2 bits per hex digit covers 64 bits from 32 digits. The doc
     signature takes the majority vote over tokens per bit (>=0 ties -> 1,
-    weighting by token multiplicity). Pure Column expressions.
+    weighted by token multiplicity). Signature is materialized as four 16-bit
+    band values (the LSH join keys) plus a 16-hex-char display string — a
+    64-bit value with bit 63 set would overflow signed BIGINT arithmetic
+    portably, band ints never do. Pure Column expressions; one exchange
+    (groupBy doc_id) with map-side partial votes.
     """
-    toks = F.explode(F.split(F.col("text"), " ")).alias("token")
-    t = docs.select("doc_id", toks)
-    t = t.withColumn("h", F.md5("token"))
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h", F.md5("token"))
+    digits = t.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+            for d in range(32)
+        ],
+    )
     bit_votes = [
         F.sum(
             F.when(
-                F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+                F.shiftright(F.col(f"_d{j // 2}"), j % 2).bitwiseAND(F.lit(1)) == 1,
+                1,
             ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    votes = t.groupBy("doc_id").agg(*bit_votes)
-    sig = sum(
-        (F.when(F.col(f"b{j}") >= 0, 1).otherwise(0) * (1 << j))
-        for j in range(SIMHASH_BITS)
+    votes = digits.groupBy("doc_id").agg(*bit_votes)
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        band = sum(
+            (
+                F.when(F.col(f"b{b * SIMHASH_BAND_BITS + i}") >= 0, 1).otherwise(0)
+                * (1 << i)
+            )
+            for i in range(SIMHASH_BAND_BITS)
+        )
+        band_cols.append(band.cast("int").alias(f"band{b}"))
+    sig = votes.select("doc_id", *band_cols)
+    hex_str = F.concat(
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"band{b}"))), 4, "0")
+            for b in reversed(range(SIMHASH_BANDS))
+        ]
     )
-    return votes.select("doc_id", sig.cast("int").alias("simhash"))
+    return sig.select(
+        "doc_id",
+        F.array(*[f"band{b}" for b in range(SIMHASH_BANDS)]).alias("bands"),
+        hex_str.alias("simhash"),
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash hex string) — the signature view of simhash_bands."""
+    return simhash_bands(docs).select("doc_id", "simhash")
+
+
+def _hex_digit_sql(d: int) -> str:
+    return (
+        f"(CASE WHEN substr(h, {d + 1}, 1) BETWEEN '0' AND '9' "
+        f"THEN CAST(substr(h, {d + 1}, 1) AS INT) "
+        f"ELSE ascii(substr(h, {d + 1}, 1)) - 87 END)"
+    )
 
 
 def simhash_sql(source: str = "documents") -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN sum(CASE WHEN (CASE WHEN substr(h, {j + 1}, 1) BETWEEN '0' AND '9' "
-        f"THEN CAST(substr(h, {j + 1}, 1) AS INT) "
-        f"ELSE ascii(substr(h, {j + 1}, 1)) - 87 END) % 2 = 1 THEN 1 ELSE -1 END) >= 0 "
-        f"THEN {1 << j} ELSE 0 END)"
+    """CTE chain ending in ``simhash(doc_id, band0..3, simhash)`` — the
+    DuckDB twin of simhash_bands, same vote/band/hex arithmetic."""
+    vote_terms = ", ".join(
+        f"sum(CASE WHEN (_d{j // 2} >> {j % 2}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(SIMHASH_BITS)
     )
+    digit_terms = ", ".join(
+        f"{_hex_digit_sql(d)} AS _d{d}" for d in range(32)
+    )
+    band_terms = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{b * SIMHASH_BAND_BITS + i} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(SIMHASH_BAND_BITS)
+        )
+        + f" AS INT) AS band{b}"
+        for b in range(SIMHASH_BANDS)
+    )
+    hex_expr = " || ".join(
+        f"printf('%04x', band{b})" for b in reversed(range(SIMHASH_BANDS))
+    )
     return f"""
-tok_hashes AS (
-    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-    FROM {source}
+tok_digits AS (
+    SELECT doc_id, {digit_terms}
+    FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM {source})
+),
+votes AS (
+    SELECT doc_id, {vote_terms}
+    FROM tok_digits GROUP BY doc_id
 ),
 simhash AS (
-    SELECT doc_id, CAST({bit_terms} AS INT) AS simhash
-    FROM tok_hashes GROUP BY doc_id
+    SELECT doc_id, {band_terms}, {hex_expr} AS simhash FROM votes
+)
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame, hamming_t: int = SIMHASH_HAMMING_T
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash: (doc_a, doc_b, hamming).
+
+    Candidates = pairs sharing any 16-bit band value (band-keyed self-join,
+    uniform keys, no cross join); survivors = exact 64-bit Hamming distance
+    <= hamming_t via bit_count(xor) over the band ints. Guaranteed complete
+    for hamming_t <= 3 with 4 bands (pigeonhole).
+    """
+    sb = simhash_bands(docs)
+    bands = sb.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sb.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("bands_a"))
+    sig_b = sb.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bands_b"))
+    hamming = sum(
+        F.bit_count(
+            F.col("bands_a")[i].bitwiseXOR(F.col("bands_b")[i])
+        )
+        for i in range(SIMHASH_BANDS)
+    )
+    return (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_t)
+    )
+
+
+def simhash_pairs_sql(
+    source: str = "documents", hamming_t: int = SIMHASH_HAMMING_T
+) -> str:
+    ham = " + ".join(
+        f"bit_count(xor(a.band{b}, b.band{b}))" for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+{simhash_sql(source).strip().rstrip(',')},
+sim_bands AS (
+    SELECT doc_id, i AS band_idx,
+           [band0, band1, band2, band3][i + 1] AS band_val
+    FROM simhash, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS i)
+),
+sim_cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sim_bands a JOIN sim_bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+),
+simhash_pairs AS (
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+    FROM sim_cands c
+    JOIN simhash a ON a.doc_id = c.doc_a
+    JOIN simhash b ON b.doc_id = c.doc_b
+    WHERE {ham} <= {hamming_t}
 )
 """
 

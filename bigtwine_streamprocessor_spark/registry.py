@@ -453,7 +453,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "WITH " + dedup.simhash_sql().strip() + "\nSELECT doc_id, simhash FROM simhash",
 )
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash signatures (md5-nibble bit majority)."""
+    """64-bit SimHash signatures (md5-bit majority, 16-hex-char display)."""
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
 
@@ -669,17 +669,12 @@ def enrich_request_envelopes(spark, sf_dir):
 
 @register("dedup_simhash_pairs")  # oracle attached below
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates: signature-collision self-join (bucket
-    join on the 16-bit signature — no cross join)."""
+    """SimHash near-dup pairs: banded 16-bit sub-signature join + exact
+    64-bit Hamming <= 3 check (complete for that radius by pigeonhole —
+    replaces the round-1 Hamming-0-only whole-signature collision join)."""
     from .operators import dedup
 
-    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    return (
-        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", F.col("sig_a").alias("simhash"))
-    )
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
 def _simhash_pairs_oracle():
@@ -687,12 +682,8 @@ def _simhash_pairs_oracle():
 
     return (
         "WITH "
-        + dedup.simhash_sql().strip()
-        + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
-FROM simhash a JOIN simhash b
-  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-"""
+        + dedup.simhash_pairs_sql().strip()
+        + "\nSELECT doc_a, doc_b, hamming FROM simhash_pairs"
     )
 
 
