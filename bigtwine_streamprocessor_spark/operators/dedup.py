@@ -47,6 +47,32 @@ SHINGLE_N = 3  # word n-grams
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+# The synthetic documents corpus contains no byte-identical rows, so exact
+# dedup over it is trivially empty at every sf (round-1 finding: green on 0
+# rows proves nothing). Seeding re-tagged copies of every DUP_SEED_MOD-th doc
+# gives the queries real duplicate groups to find — mirrored verbatim in the
+# oracle so both sides dedup the same corpus.
+DUP_SEED_MOD = 50
+DUP_SEED_OFFSET = 1_000_000
+
+
+def with_seeded_duplicates(docs: DataFrame) -> DataFrame:
+    """Documents plus deterministic exact duplicates (every 50th doc copied
+    under doc_id + 1e6)."""
+    dups = docs.filter(F.col("doc_id") % DUP_SEED_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(DUP_SEED_OFFSET)
+    )
+    return docs.unionByName(dups)
+
+
+SEEDED_DOCS_SQL = f"""(
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_SEED_OFFSET} AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % {DUP_SEED_MOD} = 0
+)"""
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical documents: (text_hash, keeper, dup_ids, n_dups).
 
@@ -63,14 +89,18 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-EXACT_SQL = """
+def exact_sql(source: str = "documents") -> str:
+    return f"""
 SELECT md5(text) AS text_hash,
        min(doc_id) AS keeper,
        count(*) AS group_size
-FROM documents
+FROM {source}
 GROUP BY 1
 HAVING count(*) > 1
 """
+
+
+EXACT_SQL = exact_sql()
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -85,13 +115,17 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+def dedup_exact_sql(source: str = "documents") -> str:
+    return f"""
 SELECT doc_id, text, lang, source, n_chars
 FROM (
     SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
-    FROM documents
+    FROM {source}
 ) WHERE _rn = 1
 """
+
+
+DEDUP_EXACT_SQL = dedup_exact_sql()
 
 
 # ---------------------------------------------------------------------------

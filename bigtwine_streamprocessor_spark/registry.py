@@ -403,16 +403,21 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-@register("dedup_exact_groups", dedup.EXACT_SQL)
+@register("dedup_exact_groups", dedup.exact_sql(dedup.SEEDED_DOCS_SQL))
 def dedup_exact_groups(spark, sf_dir):
-    """Exact-duplicate groups via content-hash groupBy (shuffles digests only)."""
-    return dedup.exact_duplicates(_docs(spark, sf_dir))
+    """Exact-duplicate groups via content-hash groupBy (shuffles digests
+    only). Runs over the duplicate-seeded corpus so the query exercises
+    non-trivial group output at every sf (the raw corpus has no exact dups)."""
+    return dedup.exact_duplicates(
+        dedup.with_seeded_duplicates(_docs(spark, sf_dir))
+    )
 
 
-@register("dedup_exact_keep", dedup.DEDUP_EXACT_SQL)
+@register("dedup_exact_keep", dedup.dedup_exact_sql(dedup.SEEDED_DOCS_SQL))
 def dedup_exact_keep(spark, sf_dir):
-    """Exact dedup: one surviving row per distinct text (min doc_id wins)."""
-    return dedup.dedup_exact(_docs(spark, sf_dir))
+    """Exact dedup: one surviving row per distinct text (min doc_id wins),
+    over the duplicate-seeded corpus — survivors = the original documents."""
+    return dedup.dedup_exact(dedup.with_seeded_duplicates(_docs(spark, sf_dir)))
 
 
 @register(
