@@ -83,6 +83,31 @@ def request_envelopes(
     return chunks.select(F.to_json(F.struct(*fields)).alias("request_json"))
 
 
+def request_envelope_fields(
+    chunks: DataFrame,
+    service: str,
+    analysis_id: str,
+    timeout_s: int = DEFAULT_TIMEOUT_S,
+    now_ms: int = 0,
+) -> DataFrame:
+    """The DETERMINISTIC envelope fields — everything of
+    `AbstractRequestMessageBuilder.java:44-50` except the random requestId,
+    with expiration pinned to ``now_ms + timeout*1000`` so the oracle can
+    reproduce it. Items stringify as a '|'-joined sorted list (array outputs
+    hash unreliably across engines). This is the gated face of
+    ``request_envelopes`` (which keeps the uuid + wall-clock expiration for
+    production)."""
+    from ..sources.streams import topic
+
+    return chunks.select(
+        F.col("chunk_id"),
+        F.lit(topic(f"{service}_responses", analysis_id)).alias("output_topic"),
+        F.lit(now_ms + timeout_s * 1000).cast("bigint").alias("expiration"),
+        F.array_join(F.col("items"), "|").alias("items"),
+        F.size(F.col("items")).cast("bigint").alias("n_items"),
+    )
+
+
 def parse_response_items(
     responses: DataFrame,
     item_schema: T.DataType,

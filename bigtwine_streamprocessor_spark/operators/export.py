@@ -197,6 +197,171 @@ def json_rows(nested: DataFrame, analysis_id: str, process_date: str) -> DataFra
     )
 
 
+# ---------------------------------------------------------------------------
+# Canonical JSON (oracle-gated twin of json_rows)
+# ---------------------------------------------------------------------------
+# Engine-native JSON writers disagree on key order and null handling, so the
+# gated variant CONSTRUCTS the line with explicit concat: keys sorted at every
+# nesting level, nulls rendered literally, doubles pinned to %.6f — the same
+# bytes from Spark Columns and from the DuckDB CTE below. A pytest asserts the
+# production to_json path (json_rows) parses to the same objects.
+
+
+def _j_str(c: F.Column) -> F.Column:
+    esc = F.replace(
+        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+    return F.when(c.isNull(), F.lit("null")).otherwise(
+        F.concat(F.lit('"'), esc, F.lit('"'))
+    )
+
+
+def _j_long(c: F.Column) -> F.Column:
+    return F.when(c.isNull(), F.lit("null")).otherwise(
+        c.cast("bigint").cast("string")
+    )
+
+
+def _j_f6(c: F.Column) -> F.Column:
+    return F.when(c.isNull(), F.lit("null")).otherwise(
+        F.format_string("%.6f", c.cast("double"))
+    )
+
+
+def _j_bool(c: F.Column) -> F.Column:
+    return (
+        F.when(c.isNull(), F.lit("null"))
+        .when(c, F.lit("true"))
+        .otherwise(F.lit("false"))
+    )
+
+
+def json_rows_canonical(
+    flat: DataFrame, analysis_id: str, process_date: str
+) -> DataFrame:
+    """P11 with canonical formatting: one JSON line per tweet, keys sorted at
+    every level, nulls explicit, doubles %.6f. Entities order by position
+    (same deterministic order as assemble_nested)."""
+    ent = F.concat(
+        F.lit('{"category":'), _j_str(F.col("category")),
+        F.lit(',"confidence":'), _j_f6(F.col("confidence")),
+        F.lit(',"isNil":'), _j_bool(F.col("is_nil")),
+        F.lit(',"link":'), _j_str(F.col("link")),
+        F.lit(',"nilCluster":'), _j_str(F.col("nil_cluster")),
+        F.lit(',"position":{"end":'), _j_long(F.col("ent_end")),
+        F.lit(',"start":'), _j_long(F.col("ent_start")),
+        F.lit('},"resource":{"name":'), _j_str(F.col("resource_name")),
+        F.lit(',"thumb":'), _j_str(F.col("resource_thumb")),
+        F.lit(',"url":'), _j_str(F.col("link")),
+        F.lit('},"value":'), _j_str(F.col("value")),
+        F.lit("}"),
+    )
+    status = F.concat(
+        F.lit('{"id":'), _j_str(F.col("id")),
+        F.lit(',"text":'), _j_str(F.col("text")),
+        F.lit(',"user":{"coordinates":{"lat":'), _j_f6(F.col("user_lat")),
+        F.lit(',"lng":'), _j_f6(F.col("user_lng")),
+        F.lit('},"id":'), _j_str(F.col("user__id")),
+        F.lit(',"location":'), _j_str(F.col("user__location")),
+        F.lit(',"name":'), _j_str(F.col("user__name")),
+        F.lit(',"screenName":'), _j_str(F.col("user__screen_name")),
+        F.lit("}}"),
+    )
+    g = flat.groupBy("id").agg(
+        F.min(status).alias("status_json"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("ent_start").isNotNull(),
+                            F.struct(F.col("ent_start").alias("s"), ent.alias("j")),
+                        )
+                    )
+                ),
+                lambda x: x["j"],
+            ),
+            ",",
+        ).alias("ents"),
+    )
+    line = F.concat(
+        F.lit(f'{{"analysisId":"{analysis_id}","payload":{{"entities":['),
+        F.col("ents"),
+        F.lit('],"status":'),
+        F.col("status_json"),
+        F.lit(f'}},"processDate":"{process_date}"}}'),
+    )
+    return g.select(line.alias("json"))
+
+
+def _j_str_sql(e: str) -> str:
+    return (
+        f"(CASE WHEN {e} IS NULL THEN 'null' ELSE "
+        f"'\"' || replace(replace({e}, '\\', '\\\\'), '\"', '\\\"') || '\"' END)"
+    )
+
+
+def _j_long_sql(e: str) -> str:
+    return (
+        f"(CASE WHEN {e} IS NULL THEN 'null' "
+        f"ELSE CAST(CAST({e} AS BIGINT) AS VARCHAR) END)"
+    )
+
+
+def _j_f6_sql(e: str) -> str:
+    return (
+        f"(CASE WHEN {e} IS NULL THEN 'null' "
+        f"ELSE printf('%.6f', CAST({e} AS DOUBLE)) END)"
+    )
+
+
+def _j_bool_sql(e: str) -> str:
+    return (
+        f"(CASE WHEN {e} IS NULL THEN 'null' "
+        f"WHEN {e} THEN 'true' ELSE 'false' END)"
+    )
+
+
+def json_canon_sql(analysis_id: str, process_date: str) -> str:
+    """DuckDB CTE ``json_canon`` over assembled_flat — byte-identical lines."""
+    ent = (
+        "'{\"category\":' || " + _j_str_sql("category")
+        + " || ',\"confidence\":' || " + _j_f6_sql("confidence")
+        + " || ',\"isNil\":' || " + _j_bool_sql("is_nil")
+        + " || ',\"link\":' || " + _j_str_sql("link")
+        + " || ',\"nilCluster\":' || " + _j_str_sql("nil_cluster")
+        + " || ',\"position\":{\"end\":' || " + _j_long_sql("ent_end")
+        + " || ',\"start\":' || " + _j_long_sql("ent_start")
+        + " || '},\"resource\":{\"name\":' || " + _j_str_sql("resource_name")
+        + " || ',\"thumb\":' || " + _j_str_sql("resource_thumb")
+        + " || ',\"url\":' || " + _j_str_sql("link")
+        + " || '},\"value\":' || " + _j_str_sql("value")
+        + " || '}'"
+    )
+    status = (
+        "'{\"id\":' || " + _j_str_sql("id")
+        + " || ',\"text\":' || " + _j_str_sql("text")
+        + " || ',\"user\":{\"coordinates\":{\"lat\":' || " + _j_f6_sql("user_lat")
+        + " || ',\"lng\":' || " + _j_f6_sql("user_lng")
+        + " || '},\"id\":' || " + _j_str_sql("user__id")
+        + " || ',\"location\":' || " + _j_str_sql("user__location")
+        + " || ',\"name\":' || " + _j_str_sql("user__name")
+        + " || ',\"screenName\":' || " + _j_str_sql("user__screen_name")
+        + " || '}}'"
+    )
+    return f"""
+json_canon AS (
+    SELECT '{{"analysisId":"{analysis_id}","payload":{{"entities":['
+           || coalesce(string_agg({ent}, ',' ORDER BY ent_start)
+                       FILTER (ent_start IS NOT NULL), '')
+           || '],"status":' || min({status})
+           || '}},"processDate":"{process_date}"}}' AS json
+    FROM assembled_flat
+    GROUP BY id
+)
+"""
+
+
 def to_tsv_lines(df: DataFrame, columns: list[str]) -> DataFrame:
     """Rows -> tab-joined lines (`ExportResultsJob.java:132-139`,
     `ResultRowToCsvMapper.java:14-60`); nulls print empty."""

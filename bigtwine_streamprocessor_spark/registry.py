@@ -137,11 +137,21 @@ def neel_export_dataset(spark, sf_dir):
     return export.dataset_rows(pipeline.stages(spark, sf_dir)["assembled_flat"])
 
 
-@register("neel_export_json")  # JSON key order differs engine-to-engine: rows-only
+@register(
+    "neel_export_json",
+    _neel_oracle(
+        "assembled_flat",
+        export.json_canon_sql(ANALYSIS_ID, PROCESS_DATE),
+        "SELECT json FROM json_canon",
+    ),
+)
 def neel_export_json(spark, sf_dir):
-    """P11: JSON-lines export of the nested result."""
-    return export.json_rows(
-        pipeline.stages(spark, sf_dir)["assembled_nested"], ANALYSIS_ID, PROCESS_DATE
+    """P11: JSON-lines export, canonical formatting (sorted keys, explicit
+    nulls, %.6f doubles) so the DuckDB oracle produces identical bytes; the
+    production to_json path (export.json_rows) is pinned to parse to the
+    same objects in tests/test_export.py."""
+    return export.json_rows_canonical(
+        pipeline.stages(spark, sf_dir)["assembled_flat"], ANALYSIS_ID, PROCESS_DATE
     )
 
 
@@ -660,16 +670,43 @@ def progress_running_totals(spark, sf_dir):
     )
 
 
-@register("enrich_request_envelopes")  # uuid requestId -> rows-only check
+def _envelope_oracle():
+    from .operators.enrich import DEFAULT_TIMEOUT_S
+    from .sources.streams import topic
+
+    out_topic = topic("geodecoder_responses", ANALYSIS_ID)
+    return _neel_oracle(
+        "geo",
+        f"""
+env_numbered AS (
+    SELECT address, row_number() OVER (ORDER BY address) - 1 AS rn FROM geo
+),
+envelopes AS (
+    SELECT CAST(floor(rn / 15) AS BIGINT) AS chunk_id,
+           string_agg(address, '|' ORDER BY address) AS items,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM env_numbered GROUP BY 1
+)
+""",
+        f"""SELECT chunk_id, '{out_topic}' AS output_topic,
+       CAST({DEFAULT_TIMEOUT_S * 1000} AS BIGINT) AS expiration, items, n_items
+FROM envelopes""",
+    )
+
+
+@register("enrich_request_envelopes", _envelope_oracle())
 def enrich_request_envelopes(spark, sf_dir):
-    """§2.10: geo-decoder request envelopes — 15-item chunks wrapped with
-    requestId/outputTopic/expiration (`AbstractRequestMessageBuilder.java:
-    32-50`, chunk size `TwitterStreamJob.java:300`)."""
+    """§2.10: geo-decoder request envelopes — 15-item chunks with the
+    deterministic envelope fields gated against the oracle
+    (`AbstractRequestMessageBuilder.java:44-50` minus the random requestId;
+    expiration pinned to now_ms=0; chunk size `TwitterStreamJob.java:300`).
+    The production serializer (enrich.request_envelopes) keeps uuid +
+    wall-clock expiration and is exercised by the RPC round-trip tests."""
     from .operators import enrich
 
     geo = pipeline.stages(spark, sf_dir)["geo"]
     chunks = enrich.chunk_items(geo, "address", max_items=15)
-    return enrich.request_envelopes(chunks, "geodecoder", "analysis-r1")
+    return enrich.request_envelope_fields(chunks, "geodecoder", ANALYSIS_ID)
 
 
 @register("dedup_simhash_pairs")  # oracle attached below

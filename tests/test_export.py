@@ -68,3 +68,31 @@ def test_single_file_write(spark, sf_dir, tmp_path):
         lines = f.read().splitlines()
     assert lines[0].split("\t")[0] == "tweet_id"  # header first
     assert len(lines) == df.count() + 1
+
+
+def test_json_canonical_matches_production_tojson(spark, sf_dir):
+    """The oracle-gated canonical JSON lines and the production to_json path
+    must parse to identical objects (after stripping the nulls that to_json
+    omits by default)."""
+    import json
+
+    st = pipeline.stages(spark, sf_dir)
+    prod = {
+        json.loads(r["json"])["payload"]["status"]["id"]: json.loads(r["json"])
+        for r in export.json_rows(st["assembled_nested"], "a-1", PD).collect()
+    }
+    canon = {
+        json.loads(r["json"])["payload"]["status"]["id"]: json.loads(r["json"])
+        for r in export.json_rows_canonical(st["assembled_flat"], "a-1", PD).collect()
+    }
+
+    def strip_nulls(o):
+        if isinstance(o, dict):
+            return {k: strip_nulls(v) for k, v in o.items() if v is not None}
+        if isinstance(o, list):
+            return [strip_nulls(v) for v in o]
+        return o
+
+    assert set(prod) == set(canon)
+    for tid in prod:
+        assert strip_nulls(prod[tid]) == strip_nulls(canon[tid]), f"tweet {tid}"
