@@ -1,0 +1,162 @@
+"""Kafka twin of the FileTopic transport — deployment is a config switch.
+
+The topology touches topics through exactly four methods (``append_lines``,
+``line_writer``, ``envelope_writer``, ``read_stream``); this module provides
+the Kafka implementation of that contract, mirroring the reference's producer
+/consumer wiring (`TwitterStreamJob.java:227-246`, topics `Constants.java:
+15-25`). Executor-side writes go through ``foreachPartition`` closures that
+hold only (bootstrap, topic, factory) — picklable — and reuse one producer
+per executor process via a process-local cache (creating a producer per
+partition per micro-batch is the classic throughput killer).
+
+No broker ships in this sandbox, so:
+
+* unit tests inject a fake producer factory (the closures and caching are
+  fully exercised);
+* ``read_stream`` builds the standard ``format("kafka")`` source
+  (construct-only here — needs the spark-sql-kafka package + a broker);
+* the end-to-end topology test skips unless ``KAFKA_BOOTSTRAP`` is set.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .transport import chunked, make_envelope
+
+
+def default_producer_factory(bootstrap: str):
+    """kafka-python producer; import-gated (no client lib in this image)."""
+    try:
+        from kafka import KafkaProducer  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - no client lib in sandbox
+        raise ImportError(
+            "no Kafka client library available; install kafka-python or pass "
+            "a producer_factory"
+        ) from e
+    return KafkaProducer(bootstrap_servers=bootstrap, acks="all")
+
+
+# One producer per (factory, bootstrap) per PROCESS — executor Python workers
+# are long-lived, so foreachPartition reuses instead of reconnecting.
+_PRODUCER_CACHE: dict = {}
+
+
+def _producer_for(bootstrap: str, factory):
+    key = (
+        getattr(factory, "__module__", ""),
+        getattr(factory, "__qualname__", repr(factory)),
+        bootstrap,
+    )
+    p = _PRODUCER_CACHE.get(key)
+    if p is None:
+        p = factory(bootstrap)
+        _PRODUCER_CACHE[key] = p
+    return p
+
+
+def kafka_append(bootstrap: str, topic: str, lines: list[str], factory) -> None:
+    """Produce lines to a topic and flush (one flush per partition-batch)."""
+    if not lines:
+        return
+    producer = _producer_for(bootstrap, factory)
+    for ln in lines:
+        producer.send(topic, ln.encode("utf-8"))
+    producer.flush()
+
+
+class KafkaTopic:
+    """Same contract as transport.FileTopic, over a Kafka broker."""
+
+    def __init__(self, bootstrap: str, name: str, producer_factory=None):
+        self.bootstrap = bootstrap
+        self.name = name
+        self._factory = producer_factory or default_producer_factory
+
+    def append_lines(self, lines: list[str]) -> None:
+        kafka_append(self.bootstrap, self.name, lines, self._factory)
+
+    def line_writer(self):
+        """Picklable foreachPartition sink: rows with a ``value`` column."""
+        bootstrap, name, factory = self.bootstrap, self.name, self._factory
+
+        def write(rows) -> None:
+            kafka_append(bootstrap, name, [r["value"] for r in rows], factory)
+
+        return write
+
+    def envelope_writer(self, out_topic: str, chunk: int | None = None):
+        """Picklable foreachPartition sink: rows with an ``item`` JSON column
+        -> one request envelope per partition (or per ``chunk`` items)."""
+        bootstrap, name, factory = self.bootstrap, self.name, self._factory
+
+        def write(rows) -> None:
+            items = [json.loads(r["item"]) for r in rows]
+            if not items:
+                return
+            groups = chunked(items, chunk) if chunk else [items]
+            kafka_append(
+                bootstrap,
+                name,
+                [make_envelope(g, out_topic) for g in groups],
+                factory,
+            )
+
+        return write
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """Structured Streaming Kafka source exposing the same one-column
+        (value STRING) frame as FileTopic.read_stream."""
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap)
+            .option("subscribe", self.name)
+            .option("startingOffsets", "earliest")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value")
+        )
+
+
+class SpoolProducer:
+    """Producer writing each flush to ``spool/<topic>/`` as atomic json-line
+    files — the broker-less stand-in (degrades KafkaTopic to FileTopic
+    behavior for dev and for exercising the producer path in tests)."""
+
+    def __init__(self, spool: str):
+        self.spool = spool
+        self._buf: list[tuple[str, str]] = []
+
+    def send(self, topic: str, value: bytes) -> None:
+        self._buf.append((topic, value.decode("utf-8")))
+
+    def flush(self) -> None:
+        import os
+
+        from .transport import append_lines_to_dir
+
+        by_topic: dict[str, list[str]] = {}
+        for t, v in self._buf:
+            by_topic.setdefault(t, []).append(v)
+        for t, lines in by_topic.items():
+            d = os.path.join(self.spool, t)
+            os.makedirs(d, exist_ok=True)
+            append_lines_to_dir(d, lines)
+        self._buf = []
+
+
+class SpoolProducerFactory:
+    """Picklable factory for SpoolProducer (executor-side construction)."""
+
+    def __init__(self, spool: str):
+        self.spool = spool
+
+    def __call__(self, bootstrap: str) -> SpoolProducer:
+        return SpoolProducer(self.spool)
+
+
+def make_kafka_topics(
+    bootstrap: str, names: list[str], producer_factory=None
+) -> dict[str, KafkaTopic]:
+    return {n: KafkaTopic(bootstrap, n, producer_factory) for n in names}

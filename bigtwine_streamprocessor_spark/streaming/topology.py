@@ -85,10 +85,18 @@ def start_topology(
     analysis_id: str,
     timeout_ms: int = 15_000,
     trigger_s: int = 1,
+    topics: dict | None = None,
 ):
     """Wire and start every query + service simulator. Returns (queries,
-    simulators, topics); caller stops them."""
-    topics = {n: FileTopic(root, n) for n in TOPIC_NAMES}
+    simulators, topics); caller stops them.
+
+    ``topics`` defaults to FileTopics under ``root``; pass
+    ``kafka_transport.make_kafka_topics(bootstrap, TOPIC_NAMES)`` to run the
+    identical dataflow over a Kafka broker (checkpoints stay under ``root``).
+    The topology itself only uses the four-method topic contract.
+    """
+    if topics is None:
+        topics = {n: FileTopic(root, n) for n in TOPIC_NAMES}
     trig = {"processingTime": f"{trigger_s} seconds"}
 
     sims = [

@@ -1,0 +1,101 @@
+"""Kafka transport seam: the producer path (executor-side foreachPartition
+closures, process-local producer cache, envelope chunking) exercised with an
+injected fake producer; the real-broker topology run skips without one."""
+
+import json
+import os
+
+import pytest
+
+from bigtwine_streamprocessor_spark.streaming import kafka_transport as kt
+
+
+class CountingFactory:
+    calls = 0
+
+    def __call__(self, bootstrap):
+        CountingFactory.calls += 1
+        return kt.SpoolProducer("/tmp/unused-spool")
+
+
+def _spool_lines(spool, topic):
+    d = os.path.join(spool, topic)
+    out = []
+    if not os.path.isdir(d):
+        return out
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                out += [ln for ln in f.read().splitlines() if ln.strip()]
+    return out
+
+
+def test_producer_cache_reuses_per_process(tmp_path):
+    CountingFactory.calls = 0
+    factory = CountingFactory()
+    kt._PRODUCER_CACHE.clear()
+    kt.kafka_append("b:9092", "t", ["a"], factory)
+    kt.kafka_append("b:9092", "t", ["b"], factory)
+    assert CountingFactory.calls == 1, "same process must reuse the producer"
+
+
+def test_line_writer_through_foreachpartition(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    topic = kt.KafkaTopic("b:9092", "results", kt.SpoolProducerFactory(spool))
+    df = spark.range(50).selectExpr("concat('line-', id) AS value")
+    df.foreachPartition(topic.line_writer())
+    lines = _spool_lines(spool, "results")
+    assert sorted(lines) == sorted(f"line-{i}" for i in range(50))
+
+
+def test_envelope_writer_chunks_and_wraps(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    topic = kt.KafkaTopic("b:9092", "geo-req", kt.SpoolProducerFactory(spool))
+    df = (
+        spark.range(7)
+        .coalesce(1)
+        .selectExpr("to_json(struct(cast(id AS string) AS tag)) AS item")
+    )
+    df.foreachPartition(topic.envelope_writer("geo-resp.a1", chunk=3))
+    envs = [json.loads(ln) for ln in _spool_lines(spool, "geo-req")]
+    assert len(envs) == 3  # 3 + 3 + 1
+    assert all(e["outputTopic"] == "geo-resp.a1" for e in envs)
+    assert all("requestId" in e and "expiration" in e for e in envs)
+    tags = sorted(it["tag"] for e in envs for it in e["items"])
+    assert tags == sorted(str(i) for i in range(7))
+    assert max(len(e["items"]) for e in envs) <= 3
+
+
+def test_append_lines_driver_side(tmp_path):
+    spool = str(tmp_path / "spool")
+    kt._PRODUCER_CACHE.clear()
+    topic = kt.KafkaTopic("b:9092", "frag", kt.SpoolProducerFactory(spool))
+    topic.append_lines(["x", "y"])
+    assert sorted(_spool_lines(spool, "frag")) == ["x", "y"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="no Kafka broker in this environment (set KAFKA_BOOTSTRAP to run)",
+)
+def test_topology_runs_on_kafka(spark, sf_dir, tmp_path):
+    """Config-switch check against a real broker: same dataflow, Kafka topics."""
+    from bigtwine_streamprocessor_spark import corpus
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.streaming import topology
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topics = kt.make_kafka_topics(bootstrap, topology.TOPIC_NAMES)
+    parsed = parse_tweets(corpus.tweets_df(spark, sf_dir)).limit(5)
+    stream = (
+        spark.readStream.schema(parsed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    queries, sims, topics = topology.start_topology(
+        spark, str(tmp_path / "chk"), stream, "a-kafka", topics=topics
+    )
+    for q in queries:
+        q.stop()
+    for s in sims:
+        s.stop()
