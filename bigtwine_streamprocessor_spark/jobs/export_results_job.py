@@ -19,7 +19,7 @@ import argparse
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators import export
+from ..operators import export, gridfs_sink
 from ..operators.export_flatten import flatten_results
 from ..schemas import NEEL_PROCESSED_TWEET
 from ..session import get_spark
@@ -33,13 +33,18 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def run(argv: list[str] | None = None) -> None:
+def run(argv: list[str] | None = None, bucket_factory=None, progress_cb=None) -> None:
     p = argparse.ArgumentParser(prog="export-results-job")
     p.add_argument("--job-id", required=True)
     p.add_argument("--analysis-id", required=True)
     p.add_argument("--input-path", required=True, help="result-event JSON lines")
     p.add_argument("--output-path", required=True)
     p.add_argument("--format", required=True, choices=list(export.FORMATS))
+    # GridFS terminal hop (K4): CLI builds the real pymongo bucket; tests
+    # inject a fake via the bucket_factory parameter
+    p.add_argument("--gridfs-uri")
+    p.add_argument("--gridfs-db", default="bigtwine")
+    p.add_argument("--document-id")
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"export-{args.job_id}")
@@ -80,6 +85,20 @@ def run(argv: list[str] | None = None) -> None:
             ).alias("value")
         )
         export.write_single_text_file(nested, args.output_path, ["value"])
+    if bucket_factory is None and args.gridfs_uri:
+        bucket_factory = gridfs_sink.make_pymongo_bucket_factory(
+            args.gridfs_uri, args.gridfs_db
+        )
+    if bucket_factory is not None:
+        n = gridfs_sink.upload_export_dir(
+            bucket_factory(),
+            args.output_path,
+            args.analysis_id,
+            args.document_id or args.job_id,
+            args.format,
+            progress_cb=progress_cb,
+        )
+        print(f"job={args.job_id} gridfs_records={n}")
     print(f"job={args.job_id} format={args.format} expected_rows={expected}")
     spark.stop()
 

@@ -67,6 +67,64 @@ def test_batch_job_and_exports(spark, tmp_path):
     assert len(rows) > 0
     assert all(len(x.split("\t")) == 6 for x in rows)
 
+    # K4 terminal hop: the job uploads through the GridFS seam (fake bucket
+    # injected in a subprocess — pymongo isn't in this image) with the
+    # reference's metadata/filename/header/progress contract.
+    out2 = str(tmp_path / "exp2")
+    code = f"""
+import json, sys
+sys.path.insert(0, {REPO!r})
+from bigtwine_streamprocessor_spark.jobs import export_results_job as j
+
+class FakeStream:
+    def __init__(self, store):
+        self.store = store
+        self.buf = b""
+    def write(self, b):
+        self.buf += b
+    def close(self):
+        self.store["content"] = self.buf.decode()
+
+class FakeBucket:
+    def __init__(self, store):
+        self.store = store
+    def open_upload_stream_with_id(self, fid, fname, metadata=None):
+        self.store.update(file_id=str(fid), filename=fname, metadata=metadata)
+        return FakeStream(self.store)
+
+store, progress = {{}}, []
+j.run(
+    ["--job-id", "e2", "--analysis-id", "a-test",
+     "--input-path", {results!r}, "--output-path", {out2!r},
+     "--format", "tsv", "--document-id", "doc-42"],
+    bucket_factory=lambda: FakeBucket(store),
+    progress_cb=lambda p, done: progress.append((p, done)),
+)
+print("GRIDFS_RESULT " + json.dumps(dict(
+    filename=store["filename"], metadata=store["metadata"],
+    file_id=store["file_id"], header=store["content"].splitlines()[0],
+    n_lines=len(store["content"].splitlines()), final=progress[-1],
+)))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    (res_line,) = [
+        ln for ln in r.stdout.splitlines() if ln.startswith("GRIDFS_RESULT ")
+    ]
+    got = json.loads(res_line.removeprefix("GRIDFS_RESULT "))
+    assert got["filename"] == "output-a-test.tsv"
+    assert got["metadata"] == {
+        "analysisid": "a-test", "doctype": "results-export", "format": "tsv",
+    }
+    assert got["file_id"] == "doc-42"
+    assert got["header"].startswith("status__id")  # header line first
+    (csv2,) = glob.glob(f"{out2}/part-*.csv")
+    assert got["n_lines"] == len(open(csv2).read().splitlines())
+    assert got["final"] == [1.0, True]
+
 
 def test_input_selector_validation():
     r = _run(
