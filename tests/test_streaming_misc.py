@@ -233,3 +233,57 @@ def test_write_replay_files_exact_bucketing(spark, tmp_path):
     assert sizes == [5, 5, 5, 5, 3]
     # deterministic order: bucket files cover the ordered key space contiguously
     assert seen == list(range(23))
+
+
+@pytest.mark.slow
+def test_progress_listener_matches_batch_analog(spark, sf_dir, tmp_path):
+    """A2 at scale: the driver-side ProgressHeartbeatListener must land on the
+    same final (processed, progress) values as the bounded batch-analog query
+    progress_running_totals computes with its global window."""
+    import time as _t
+
+    from bigtwine_streamprocessor_spark import registry
+    from bigtwine_streamprocessor_spark.session import load_events
+    from bigtwine_streamprocessor_spark.streaming.progress import (
+        ProgressHeartbeatListener,
+    )
+
+    batch = registry.QUERIES["progress_running_totals"](spark, sf_dir)
+    last = batch.orderBy(F.col("processed").desc()).limit(1).collect()[0]
+    total = last["processed"]
+    assert last["progress"] == 1.0
+
+    ev = (
+        load_events(spark, sf_dir)
+        .orderBy("ts", "event_id")
+        .limit(registry.PROGRESS_CAP)
+    )
+    d = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(d)
+
+    listener = ProgressHeartbeatListener(
+        "job-progress", expected_rows=total, min_interval_s=0.0
+    )
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = _t.time() + 15  # listener events deliver asynchronously
+        while _t.time() < deadline and not (
+            listener.finished and listener.processed >= total
+        ):
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert listener.processed == total
+    assert listener.progress_value() == 1.0
+    hb = listener.sent[-1]
+    assert hb.last and hb.progress == 1.0 and not hb.failed
