@@ -287,3 +287,113 @@ def test_progress_listener_matches_batch_analog(spark, sf_dir, tmp_path):
     assert listener.progress_value() == 1.0
     hb = listener.sent[-1]
     assert hb.last and hb.progress == 1.0 and not hb.failed
+
+
+@pytest.mark.slow
+def test_fanin_rocksdb_soak_bounded_state(spark, tmp_path):
+    """SURVEY §4.2 scale posture: 100k keys through the stateful fan-in on
+    the RocksDB provider. Batch 1 (status+linkedTweet) grows state to ~100k
+    entries; batch 2 (resource+decodedLocation) completes every key — the
+    completion-purge must drain the store back to ~zero, proving state stays
+    bounded by the in-flight window, not the stream length."""
+    import time as _t
+
+    from bigtwine_streamprocessor_spark.streaming import fanin
+
+    n = 100_000
+    d = tmp_path / "frags"
+    d.mkdir()
+    base = spark.range(n).select(F.col("id").cast("string").alias("tag"))
+    half1 = base.select(
+        "tag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("status").alias("stream_type"),
+                    F.to_json(F.struct(F.col("tag").alias("id"))).alias(
+                        "payload_json"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linkedTweet").alias("stream_type"),
+                    F.lit("[]").alias("payload_json"),
+                ),
+            )
+        ).alias("f"),
+    ).select("tag", "f.stream_type", "f.payload_json")
+    half2 = base.select(
+        "tag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("resource").alias("stream_type"),
+                    F.lit("[]").alias("payload_json"),
+                ),
+                F.struct(
+                    F.lit("decodedLocation").alias("stream_type"),
+                    F.to_json(F.struct(F.col("tag"))).alias("payload_json"),
+                ),
+            )
+        ).alias("f"),
+    ).select("tag", "f.stream_type", "f.payload_json")
+    half1.coalesce(1).write.mode("overwrite").json(str(d / "b1"))
+    half2.coalesce(1).write.mode("overwrite").json(str(d / "b2"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(fanin.FRAGMENT_IN)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d / "b*"))
+        )
+        out = fanin.fanin_stream(stream, timeout_ms=300_000)
+        q = (
+            out.groupBy("is_partial")
+            .count()
+            .writeStream.format("memory")
+            .queryName("soak_out")
+            .outputMode("complete")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _t.time() + 240
+        done = 0
+        while _t.time() < deadline and done < n:
+            rows = spark.sql("SELECT * FROM soak_out").collect()
+            done = sum(r["count"] for r in rows if r["is_partial"] is False)
+            _t.sleep(1.0)
+        assert done == n, f"expected {n} completed keys, got {done}"
+
+        # state must drain once keys complete: scan the progress HISTORY for
+        # the fan-in operator's numRowsTotal (peak while in-flight, 0 after)
+        def _fanin_state_series():
+            series = []
+            for lp in q.recentProgress:
+                for op in (lp or {}).get("stateOperators") or []:
+                    if "applyInPandasWithState" in op.get("operatorName", ""):
+                        series.append(op.get("numRowsTotal", 0))
+            return series
+
+        state_rows, peak = None, 0
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            series = _fanin_state_series()
+            if series:
+                peak = max(peak, max(series))
+                state_rows = series[-1]
+            if state_rows == 0 and peak >= n:
+                break
+            _t.sleep(1.0)
+        q.stop()
+        assert peak >= n, f"state never held the in-flight keys (peak={peak})"
+        assert state_rows == 0, f"completion-purge left {state_rows} state rows"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
