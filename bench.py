@@ -33,6 +33,56 @@ HEADLINE = [
 ]
 
 
+def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
+    """End-to-end async topology throughput: feed the parsed tweet corpus as
+    one streaming batch and time Q1 -> services -> Q6 until every tweet's
+    assembled result lands on the results topic. Catches round-over-round
+    streaming regressions that the batch queries can't see."""
+    import shutil
+    import tempfile
+
+    from bigtwine_streamprocessor_spark import corpus
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.streaming import topology
+
+    root = tempfile.mkdtemp(prefix="bench-topo-")
+    try:
+        parsed = parse_tweets(
+            corpus.tweets_df(spark, stream_sf_dir), skip_retweets=True
+        ).cache()
+        n = parsed.count()
+        indir = os.path.join(root, "in")
+        parsed.coalesce(1).write.json(indir)
+        stream = spark.readStream.schema(parsed.schema).json(indir)
+
+        t0 = time.perf_counter()
+        queries, sims, topics = topology.start_topology(
+            spark, os.path.join(root, "topics"), stream, "bench",
+            timeout_ms=120_000,
+        )
+        try:
+            deadline = time.time() + timeout_s
+            got = 0
+            while time.time() < deadline and got < n:
+                got = len(topics["results"].read_all())
+                time.sleep(0.5)
+            elapsed = time.perf_counter() - t0
+        finally:
+            for q in queries:
+                q.stop()
+            for s in sims:
+                s.stop()
+        parsed.unpersist()
+        return {
+            "tweets": n,
+            "completed": got,
+            "elapsed_s": round(elapsed, 3),
+            "tweets_per_s": round(got / elapsed, 1) if elapsed > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -53,6 +103,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # streaming path: fixed at sf0.01 so the number is comparable per round
+    stream_sf = os.environ.get(
+        "SPARK_GRAFT_STREAM_SF_DIR", "/root/testdata/sf0.01"
+    )
+    streaming = bench_topology(spark, stream_sf)
+    timings["topology_stream"] = streaming["elapsed_s"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -61,6 +118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
