@@ -340,6 +340,83 @@ jaccard_pairs AS (
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+CLUSTER_MAX_ITERS = 50
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified near-dup
+    pair graph (n-gram Jaccard >= threshold on LSH candidates). Output:
+    (doc_id, cluster_id) for every doc in at least one pair, cluster_id =
+    min doc_id of its component — the keeper each group dedups onto.
+
+    Min-label propagation to fixpoint: each iteration joins labels across
+    edges and takes the component-wise min (one doc_id-keyed shuffle per
+    iteration; iteration count ~ component diameter, which is tiny for
+    near-dup cliques). The per-iteration convergence check is a scalar
+    count — the standard driver-side loop for iterative graph algorithms
+    (GraphX/GraphFrames do the same under the hood). The DuckDB oracle
+    computes the same fixpoint with a recursive CTE, so this iterative
+    operator is still fully hash-gated.
+    """
+    edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        bidir.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nb = bidir.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "label")
+        prop = (
+            labels.unionByName(nb)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("label", "_old"), "doc_id")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = prop
+        if changed == 0:
+            break
+    else:  # pragma: no cover - tiny diameters converge in a few rounds
+        raise RuntimeError("dedup_clusters did not converge")
+    bidir.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_sql(source: str = "documents", threshold: float = 0.5) -> str:
+    """Full oracle: WITH RECURSIVE fixpoint of the same min-label reachability
+    (must be the FIRST clause of the query — includes the jaccard chain)."""
+    return f"""
+WITH RECURSIVE {ngram_jaccard_sql(source, threshold).strip().rstrip(',')},
+cluster_edges AS (
+    SELECT doc_a, doc_b FROM jaccard_pairs
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM jaccard_pairs
+),
+walk(doc_id, label) AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM cluster_edges
+    UNION
+    SELECT e.doc_b AS doc_id, w.label
+    FROM walk w JOIN cluster_edges e ON e.doc_a = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit, banded Hamming candidates)
 # ---------------------------------------------------------------------------
 

@@ -204,3 +204,63 @@ SELECT DISTINCT doc_id,
          AS fp_hash
 FROM grams
 """
+
+
+def tfidf_topterms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc top-k TF-IDF terms: (doc_id, term, tf, tfidf, rank).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); tfidf rounds to 6 decimals BEFORE
+    ranking on both engine and oracle so ulp noise can't flip the order; ties
+    break on the term. Plan: one token explode -> (doc, term) count with
+    map-side partials -> term-keyed doc-frequency aggregate -> join back by
+    term -> per-doc ranking window. The corpus-size N is a scalar pre-count
+    (A4 pattern). At 100 TB the df table is vocabulary-sized — broadcast it
+    when it fits, hash-join otherwise (Catalyst/AQE picks per stats).
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_sql(source: str = "documents", k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source}
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE len(term) > 0 GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           round(t.tf * (ln((((SELECT count(*) FROM {source}) + 1))
+                            / (d.df + 1)) + 1), 6) AS tfidf
+    FROM tf t JOIN df d USING (term)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {k}
+"""

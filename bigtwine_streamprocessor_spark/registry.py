@@ -463,6 +463,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
 
+@register("dedup_clusters", dedup.dedup_clusters_sql())
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components (min-label fixpoint) over the
+    verified near-dup pair graph; cluster_id = the keeper doc. The iterative
+    Spark loop is gated against a recursive-CTE oracle computing the same
+    fixpoint."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir), 0.5)
+
+
 @register(
     "dedup_simhash",
     "WITH " + dedup.simhash_sql().strip() + "\nSELECT doc_id, simhash FROM simhash",
@@ -521,6 +530,13 @@ def text_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+@register("text_tfidf_topterms", textstats.tfidf_sql())
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (smoothed idf, deterministic tie-break) —
+    the classic training-data term-weighting pass."""
+    return textstats.tfidf_topterms(_docs(spark, sf_dir))
+
+
 @register("multimodal_features", multimodal.FEATURES_SQL)
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via Arrow-batched mapInPandas
@@ -535,6 +551,7 @@ BENCH_EXTRA.extend(
         "dedup_exact_keep",
         "dedup_lsh_pairs",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_simhash",
         "similarity_bruteforce_topk",
         "similarity_ann_lsh",
