@@ -39,6 +39,12 @@ def _ensure_portable_session(spark: SparkSession) -> None:
     oracle comparison requires UTC session time. Both are runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # bare driver sessions ship Spark's default 200 shuffle partitions with
+    # AQE off; enable AQE + partition coalescing (runtime-settable) so tiny
+    # test-scale shuffles don't fan out into hundreds of near-empty tasks —
+    # engine sessions (session.get_spark) already set these at build time
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def register(name: str, oracle: str | None = None):
