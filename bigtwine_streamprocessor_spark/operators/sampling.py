@@ -43,6 +43,57 @@ def sample_sql(key_col: str, k: int) -> str:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data mix operator
+    (e.g. downsample over-represented languages): keep a row iff its salted
+    md5 fraction u(key) in [0,1) falls below the stratum's rate. Pure Column
+    expression (zero-shuffle scan-time filter, stable under repartitioning);
+    the DuckDB twin computes the identical row set."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(u < rate)
+
+
+def stratified_sample_sql(
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {float(r)}"
+        for s, r in sorted(rates.items())
+    )
+    u = (
+        f"(CAST(concat('0x', substr(md5('{salt}|' || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / 4294967296.0)"
+    )
+    return f"{u} < (CASE {whens} ELSE {float(default_rate)} END)"
+
+
 def rate_limit_per_partition(
     df: DataFrame, max_rows_per_second: float
 ) -> DataFrame:

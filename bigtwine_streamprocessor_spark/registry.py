@@ -818,6 +818,34 @@ def sampling_deterministic(spark, sf_dir):
     return sampling.deterministic_sample(t, "id", 7)
 
 
+STRATIFIED_RATES = {"en": 0.25, "zh": 0.8}  # rebalance the training mix
+
+
+def _stratified_oracle():
+    from .operators import sampling
+
+    pred = sampling.stratified_sample_sql(
+        "lang", "doc_id", STRATIFIED_RATES, default_rate=0.5
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+@register("sampling_stratified", _stratified_oracle())
+def sampling_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling — the training-data mix rebalance
+    (downsample over-represented languages, keep rare ones): salted md5
+    fraction vs per-lang rate, zero-shuffle scan-time filter."""
+    from .operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        "doc_id",
+        STRATIFIED_RATES,
+        default_rate=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytical breadth: rollup, sessionization, pivot (engine capabilities the
 # 100 TB pipeline leans on even though the reference never needed them)
