@@ -1,0 +1,78 @@
+"""Temporal joins Spark's DataFrame API lacks, expressed scale-first.
+
+**As-of join** (each left row matched to the right row with the greatest
+timestamp at-or-before its own, per key): the naive formulation is an
+inequality join — O(|L|x|R|) pairs per key before the argmax — which Spark
+plans as a broadcast-nested-loop or a range-exploded sort-merge. The
+scalable shape used here is the classic union trick:
+
+    union(left, right) tagged by side
+      -> ONE shuffle on the key
+      -> running ``last(value, ignorenulls=True)`` window ordered by
+         (ts, side) within the key
+      -> keep the left rows, now carrying the most recent right payload.
+
+Cost is one exchange + one sort — linear in |L|+|R|, no pair explosion, and
+AQE handles key skew like any other keyed window. Right rows must be unique
+per (key, ts) (pre-aggregate to that grain) so ties are deterministic.
+
+The DuckDB oracle uses its native ``ASOF LEFT JOIN`` — an independent
+implementation of the same semantics, which is exactly what the hash gate
+should compare against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: attach to every left row the ``value_cols`` of the
+    right row with the greatest ``right_ts`` <= ``left_ts`` (``<`` when
+    ``strict``) for the same ``key``. Right rows must be unique per
+    (key, right_ts). Unmatched left rows keep nulls (LEFT semantics).
+    """
+    from pyspark.sql import Window as W
+
+    left_cols = left.columns
+    # side tag orders a right row BEFORE left rows at the same instant for
+    # inclusive (<=) semantics, AFTER them for strict (<)
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != key],
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(l_side).alias("_side"),
+        *[F.col(c) for c in left_cols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in value_cols],
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        key,
+        "_ts",
+        "_side",
+        *[c for c in left_cols if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_side") == l_side).drop("_ts", "_side")

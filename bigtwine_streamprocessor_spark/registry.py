@@ -818,6 +818,48 @@ def sampling_deterministic(spark, sf_dir):
     return sampling.deterministic_sample(t, "id", 7)
 
 
+@register(
+    "join_asof_last_purchase",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, max(event_id) AS purchase_event_id,
+               round(max_by(value, event_id), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.user_id, e.event_id, e.ts, e.event_type,
+           p.purchase_event_id, p.purchase_value
+    FROM events e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_last_purchase(spark, sf_dir):
+    """As-of join (an operator Spark's API lacks): every event carries the
+    same user's most recent purchase at-or-before its timestamp. Engine uses
+    the single-shuffle union+running-last plan (operators/joins.py); the
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent implementation
+    of the same semantics."""
+    from .operators.joins import asof_join
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.round(F.max_by("value", "event_id"), 2).alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        ["purchase_event_id", "purchase_value"],
+    )
+
+
 STRATIFIED_RATES = {"en": 0.25, "zh": 0.8}  # rebalance the training mix
 
 

@@ -1,0 +1,51 @@
+"""As-of join operator semantics: inclusive vs strict tie handling, LEFT
+nulls before the first right row, per-key isolation."""
+
+from datetime import datetime
+
+from bigtwine_streamprocessor_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_strict_and_left_nulls(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), "before-any"),
+            (1, _ts("2024-01-01T01:00:00"), "tie-with-r1"),
+            (1, _ts("2024-01-01T02:30:00"), "after-r1"),
+            (1, _ts("2024-01-01T04:00:00"), "after-r2"),
+            (2, _ts("2024-01-01T05:00:00"), "other-key-no-rights"),
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T01:00:00"), "r1"),
+            (1, _ts("2024-01-01T03:00:00"), "r2"),
+        ],
+        "k bigint, ts timestamp, v string",
+    )
+
+    incl = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert incl == {
+        "before-any": None,
+        "tie-with-r1": "r1",  # inclusive: right row at equal ts is visible
+        "after-r1": "r1",
+        "after-r2": "r2",
+        "other-key-no-rights": None,  # keys never bleed into each other
+    }
+
+    strict = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"], strict=True
+        ).collect()
+    }
+    assert strict["tie-with-r1"] is None  # strict: equal ts not visible
+    assert strict["after-r1"] == "r1" and strict["after-r2"] == "r2"
