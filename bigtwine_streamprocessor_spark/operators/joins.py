@@ -27,6 +27,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    granularity_s: int,
+) -> DataFrame:
+    """Containment join (point_ts in [start, end] per key) using only
+    equi-joins: time is cut into ``granularity_s`` cells, each interval
+    explodes over the cells it covers, points join on (key, cell), and the
+    exact bounds refine the candidates. A point occupies exactly one cell, so
+    each (point, interval) pair matches at most once — no dedup.
+
+    Scale story: Spark plans a raw inequality join as broadcast-nested-loop
+    (pair explosion); this shape is one shuffled equi-join with explode
+    factor ``interval_len/granularity + 1`` — pick granularity on the order
+    of the max interval length for a ~2-3x row expansion on the (usually
+    much smaller) interval side only.
+    """
+    cell = lambda c: F.floor(F.unix_micros(F.col(c)) / (granularity_s * 1_000_000))
+    pb = points.withColumn("_cell", cell(point_ts))
+    ib = intervals.withColumn(
+        "_cell", F.explode(F.sequence(cell(start_col), cell(end_col)))
+    )
+    return (
+        pb.join(ib, [key, "_cell"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_cell")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -860,6 +860,49 @@ def join_asof_last_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "join_interval_nearby_events",
+    """
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_event_id, p.user_id, CAST(count(*) AS BIGINT) AS n_nearby
+    FROM purchases p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_nearby_events(spark, sf_dir):
+    """Range/interval join via time-cell bucketing (equi-join only — Spark
+    would otherwise plan the raw inequality as a nested-loop): per purchase,
+    count the same user's events within +-5 minutes. DuckDB's IEJoin-backed
+    inequality join is the independent oracle."""
+    from .operators.joins import interval_join_bucketed
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    joined = interval_join_bucketed(
+        ev.select("user_id", "event_id", "ts"),
+        purchases,
+        "user_id",
+        "ts",
+        "w_start",
+        "w_end",
+        granularity_s=600,
+    )
+    return joined.groupBy("purchase_event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby")
+    )
+
+
 STRATIFIED_RATES = {"en": 0.25, "zh": 0.8}  # rebalance the training mix
 
 

@@ -49,3 +49,34 @@ def test_asof_inclusive_strict_and_left_nulls(spark):
     }
     assert strict["tie-with-r1"] is None  # strict: equal ts not visible
     assert strict["after-r1"] == "r1" and strict["after-r2"] == "r2"
+
+
+def test_interval_join_bucketed_cell_boundaries(spark):
+    """Containment must be exact across cell boundaries: candidates from the
+    coarse bucket join are refined by the true bounds, and intervals spanning
+    multiple cells still match points in every covered cell exactly once."""
+    from bigtwine_streamprocessor_spark.operators.joins import (
+        interval_join_bucketed,
+    )
+
+    points = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:04:59")),   # inside, same cell as start
+            (1, 11, _ts("2024-01-01T00:15:00")),   # inside, later cell
+            (1, 12, _ts("2024-01-01T00:20:01")),   # 1s past end -> out
+            (1, 13, _ts("2023-12-31T23:59:59")),   # 1s before start -> out
+            (2, 14, _ts("2024-01-01T00:10:00")),   # wrong key -> out
+        ],
+        "k bigint, pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 77, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:20:00"))],
+        "k bigint, iid bigint, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join_bucketed(
+            points, intervals, "k", "ts", "s", "e", granularity_s=300
+        ).collect()
+    )
+    assert got == [(10, 77), (11, 77)]
