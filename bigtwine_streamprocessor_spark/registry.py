@@ -543,6 +543,46 @@ def text_tfidf_topterms(spark, sf_dir):
     return textstats.tfidf_topterms(_docs(spark, sf_dir))
 
 
+_PROFILE_COLS = ["text", "lang", "source", "n_chars"]
+
+
+def _profile_oracle():
+    parts = [
+        f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_repr,
+       max(CAST({c} AS VARCHAR)) AS max_repr
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_documents", _profile_oracle())
+def profile_documents(spark, sf_dir):
+    """Data-quality census (per-column rows / non-null / distinct / min-max):
+    the profiling pass a training pipeline runs before ingesting a new
+    source. One pass per column via unioned aggregates — Catalyst shares the
+    scan; at 100 TB swap count(DISTINCT) for approx_count_distinct."""
+    docs = _docs(spark, sf_dir)
+    parts = [
+        docs.select(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(F.col(c).cast("string")).alias("min_repr"),
+            F.max(F.col(c).cast("string")).alias("max_repr"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("multimodal_features", multimodal.FEATURES_SQL)
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via Arrow-batched mapInPandas

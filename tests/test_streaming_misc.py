@@ -397,3 +397,47 @@ def test_fanin_rocksdb_soak_bounded_state(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@pytest.mark.slow
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """Native streaming session windows (30-min gap) must land on the same
+    (user, session_start, n_events) sets as the batch lag/running-sum
+    sessionizer — two independent implementations of the gap semantics."""
+    from bigtwine_streamprocessor_spark import registry
+    from bigtwine_streamprocessor_spark.session import load_events
+
+    batch = registry.QUERIES["sessionize_events"](spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+    }
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    d = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == want
