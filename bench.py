@@ -103,6 +103,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # steady-state throughput of the flagship (second run: plan + codegen
+    # warm) — the "matches-or-beats single-node throughput" number
+    t0 = time.perf_counter()
+    registry.QUERIES["neel_assembled"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    steady_s = time.perf_counter() - t0
+    n_tweets = registry.QUERIES["neel_parsed"](spark, sf_dir).count()
+    steady = {
+        "neel_assembled_s": round(steady_s, 3),
+        "tweets": n_tweets,
+        "tweets_per_s": round(n_tweets / steady_s, 1),
+    }
+
     # streaming path: fixed at sf0.01 so the number is comparable per round
     stream_sf = os.environ.get(
         "SPARK_GRAFT_STREAM_SF_DIR", "/root/testdata/sf0.01"
@@ -118,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steady": steady,
                 "streaming": streaming,
                 "sf": sf,
             }

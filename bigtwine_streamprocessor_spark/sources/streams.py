@@ -117,7 +117,9 @@ def kafka_source(
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka consumer (S3). ``maxOffsetsPerTrigger`` is the ingest-rate cap
-    (the Spark-native twin of the reference's rows/s throttle)."""
+    (the Spark-native twin of the reference's rows/s throttle). For the full
+    topic contract the topology uses (producer + consumer behind one seam),
+    see ``streaming.kafka_transport.KafkaTopic``."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
