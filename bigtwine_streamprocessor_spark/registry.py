@@ -978,6 +978,39 @@ def sampling_stratified(spark, sf_dir):
 
 
 @register(
+    "agg_salted_heavy_hitters",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_heavy_hitters(spark, sf_dir):
+    """Two-phase salted aggregation — the hand-rolled skew pattern for
+    heavy-hitter keys (5 event types over the whole stream would otherwise
+    land on 5 reducers): phase 1 aggregates on (key, salt) spreading each
+    hot key over SALTS reducers, phase 2 merges the partials per key. Same
+    result as a plain groupBy (the oracle IS the plain groupBy); AQE's
+    skew handling covers joins, this covers aggregations when map-side
+    partial aggregation alone can't (e.g. exact distincts per hot key)."""
+    from .session import load_events
+
+    SALTS = 16
+    ev = load_events(spark, sf_dir)
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(SALTS))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_sum"), 2).alias("total"),
+    )
+
+
+@register(
     "agg_rollup",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
