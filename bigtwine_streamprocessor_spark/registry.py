@@ -603,6 +603,9 @@ BENCH_EXTRA.extend(
         "similarity_ann_lsh",
         "text_quality_scores",
         "text_fingerprints",
+        "text_tfidf_topterms",
+        "join_asof_last_purchase",
+        "join_interval_nearby_events",
         "multimodal_features",
     ]
 )
