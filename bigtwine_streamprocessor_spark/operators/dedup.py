@@ -346,22 +346,21 @@ jaccard_pairs AS (
 CLUSTER_MAX_ITERS = 50
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the verified near-dup
-    pair graph (n-gram Jaccard >= threshold on LSH candidates). Output:
-    (doc_id, cluster_id) for every doc in at least one pair, cluster_id =
-    min doc_id of its component — the keeper each group dedups onto.
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph (doc_a, doc_b) ->
+    (doc_id, cluster_id), cluster_id = min doc_id of the component.
 
     Min-label propagation to fixpoint: each iteration joins labels across
     edges and takes the component-wise min (one doc_id-keyed shuffle per
     iteration; iteration count ~ component diameter, which is tiny for
     near-dup cliques). The per-iteration convergence check is a scalar
     count — the standard driver-side loop for iterative graph algorithms
-    (GraphX/GraphFrames do the same under the hood). The DuckDB oracle
-    computes the same fixpoint with a recursive CTE, so this iterative
-    operator is still fully hash-gated.
+    (GraphX/GraphFrames do the same under the hood).
+
+    Takes the edge frame as INPUT (rather than recomputing candidate
+    generation internally) so production pipelines feed cached/precomputed
+    pairs and clustering costs only the propagation rounds.
     """
-    edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -391,9 +390,36 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         if changed == 0:
             break
     else:  # pragma: no cover - tiny diameters converge in a few rounds
-        raise RuntimeError("dedup_clusters did not converge")
+        raise RuntimeError("connected_components did not converge")
+    # materialize with truncated lineage, then release every cached frame —
+    # returning the persisted `labels` directly would leak one cached
+    # DataFrame per invocation (the loop unpersists all but the last round)
+    out = labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
     bidir.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, edges: DataFrame | None = None
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified near-dup
+    pair graph (n-gram Jaccard >= threshold on LSH candidates). Output:
+    (doc_id, cluster_id) for every doc in at least one pair — cluster_id =
+    the keeper doc each group dedups onto.
+
+    Thin composition of ``ngram_jaccard_pairs`` + ``connected_components``;
+    pass a precomputed ``edges`` frame (doc_a, doc_b) to skip the LSH+Jaccard
+    chain (production caches the pair stage — recomputing it inside every
+    clustering run was the dominant cost). The DuckDB oracle computes the
+    same fixpoint with a recursive CTE, so this iterative operator is still
+    fully hash-gated.
+    """
+    if edges is None:
+        edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(edges)
 
 
 def dedup_clusters_sql(source: str = "documents", threshold: float = 0.5) -> str:

@@ -207,10 +207,23 @@ def json_rows(nested: DataFrame, analysis_id: str, process_date: str) -> DataFra
 # production to_json path (json_rows) parses to the same objects.
 
 
+# control chars (< 0x20) are invalid raw inside JSON strings: named escapes
+# for the common five, \u00xx for the rest — applied AFTER the backslash pass
+# so the escape backslashes themselves survive. Same table on the DuckDB side.
+_CTRL_ESCAPES = {
+    i: {0x08: "\\b", 0x09: "\\t", 0x0A: "\\n", 0x0C: "\\f", 0x0D: "\\r"}.get(
+        i, f"\\u{i:04x}"
+    )
+    for i in range(0x20)
+}
+
+
 def _j_str(c: F.Column) -> F.Column:
     esc = F.replace(
         F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
     )
+    for i, rep in _CTRL_ESCAPES.items():
+        esc = F.replace(esc, F.lit(chr(i)), F.lit(rep))
     return F.when(c.isNull(), F.lit("null")).otherwise(
         F.concat(F.lit('"'), esc, F.lit('"'))
     )
@@ -295,10 +308,13 @@ def json_rows_canonical(
 
 
 def _j_str_sql(e: str) -> str:
-    return (
-        f"(CASE WHEN {e} IS NULL THEN 'null' ELSE "
-        f"'\"' || replace(replace({e}, '\\', '\\\\'), '\"', '\\\"') || '\"' END)"
-    )
+    esc = f"replace(replace({e}, '\\', '\\\\'), '\"', '\\\"')"
+    # control chars via chr(i) (raw bytes can't ride in a SQL literal);
+    # DuckDB standard strings don't process backslash escapes, so '\n' is the
+    # two characters backslash + n — exactly the JSON escape we want
+    for i, rep in _CTRL_ESCAPES.items():
+        esc = f"replace({esc}, chr({i}), '{rep}')"
+    return f"(CASE WHEN {e} IS NULL THEN 'null' ELSE '\"' || {esc} || '\"' END)"
 
 
 def _j_long_sql(e: str) -> str:
@@ -352,7 +368,7 @@ def json_canon_sql(analysis_id: str, process_date: str) -> str:
     return f"""
 json_canon AS (
     SELECT '{{"analysisId":"{analysis_id}","payload":{{"entities":['
-           || coalesce(string_agg({ent}, ',' ORDER BY ent_start)
+           || coalesce(string_agg({ent}, ',' ORDER BY ent_start, {ent})
                        FILTER (ent_start IS NOT NULL), '')
            || '],"status":' || min({status})
            || '}},"processDate":"{process_date}"}}' AS json

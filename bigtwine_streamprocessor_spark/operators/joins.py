@@ -8,8 +8,9 @@ scalable shape used here is the classic union trick:
 
     union(left, right) tagged by side
       -> ONE shuffle on the key
-      -> running ``last(value, ignorenulls=True)`` window ordered by
-         (ts, side) within the key
+      -> running ``last(struct(*values), ignorenulls=True)`` window ordered
+         by (ts, side) within the key (one struct so NULL right values
+         survive and all columns fill from the SAME matched row)
       -> keep the left rows, now carrying the most recent right payload.
 
 Cost is one exchange + one sort — linear in |L|+|R|, no pair explosion, and
@@ -78,26 +79,34 @@ def asof_join(
     (key, right_ts). Unmatched left rows keep nulls (LEFT semantics).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     left_cols = left.columns
     # side tag orders a right row BEFORE left rows at the same instant for
     # inclusive (<=) semantics, AFTER them for strict (<)
     r_side, l_side = (1, 0) if strict else (0, 1)
+    # All value_cols ride in ONE struct: last(struct, ignorenulls) then picks
+    # whole matched rows. Filling each column independently would skip a right
+    # row whose value is legitimately NULL and carry a STALE earlier value
+    # forward — worse, different columns could fill from different right rows,
+    # yielding a composite that never existed. The struct itself is non-null
+    # for every right row, so the matched row's own NULLs survive (DuckDB
+    # ASOF parity).
+    vals_type = T.StructType([right.schema[c] for c in value_cols])
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(r_side).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c != key],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
     )
     l = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(l_side).alias("_side"),
         *[F.col(c) for c in left_cols if c != key],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
     )
     w = (
         W.partitionBy(key)
@@ -109,6 +118,15 @@ def asof_join(
         "_ts",
         "_side",
         *[c for c in left_cols if c != key],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
-    return filled.filter(F.col("_side") == l_side).drop("_ts", "_side")
+    return (
+        filled.filter(F.col("_side") == l_side)
+        .select(
+            key,
+            "_ts",
+            *[c for c in left_cols if c != key],
+            *[F.col("_vals")[c].alias(c) for c in value_cols],
+        )
+        .drop("_ts")
+    )

@@ -39,19 +39,38 @@ def default_producer_factory(bootstrap: str):
     return KafkaProducer(bootstrap_servers=bootstrap, acks="all")
 
 
-# One producer per (factory, bootstrap) per PROCESS — executor Python workers
-# are long-lived, so foreachPartition reuses instead of reconnecting.
+# One producer per (factory identity, bootstrap) per PROCESS — executor
+# Python workers are long-lived, so foreachPartition reuses instead of
+# reconnecting. Bounded: a key-churn bug must never accumulate connections.
 _PRODUCER_CACHE: dict = {}
+_PRODUCER_CACHE_MAX = 32
+
+
+def _factory_identity(factory) -> tuple:
+    """Stable across task deserializations (each foreachPartition task unpickles
+    a FRESH factory object, so id()/repr() would make the cache miss every
+    partition and leak one producer per task). Functions identify by qualified
+    name; instances by ``cache_key()`` when provided (REQUIRED for factory
+    classes whose instances carry different configs), else by their type."""
+    ck = getattr(factory, "cache_key", None)
+    if callable(ck):
+        return ("ck", type(factory).__module__, type(factory).__qualname__, ck())
+    return (
+        "fn",
+        getattr(factory, "__module__", type(factory).__module__),
+        getattr(factory, "__qualname__", type(factory).__qualname__),
+    )
 
 
 def _producer_for(bootstrap: str, factory):
-    key = (
-        getattr(factory, "__module__", ""),
-        getattr(factory, "__qualname__", repr(factory)),
-        bootstrap,
-    )
+    key = (*_factory_identity(factory), bootstrap)
     p = _PRODUCER_CACHE.get(key)
     if p is None:
+        while len(_PRODUCER_CACHE) >= _PRODUCER_CACHE_MAX:
+            _, old = _PRODUCER_CACHE.popitem()
+            close = getattr(old, "close", None)
+            if callable(close):
+                close()
         p = factory(bootstrap)
         _PRODUCER_CACHE[key] = p
     return p
@@ -154,6 +173,12 @@ class SpoolProducerFactory:
 
     def __call__(self, bootstrap: str) -> SpoolProducer:
         return SpoolProducer(self.spool)
+
+    def cache_key(self) -> tuple:
+        """Config-bearing identity so two factories with different spool dirs
+        never share a producer, while re-unpickled copies of the SAME factory
+        hit the same cache slot."""
+        return (self.spool,)
 
 
 def make_kafka_topics(

@@ -57,6 +57,40 @@ def test_json_rows_parse_back(spark, sf_dir):
     assert "payload" in parsed_back.columns
 
 
+def test_json_string_escaping_parity(spark, ddb):
+    """Control chars (< 0x20), quotes and backslashes must escape to VALID
+    single-line JSON, byte-identically on the Spark and DuckDB sides (the
+    hash gate compares bytes; a raw newline would also split the line)."""
+    import json
+
+    nasty = [
+        "line\nbreak",
+        "tab\there and cr\rthere",
+        'quote"back\\slash',
+        "ctrl\x01\x08\x0c\x1fend",
+        "plain",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "s string")
+    got = [
+        r["j"]
+        for r in df.coalesce(1)
+        .select(export._j_str(F.col("s")).alias("j"))
+        .collect()
+    ]
+    for s, j in zip(nasty, got):
+        assert "\n" not in j and "\r" not in j, "must stay one physical line"
+        assert json.loads(j) == s, "escape must round-trip the exact value"
+    oracle = [
+        ddb.execute(
+            f"SELECT {export._j_str_sql('s')} AS j FROM (SELECT ?::VARCHAR AS s)",
+            [s],
+        ).fetchone()[0]
+        for s in nasty
+    ]
+    assert got == oracle
+
+
 def test_single_file_write(spark, sf_dir, tmp_path):
     flat = pipeline.stages(spark, sf_dir)["assembled_flat"]
     df = export.challenge_rows(flat)

@@ -51,6 +51,39 @@ def test_asof_inclusive_strict_and_left_nulls(spark):
     assert strict["after-r1"] == "r1" and strict["after-r2"] == "r2"
 
 
+def test_asof_null_right_values_not_backfilled(spark):
+    """A matched right row's legitimate NULL value must surface as NULL (not
+    the previous right row's value), and multiple value columns must all come
+    from the SAME matched row — DuckDB native-ASOF parity."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T01:30:00"), "after-r1"),
+            (1, _ts("2024-01-01T02:30:00"), "after-r2"),
+            (1, _ts("2024-01-01T03:30:00"), "after-r3"),
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    # r2 has a NULL v (but a b); r3 has a NULL b (but a v) — independent
+    # per-column filling would synthesize composites (v from r1/r3, b from r2)
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T01:00:00"), "v1", "b1"),
+            (1, _ts("2024-01-01T02:00:00"), None, "b2"),
+            (1, _ts("2024-01-01T03:00:00"), "v3", None),
+        ],
+        "k bigint, ts timestamp, v string, b string",
+    )
+    got = {
+        r["tag"]: (r["v"], r["b"])
+        for r in asof_join(left, right, "k", "ts", "ts", ["v", "b"]).collect()
+    }
+    assert got == {
+        "after-r1": ("v1", "b1"),
+        "after-r2": (None, "b2"),  # r2's own NULL, not r1's v1
+        "after-r3": ("v3", None),  # r3's own NULL, not r2's b2
+    }
+
+
 def test_interval_join_bucketed_cell_boundaries(spark):
     """Containment must be exact across cell boundaries: candidates from the
     coarse bucket join are refined by the true bounds, and intervals spanning

@@ -39,6 +39,30 @@ def test_producer_cache_reuses_per_process(tmp_path):
     assert CountingFactory.calls == 1, "same process must reuse the producer"
 
 
+def test_producer_cache_stable_across_unpickled_factories(tmp_path):
+    """Each foreachPartition task unpickles a FRESH factory instance; the
+    cache key must survive that (repr()/id() would miss every time and leak a
+    producer per partition-task), while factories with different configs must
+    NOT share a producer."""
+    import pickle
+
+    kt._PRODUCER_CACHE.clear()
+    f1 = kt.SpoolProducerFactory(str(tmp_path / "s1"))
+    f1_copy = pickle.loads(pickle.dumps(f1))  # what an executor task sees
+    f2 = kt.SpoolProducerFactory(str(tmp_path / "s2"))
+    p1 = kt._producer_for("b:9092", f1)
+    assert kt._producer_for("b:9092", f1_copy) is p1, "same config -> same slot"
+    assert kt._producer_for("b:9092", f2) is not p1, "configs must not collide"
+    assert len(kt._PRODUCER_CACHE) == 2
+
+
+def test_producer_cache_bounded(tmp_path):
+    kt._PRODUCER_CACHE.clear()
+    for i in range(kt._PRODUCER_CACHE_MAX + 8):
+        kt._producer_for("b:9092", kt.SpoolProducerFactory(str(tmp_path / f"s{i}")))
+    assert len(kt._PRODUCER_CACHE) <= kt._PRODUCER_CACHE_MAX
+
+
 def test_line_writer_through_foreachpartition(spark, tmp_path):
     spool = str(tmp_path / "spool")
     topic = kt.KafkaTopic("b:9092", "results", kt.SpoolProducerFactory(spool))
