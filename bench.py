@@ -34,10 +34,18 @@ HEADLINE = [
 
 
 def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
-    """End-to-end async topology throughput: feed the parsed tweet corpus as
-    one streaming batch and time Q1 -> services -> Q6 until every tweet's
-    assembled result lands on the results topic. Catches round-over-round
-    streaming regressions that the batch queries can't see."""
+    """End-to-end async topology throughput, measured two ways:
+
+    * ``elapsed_s`` / ``tweets_per_s`` — one-shot wall clock from start to the
+      last assembled result. Dominated by trigger latency across the 6 hops
+      at small corpora; kept for continuity with earlier rounds.
+    * ``steady_tweets_per_s`` — the CONTINUOUS-FEED number: the corpus streams
+      in as many files (maxFilesPerTrigger keeps batches flowing), completion
+      counts are sampled on a fine interval, and the rate is fit over the
+      window AFTER the first quarter of results landed (pipeline warm, every
+      hop busy) until the last result. This is the round-over-round
+      comparable throughput; the one-shot number mixes in startup latency.
+    """
     import shutil
     import tempfile
 
@@ -52,20 +60,28 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         ).cache()
         n = parsed.count()
         indir = os.path.join(root, "in")
-        parsed.coalesce(1).write.json(indir)
-        stream = spark.readStream.schema(parsed.schema).json(indir)
+        # many small files -> a continuous stream of micro-batches rather
+        # than one giant batch followed by idle triggers
+        parsed.repartition(16).write.json(indir)
+        stream = (
+            spark.readStream.schema(parsed.schema)
+            .option("maxFilesPerTrigger", 2)
+            .json(indir)
+        )
 
         t0 = time.perf_counter()
         queries, sims, topics = topology.start_topology(
             spark, os.path.join(root, "topics"), stream, "bench",
             timeout_ms=120_000,
         )
+        samples: list[tuple[float, int]] = []
         try:
             deadline = time.time() + timeout_s
             got = 0
             while time.time() < deadline and got < n:
                 got = len(topics["results"].read_all())
-                time.sleep(0.5)
+                samples.append((time.perf_counter() - t0, got))
+                time.sleep(0.25)
             elapsed = time.perf_counter() - t0
         finally:
             for q in queries:
@@ -73,11 +89,25 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             for s in sims:
                 s.stop()
         parsed.unpersist()
+
+        # steady window: first sample at >= 25% completed -> last sample
+        steady_rate = 0.0
+        steady_window = 0.0
+        warm = [(t, c) for t, c in samples if c >= max(1, n // 4)]
+        if len(warm) >= 2:
+            (t_a, c_a), (t_b, c_b) = warm[0], warm[-1]
+            if t_b > t_a and c_b > c_a:
+                steady_window = t_b - t_a
+                steady_rate = (c_b - c_a) / steady_window
         return {
             "tweets": n,
             "completed": got,
             "elapsed_s": round(elapsed, 3),
             "tweets_per_s": round(got / elapsed, 1) if elapsed > 0 else 0.0,
+            "steady_tweets_per_s": round(steady_rate, 1),
+            "steady_window_s": round(steady_window, 3),
+            "method": "rate over samples from 25%-complete to last result,"
+            " continuous feed (16 files, maxFilesPerTrigger=2)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -96,6 +96,23 @@ def _emit(tag: str, s: dict[str, Any], partial: bool) -> pd.DataFrame:
     )
 
 
+def _absorb(s: dict[str, Any], st: str, pj) -> None:
+    """Fold one fragment row into the accumulating state dict (shared by the
+    processing-time and event-time fan-in functions)."""
+    s["received"].add(st)
+    if st == "status":
+        s["status_json"] = pj  # last write wins (single status)
+    elif st == "linkedTweet":
+        # entity arrays CONCAT on duplicates, like the reference
+        ents = json.loads(pj) if pj else []
+        s["entities_json"].extend(json.dumps(e) for e in ents)
+    elif st == "resource":
+        res = json.loads(pj) if pj else []
+        s["resources_json"].extend(json.dumps(r) for r in res)
+    elif st == "decodedLocation":
+        s["location_json"] = pj
+
+
 def make_fanin_fn(timeout_ms: int):
     """Build the applyInPandasWithState function for a given timeout."""
 
@@ -144,20 +161,7 @@ def make_fanin_fn(timeout_ms: int):
 
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                st = row.stream_type
-                pj = row.payload_json
-                s["received"].add(st)
-                if st == "status":
-                    s["status_json"] = pj  # last write wins (single status)
-                elif st == "linkedTweet":
-                    # entity arrays CONCAT on duplicates, like the reference
-                    ents = json.loads(pj) if pj else []
-                    s["entities_json"].extend(json.dumps(e) for e in ents)
-                elif st == "resource":
-                    res = json.loads(pj) if pj else []
-                    s["resources_json"].extend(json.dumps(r) for r in res)
-                elif st == "decodedLocation":
-                    s["location_json"] = pj
+                _absorb(s, row.stream_type, row.payload_json)
 
         if s["received"] >= COMPLETE_SET:
             # FIRE_AND_PURGE (`TwitterStreamTypeWindowTrigger.java:60-62`)
@@ -192,6 +196,117 @@ def fanin_stream(fragments: DataFrame, timeout_ms: int = 15_000) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# Event-time input grain: fragments carry an event timestamp.
+FRAGMENT_IN_TS = T.StructType(
+    FRAGMENT_IN.fields + [T.StructField("ts", T.TimestampType(), False)]
+)
+
+
+def make_fanin_fn_event_time(timeout_ms: int):
+    """Event-time twin of ``make_fanin_fn``: the deadline is
+    min(fragment event time) + timeout — a DETERMINISTIC function of the
+    DATA, so a 100 TB replay emits identical partials regardless of arrival
+    order, cluster speed, or wall clock. (The reference's processing-time
+    trigger — faithfully mirrored by ``make_fanin_fn`` — cannot promise
+    that.) The timer fires when the WATERMARK passes the deadline
+    (``setTimeoutTimestamp`` + ``EventTimeTimeout``)."""
+
+    def fanin(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tag = key[0]
+        if state.hasTimedOut:
+            (sj, ej, rj, lj, recv, _dl) = state.get
+            state.remove()
+            if sj is not None:
+                yield _emit(
+                    tag,
+                    {
+                        "status_json": sj,
+                        "entities_json": ej,
+                        "resources_json": rj,
+                        "location_json": lj,
+                    },
+                    True,
+                )
+            return
+
+        if state.exists:
+            (sj, ej, rj, lj, recv, deadline_ms) = state.get
+            s = {
+                "status_json": sj,
+                "entities_json": list(ej),
+                "resources_json": list(rj),
+                "location_json": lj,
+                "received": set(recv),
+            }
+        else:
+            deadline_ms = None
+            s = {
+                "status_json": None,
+                "entities_json": [],
+                "resources_json": [],
+                "location_json": None,
+                "received": set(),
+            }
+
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                # deadline = EARLIEST event time + timeout; a late-arriving
+                # earlier fragment pulls it back, keeping the fixpoint
+                # deterministic on the data
+                cand = row.ts.value // 1_000_000 + timeout_ms
+                if deadline_ms is None or cand < deadline_ms:
+                    deadline_ms = cand
+                _absorb(s, row.stream_type, row.payload_json)
+
+        if s["received"] >= COMPLETE_SET:
+            state.remove()
+            yield _emit(tag, s, False)
+        else:
+            state.update(
+                (
+                    s["status_json"],
+                    s["entities_json"],
+                    s["resources_json"],
+                    s["location_json"],
+                    sorted(s["received"]),
+                    deadline_ms,
+                )
+            )
+            # absolute event-time deadline (cleared each invocation like all
+            # GroupState timeouts — re-set to the SAME stored instant); Spark
+            # rejects timestamps at/below the watermark, so clamp just above
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+    return fanin
+
+
+def fanin_stream_event_time(
+    fragments: DataFrame,
+    timeout_ms: int = 15_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Opt-in event-time fan-in: ``fragments`` must carry an event timestamp
+    column ``ts`` (FRAGMENT_IN_TS grain). Completion fires exactly like the
+    processing-time mode; the partial-emit timeout is evaluated against the
+    WATERMARK (max seen ts - ``watermark_delay``), giving deterministic
+    replay semantics for bounded/backfill runs at scale."""
+    return (
+        fragments.withWatermark("ts", watermark_delay)
+        .groupBy("tag")
+        .applyInPandasWithState(
+            make_fanin_fn_event_time(timeout_ms),
+            outputStructType=ASSEMBLED_OUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

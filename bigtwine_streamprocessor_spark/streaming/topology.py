@@ -17,26 +17,30 @@ the resolver from NEL responses with links (`:279-288`), geo from raw tweets
 with a location (`:296-307`); the two empty-synth branches guarantee fan-in
 completion (`:327-343`).
 
-Scale contract: all row-proportional message shaping (Q1's status fragments /
-request items, Q6's result lines) is DataFrame expressions + ``to_json``
-written from EXECUTORS via ``foreachPartition`` — the driver never holds the
-tweet stream. Only Q2–Q5's response-envelope drains collect, and those are
-envelope-scale (a handful of lines per micro-batch). Swapping the
+Scale contract: EVERY row-proportional message shaping hop — Q1's status
+fragments / request items, Q2-Q5's response-envelope parsing (``from_json`` +
+``explode(items)``, the Spark form of the reference's parallel flatMap
+parsers `NerResponseMessageParser.java:32-40`,
+`LinkResolverResponseMessageParser.java:37-56`) and fragment/request shaping,
+and Q6's result lines — is DataFrame expressions + ``to_json`` written from
+EXECUTORS via ``foreachPartition``. The driver never holds stream-
+proportional data: each response envelope's ``items`` array carries one entry
+per tweet in the micro-batch, so even "one line per batch" is row-
+proportional CONTENT and stays off the driver. Swapping the
 ``foreachPartition`` file writers for a Kafka producer is a config switch
 (see ``kafka_transport``), not a rewrite.
 """
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..fragments import status_payload_col
 from ..operators.parse import has_user_location
 from .fanin import FRAGMENT_IN, fanin_stream, parse_assembled
-from .transport import FileTopic, ServiceSimulator, make_envelope
+from .transport import FileTopic, ServiceSimulator
 from .transport import geo_service, nel_service, ner_service, resolver_service
 
 TOPIC_NAMES = [
@@ -54,28 +58,118 @@ TOPIC_NAMES = [
 
 GEO_CHUNK = 15  # `TwitterStreamJob.java:300`
 
+# Typed response-envelope item schemas (the contract each service's reply
+# carries; reference parsers `NerResponseMessageParser.java:32-40`,
+# `LinkResolverResponseMessageParser.java:37-56`). Parsing happens on
+# EXECUTORS via from_json — malformed lines parse to null and drop, like the
+# reference's parsers swallowing bad messages.
 
-def _frag_line(tag: str, stream_type: str, payload) -> str:
-    return json.dumps(
-        {
-            "tag": tag,
-            "stream_type": stream_type,
-            "payload_json": json.dumps(payload) if payload is not None else None,
-        }
+_NER_ENTITY = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+    ]
+)
+NER_RESP_ITEM = T.StructType(
+    [
+        T.StructField("tag", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("entities", T.ArrayType(_NER_ENTITY)),
+    ]
+)
+_NEL_ENTITY = T.StructType(
+    _NER_ENTITY.fields
+    + [
+        T.StructField("isNil", T.BooleanType()),
+        T.StructField("link", T.StringType()),
+        T.StructField("nilCluster", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("category", T.StringType()),
+    ]
+)
+NEL_RESP_ITEM = T.StructType(
+    [
+        T.StructField("tag", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("entities", T.ArrayType(_NEL_ENTITY)),
+    ]
+)
+RESOLVER_RESP_ITEM = T.StructType(
+    [
+        T.StructField("tag", T.StringType()),
+        T.StructField(
+            "resources",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("thumb", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+GEO_RESP_ITEM = T.StructType(
+    [
+        T.StructField("tag", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField(
+            "coordinates",
+            T.StructType(
+                [
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lng", T.DoubleType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _resp_items_df(batch_df: DataFrame, item_schema: T.StructType) -> DataFrame:
+    """Response topic lines -> one row per envelope item, parsed on executors
+    (from_json returns null for malformed lines — they drop silently)."""
+    env_schema = T.StructType(
+        [T.StructField("items", T.ArrayType(item_schema))]
+    )
+    return (
+        batch_df.select(F.from_json("value", env_schema).alias("env"))
+        .filter(F.col("env.items").isNotNull())
+        .select(F.explode("env.items").alias("it"))
     )
 
 
-def _entity_payload(e: dict) -> dict:
-    return {
-        "position": {"start": e["start"], "end": e["end"]},
-        "value": None,
-        "link": e["link"],
-        "isNil": e["isNil"],
-        "nilCluster": e["nilCluster"],
-        "confidence": e["confidence"],
-        "category": e["category"],
-        "resource": None,
-    }
+def _frag_json(tag: F.Column, stream_type: str, payload_json: F.Column) -> F.Column:
+    """Fragment line as a Column (same wire shape FRAGMENT_IN parses back)."""
+    return F.to_json(
+        F.struct(
+            tag.alias("tag"),
+            F.lit(stream_type).alias("stream_type"),
+            payload_json.alias("payload_json"),
+        )
+    )
+
+
+def _entity_payload_struct(e: F.Column) -> F.Column:
+    """NEL entity -> the linkedTweet fragment's entity payload shape
+    (null value/resource backfilled later by finalize; nulls drop out of
+    to_json and from_json restores them downstream)."""
+    return F.struct(
+        F.struct(e["start"].alias("start"), e["end"].alias("end")).alias(
+            "position"
+        ),
+        F.lit(None).cast("string").alias("value"),
+        e["link"].alias("link"),
+        e["isNil"].alias("isNil"),
+        e["nilCluster"].alias("nilCluster"),
+        e["confidence"].alias("confidence"),
+        e["category"].alias("category"),
+        F.lit(None).cast("string").alias("resource"),
+    )
 
 
 def start_topology(
@@ -181,25 +275,15 @@ def start_topology(
         .start()
     )
 
-    def _resp_items(batch_df: DataFrame) -> list[dict]:
-        items = []
-        for r in batch_df.collect():
-            if not r["value"].strip():
-                continue
-            try:
-                env = json.loads(r["value"])
-            except json.JSONDecodeError:
-                continue  # drop malformed, like the reference's parsers
-            items.extend(env.get("items", []))
-        return items
-
     # ---- Q2: NER responses -> NEL requests --------------------------------
+    # Executor-side end to end: parse envelopes, forward items as the NEL
+    # request body (one envelope per partition, consumers are agnostic).
     def q2(batch_df: DataFrame, epoch_id: int) -> None:
-        items = _resp_items(batch_df)
-        if items:
-            topics["nel-requests"].append_lines(
-                [make_envelope(items, reply("nel-responses"))]
-            )
+        _resp_items_df(batch_df, NER_RESP_ITEM).select(
+            F.to_json("it").alias("item")
+        ).foreachPartition(
+            topics["nel-requests"].envelope_writer(reply("nel-responses"))
+        )
 
     q2_query = (
         topics["ner-responses"].read_stream(spark)
@@ -210,25 +294,48 @@ def start_topology(
     )
 
     # ---- Q3: NEL responses -> linkedTweet frags + resolver reqs + synth ---
+    _linked_tokens = F.transform(
+        F.filter(F.col("it.entities"), lambda e: e["link"].isNotNull()),
+        lambda e: e["token"],
+    )
+
     def q3(batch_df: DataFrame, epoch_id: int) -> None:
-        items = _resp_items(batch_df)
-        frag_lines, resolver_items = [], []
-        for it in items:
-            ents = [_entity_payload(e) for e in it["entities"]]
-            frag_lines.append(_frag_line(it["tag"], "linkedTweet", ents))
-            linked = [
-                e["token"] for e in it["entities"] if e["link"] is not None
-            ]
-            if linked:
-                resolver_items.append({"tag": it["tag"], "tokens": linked})
-            else:
-                # empty-resource synth (`TwitterStreamJob.java:327-331`)
-                frag_lines.append(_frag_line(it["tag"], "resource", []))
-        topics["fragments"].append_lines(frag_lines)
-        if resolver_items:
-            topics["linkresolver-requests"].append_lines(
-                [make_envelope(resolver_items, reply("linkresolver-responses"))]
+        items = _resp_items_df(batch_df, NEL_RESP_ITEM).persist()
+        try:
+            ent_payload = F.to_json(
+                F.transform(F.col("it.entities"), _entity_payload_struct)
             )
+            # linkedTweet fragment always; empty-resource synth fragment when
+            # no entity links (`TwitterStreamJob.java:327-331`)
+            items.select(
+                F.explode(
+                    F.array_compact(
+                        F.array(
+                            _frag_json(F.col("it.tag"), "linkedTweet", ent_payload),
+                            F.when(
+                                F.size(_linked_tokens) == 0,
+                                _frag_json(
+                                    F.col("it.tag"), "resource", F.lit("[]")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("value")
+            ).foreachPartition(topics["fragments"].line_writer())
+            items.filter(F.size(_linked_tokens) > 0).select(
+                F.to_json(
+                    F.struct(
+                        F.col("it.tag").alias("tag"),
+                        _linked_tokens.alias("tokens"),
+                    )
+                ).alias("item")
+            ).foreachPartition(
+                topics["linkresolver-requests"].envelope_writer(
+                    reply("linkresolver-responses")
+                )
+            )
+        finally:
+            items.unpersist()
 
     q3_query = (
         topics["nel-responses"].read_stream(spark)
@@ -240,22 +347,23 @@ def start_topology(
 
     # ---- Q4: resolver responses -> resource fragments ---------------------
     def q4(batch_df: DataFrame, epoch_id: int) -> None:
-        frag_lines = []
-        for it in _resp_items(batch_df):
-            res = [
-                {
-                    "url": r_["url"],
-                    "tag": it["tag"],
-                    "name": r_["name"],
-                    "shortDesc": None,
-                    "thumb": r_["thumb"],
-                    "thumbLarger": None,
-                    "coordinates": None,
-                }
-                for r_ in it["resources"]
-            ]
-            frag_lines.append(_frag_line(it["tag"], "resource", res))
-        topics["fragments"].append_lines(frag_lines)
+        res_payload = F.to_json(
+            F.transform(
+                F.col("it.resources"),
+                lambda r: F.struct(
+                    r["url"].alias("url"),
+                    F.col("it.tag").alias("tag"),
+                    r["name"].alias("name"),
+                    F.lit(None).cast("string").alias("shortDesc"),
+                    r["thumb"].alias("thumb"),
+                    F.lit(None).cast("string").alias("thumbLarger"),
+                    F.lit(None).cast("string").alias("coordinates"),
+                ),
+            )
+        )
+        _resp_items_df(batch_df, RESOLVER_RESP_ITEM).select(
+            _frag_json(F.col("it.tag"), "resource", res_payload).alias("value")
+        ).foreachPartition(topics["fragments"].line_writer())
 
     q4_query = (
         topics["linkresolver-responses"].read_stream(spark)
@@ -267,19 +375,18 @@ def start_topology(
 
     # ---- Q5: geo responses -> decodedLocation fragments -------------------
     def q5(batch_df: DataFrame, epoch_id: int) -> None:
-        frag_lines = [
-            _frag_line(
-                it["tag"],
-                "decodedLocation",
-                {
-                    "address": it["address"],
-                    "coordinates": it["coordinates"],
-                    "tag": it["tag"],
-                },
+        loc_payload = F.to_json(
+            F.struct(
+                F.col("it.address").alias("address"),
+                F.col("it.coordinates").alias("coordinates"),
+                F.col("it.tag").alias("tag"),
             )
-            for it in _resp_items(batch_df)
-        ]
-        topics["fragments"].append_lines(frag_lines)
+        )
+        _resp_items_df(batch_df, GEO_RESP_ITEM).select(
+            _frag_json(F.col("it.tag"), "decodedLocation", loc_payload).alias(
+                "value"
+            )
+        ).foreachPartition(topics["fragments"].line_writer())
 
     q5_query = (
         topics["geodecoder-responses"].read_stream(spark)

@@ -16,12 +16,11 @@ the ``append_lines`` calls inside ``foreachBatch`` for a Kafka producer; every
 transform in between is unchanged.
 
 Scale note: everything row-proportional (fragment lines, request items,
-result lines) is built with DataFrame expressions and written from EXECUTORS
-via ``foreachPartition`` — the driver never materializes the tweet stream.
-The only driver-side collects left in the topology are the response-envelope
-drains of Q2–Q5 (one envelope per service per micro-batch — truly
-envelope-scale). Request envelopes are emitted one-per-partition (15-item
-chunks for geo), which the reply-topic consumers are agnostic to.
+response-envelope parsing, result lines) is built with DataFrame expressions
+and written from EXECUTORS via ``foreachPartition`` — the topology holds no
+driver-side collect of stream-proportional data at all. Request envelopes
+are emitted one-per-partition (15-item chunks for geo), which the
+reply-topic consumers are agnostic to.
 """
 
 from __future__ import annotations

@@ -132,6 +132,76 @@ def test_fanin_timeout_is_one_shot_not_rolling():
     assert out == [] and not st.exists
 
 
+class _FakeEventState(_FakeState):
+    """GroupState stand-in for the event-time fn (watermark + absolute ts)."""
+
+    def __init__(self, watermark_ms=0):
+        super().__init__()
+        self.watermark_ms = watermark_ms
+        self.timeout_ts = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def _pdf_ts(frs, ts_ms):
+    import pandas as pd
+
+    rows = [
+        {**frag(**f), "ts": pd.Timestamp(t, unit="ms")}
+        for f, t in zip(frs, ts_ms)
+    ]
+    return iter([pd.DataFrame(rows)])
+
+
+def test_fanin_event_time_deadline_is_data_determined():
+    """Event-time mode: deadline = min(fragment event time) + timeout — a
+    pure function of the data. Late-arriving EARLIER fragments pull the
+    deadline back; wall clock never enters."""
+    fn = fanin.make_fanin_fn_event_time(timeout_ms=10_000)
+    st = _FakeEventState()
+
+    list(fn(("7",), _pdf_ts(
+        [dict(tag="7", stream_type="linkedTweet", payload=[ENT])], [50_000]
+    ), st))
+    assert st._state[5] == 60_000 and st.timeout_ts == 60_000
+
+    # an out-of-order fragment with EARLIER event time (44s) arrives later:
+    # the deadline moves BACK to 54s (deterministic on data, not arrival)
+    list(fn(("7",), _pdf_ts(
+        [dict(tag="7", stream_type="resource", payload=[])], [44_000]
+    ), st))
+    assert st._state[5] == 54_000 and st.timeout_ts == 54_000
+
+    # Spark rejects timeout timestamps at/below the watermark -> clamp above
+    st.watermark_ms = 60_000
+    list(fn(("7",), _pdf_ts(
+        [dict(tag="7", stream_type="resource", payload=[])], [45_000]
+    ), st))
+    assert st._state[5] == 54_000, "stored deadline keeps the data value"
+    assert st.timeout_ts == 60_001, "armed timestamp clamps past watermark"
+
+    # timer fires without a status fragment -> orphan purge, no emit
+    st.hasTimedOut = True
+    assert list(fn(("7",), iter([]), st)) == [] and not st.exists
+
+
+def test_fanin_event_time_partial_emit_on_timeout():
+    fn = fanin.make_fanin_fn_event_time(timeout_ms=10_000)
+    st = _FakeEventState()
+    list(fn(("8",), _pdf_ts(
+        [dict(tag="8", stream_type="status", payload=_status("8"))], [30_000]
+    ), st))
+    assert st.timeout_ts == 40_000
+    st.hasTimedOut = True
+    out = list(fn(("8",), iter([]), st))
+    assert len(out) == 1 and bool(out[0].iloc[0]["is_partial"]) is True
+    assert not st.exists
+
+
 def test_fanin_batch_semantics(spark):
     df = spark.createDataFrame(
         [(f["tag"], f["stream_type"], f["payload_json"]) for f in FRAGMENTS],
@@ -146,6 +216,94 @@ def test_fanin_batch_semantics(spark):
     assert t1["decoded_location"]["coordinates"]["lat"] == -5.5
     assert t2["is_partial"] is True
     assert t2["entities"] == []
+
+
+@pytest.mark.slow
+def test_fanin_event_time_stream_parity_on_replay_corpus(spark, sf_dir, tmp_path):
+    """Event-time mode vs fanin_batch on the replay corpus: completions are
+    watermark-independent (fire on arrival of the 4th type), incomplete keys
+    time out when the watermark passes first-event + timeout. Output must
+    equal the batch twin on the emitted keys."""
+    from bigtwine_streamprocessor_spark import corpus, fragments as frag_mod
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+
+    parsed = (
+        parse_tweets(corpus.tweets_df(spark, sf_dir), skip_retweets=True)
+        .orderBy("id")
+        .limit(25)
+        .cache()
+    )
+    frags = frag_mod.build_fragments(parsed).collect()
+
+    base = "2026-01-01T00:00:00Z"
+    indir = tmp_path / "frags_et"
+    indir.mkdir()
+    with open(indir / "b1.json", "w") as f:
+        for r in frags:
+            f.write(json.dumps({**r.asDict(), "ts": base}) + "\n")
+        # plus one status-only straggler that must emit partial on timeout
+        f.write(
+            json.dumps({**frag("straggler", "status", _status("straggler")),
+                        "ts": base}) + "\n"
+        )
+
+    stream = (
+        spark.readStream.schema(fanin.FRAGMENT_IN_TS)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        fanin.fanin_stream_event_time(
+            stream, timeout_ms=5_000, watermark_delay="2 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("fanin_et")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        n = parsed.count()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM fanin_et").first()["c"] >= n:
+                break
+            time.sleep(0.5)
+        # push the watermark past the straggler's deadline (base + 5s):
+        # a sentinel fragment 60s later moves wm to base+58s
+        with open(indir / "b2.json", "w") as f:
+            f.write(
+                json.dumps({**frag("sentinel", "status", _status("sentinel")),
+                            "ts": "2026-01-01T00:01:00Z"}) + "\n"
+            )
+        while time.time() < deadline:
+            tags = {
+                r["tag"] for r in spark.sql("SELECT tag FROM fanin_et").collect()
+            }
+            if "straggler" in tags:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = {r["tag"]: r for r in spark.sql("SELECT * FROM fanin_et").collect()}
+    assert rows["straggler"]["is_partial"] is True, "watermark-driven partial"
+    emitted_complete = [t for t, r in rows.items() if not r["is_partial"]]
+    assert len(emitted_complete) == n, "every corpus tweet completes"
+
+    stream_typed = fanin.parse_assembled(
+        spark.createDataFrame(
+            [rows[t] for t in emitted_complete], schema=fanin.ASSEMBLED_OUT
+        )
+    )
+    batch_typed = fanin.fanin_batch(
+        frag_mod.build_fragments(parsed)
+    )
+    canon = lambda df: sorted(
+        df.select(F.to_json(F.struct(*sorted(df.columns))).alias("j")).collect()
+    )
+    assert canon(stream_typed) == canon(batch_typed)
+    parsed.unpersist()
 
 
 @pytest.mark.slow

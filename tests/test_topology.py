@@ -14,6 +14,19 @@ from bigtwine_streamprocessor_spark.streaming import fanin, topology
 N_TWEETS = 30
 
 
+def test_topology_source_has_no_driver_collects():
+    """Scale guard: every hop (including the Q2-Q5 response parsers) must
+    shape messages on executors — no collect()/toPandas()/toLocalIterator of
+    item-bearing data anywhere in the topology module."""
+    import inspect
+
+    from bigtwine_streamprocessor_spark.streaming import topology as topo_mod
+
+    src = inspect.getsource(topo_mod)
+    for banned in (".collect(", ".toPandas(", ".toLocalIterator("):
+        assert banned not in src, f"driver-side drain found: {banned}"
+
+
 @pytest.mark.slow
 def test_async_topology_matches_batch(spark, sf_dir, tmp_path):
     parsed_batch = parse_tweets(
