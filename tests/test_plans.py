@@ -28,6 +28,79 @@ def test_no_scale_antipatterns_in_plan(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 
 
+@pytest.fixture(scope="module")
+def partitioned_events_dir(spark, sf_dir, tmp_path_factory):
+    """Day-partitioned variant of the events table (what a 100 TB deployment
+    would lay down): events.parquet rewritten as event_date=YYYY-MM-DD/...."""
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.session import load_events
+
+    out = str(tmp_path_factory.mktemp("part_events") / "events_by_day")
+    (
+        load_events(spark, sf_dir)
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(out)
+    )
+    return out
+
+
+def test_partition_pruning_reaches_scan(spark, partitioned_events_dir):
+    """A date predicate on the partition column must prune at PLANNING time:
+    the scan's PartitionFilters carries the predicate, and the number of
+    files actually read shrinks to the matching day-partitions. This is the
+    Catalyst capability that turns a 100 TB scan into a one-day scan."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(partitioned_events_dir)
+    one_day = ev.filter(F.col("event_date") == "2024-01-03").groupBy(
+        "event_type"
+    ).count()
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the predicate must appear INSIDE PartitionFilters (not as a post-scan
+    # Filter over all partitions)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf, f"partition predicate not pushed: [{pf}]"
+
+    # physical proof: pruned scan touches strictly fewer files than the full
+    # table scan
+    import glob as g
+
+    all_files = len(g.glob(f"{partitioned_events_dir}/*/*.parquet"))
+    day_files = len(
+        g.glob(f"{partitioned_events_dir}/event_date=2024-01-03/*.parquet")
+    )
+    assert 0 < day_files < all_files
+
+    # row-level check: pruned read returns exactly the partition's rows
+    got = sum(r["count"] for r in one_day.collect())
+    want = spark.read.parquet(
+        f"{partitioned_events_dir}/event_date=2024-01-03"
+    ).count()
+    assert got == want
+
+
+def test_fingerprints_plan_shape_pinned(spark, sf_dir):
+    """text_fingerprints' distinct must keep map-side partial aggregation
+    before its single exchange (losing it would ship every raw (doc, hash)
+    row through the shuffle — the shape drift r2's bench variance suggested;
+    profiling showed the plan never moved, so pin it)."""
+    from bigtwine_streamprocessor_spark.operators import textstats
+
+    df = textstats.fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, "exactly one exchange (the distinct)"
+    ex = plan.index("Exchange hashpartitioning")
+    # executedPlan prints top-down: final agg ABOVE the exchange, map-side
+    # partial BELOW it
+    assert "HashAggregate" in plan[:ex], "final aggregate present"
+    assert "HashAggregate" in plan[ex:], "map-side partial aggregation lost"
+
+
 def test_parse_filter_pushdown(spark, sf_dir):
     """The tweet-validity scan must push its filters into the parquet reader
     (PushedFilters non-empty) and prune to the referenced columns."""

@@ -441,3 +441,80 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, tmp_path)
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_replay_rate_cap_bounds_batch_rows(spark, sf_dir, tmp_path):
+    """S2 rate-cap contract under the STREAMING JOB (not just source
+    construction): write_replay_files splits the corpus into exactly-N-row
+    files; with maxFilesPerTrigger=1 every micro-batch through the job's
+    source -> parse -> fragments chain must carry at most N tweets
+    (= 4N fragments). The Spark-native realization of the reference's
+    rows/s gate (`GridFSCsvSource.java:116-119`)."""
+    import time
+
+    from bigtwine_streamprocessor_spark import corpus, fragments as frag_mod
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.sources.dataset import write_replay_files
+    from bigtwine_streamprocessor_spark.sources.streams import tweet_replay_source
+
+    CAP = 7
+    N = 40
+    base = (
+        parse_tweets(corpus.tweets_df(spark, sf_dir), skip_retweets=True)
+        .orderBy("id")
+        .limit(N)
+    )
+    status_shape = base.select(
+        "id",
+        "text",
+        "lang",
+        F.struct(
+            F.col("user__id").alias("id"),
+            F.col("user__name").alias("name"),
+            F.col("user__screen_name").alias("screenName"),
+            F.col("user__location").alias("location"),
+        ).alias("user"),
+    )
+    out = str(tmp_path / "replay_in")
+    n_files = write_replay_files(status_shape, out, rows_per_file=CAP, order_by=["id"])
+    assert n_files == -(-N // CAP)
+
+    src = tweet_replay_source(spark, out, max_files_per_trigger=1)
+    raw = src.select(
+        F.col("status.id").alias("id"),
+        F.col("status.text").alias("text"),
+        F.col("status.lang").alias("lang"),
+        F.col("status.user.id").alias("user__id"),
+        F.col("status.user.name").alias("user__name"),
+        F.col("status.user.screenName").alias("user__screen_name"),
+        F.col("status.user.location").alias("user__location"),
+        F.coalesce(F.col("status.retweet"), F.lit(False)).alias("is_retweet"),
+    )
+    frags = frag_mod.build_fragments(parse_tweets(raw, skip_retweets=True))
+
+    batch_sizes: list[int] = []
+
+    def record(batch_df, epoch_id):
+        batch_sizes.append(batch_df.count())
+
+    q = (
+        frags.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "replay_chk"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and sum(batch_sizes) < 4 * N:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    nonzero = [b for b in batch_sizes if b]
+    assert sum(nonzero) == 4 * N, "every tweet's 4 fragments must arrive"
+    assert max(nonzero) <= 4 * CAP, (
+        f"rate cap violated: a micro-batch carried {max(nonzero)} fragments "
+        f"(> {4 * CAP} = 4 x {CAP} rows/file)"
+    )
+    assert len(nonzero) >= n_files, "each file must land in its own trigger"
