@@ -36,6 +36,9 @@ _GATE_FIRST = [
     "neel_fanin_batch",
     "neel_assembled_join",
     "agg_approx_distinct",
+    "dedup_embedding_clusters",  # new in r3
+    "join_bloom_pruned",  # new in r3
+    "text_unigram_logprob",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -44,6 +47,9 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "union_tagged_streams",
     "chunked_requests",
     "window_topk_per_group",
+    "sampling_deterministic",
+    "text_language_id",
+    "agg_rollup",
 ]
 
 

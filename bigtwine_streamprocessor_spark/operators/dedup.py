@@ -361,9 +361,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
     generation internally) so production pipelines feed cached/precomputed
     pairs and clustering costs only the propagation rounds.
     """
+    # localCheckpoint (not persist): materializes the edge frame AND truncates
+    # its lineage BEFORE the union — candidate-generation plans can carry
+    # enormous expression trees (e.g. unrolled 64-dim LSH hyperplanes), and
+    # unioning two copies of that tree doubles it into a plan the driver
+    # can't even compile (observed heap OOM on the embedding edge source).
+    # Checkpoint once, then both union branches read the truncated frame.
+    edges = edges.localCheckpoint(eager=True)
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         bidir.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -378,8 +385,32 @@ def connected_components(edges: DataFrame) -> DataFrame:
             labels.unionByName(nb)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # pointer jumping: also adopt the label OF my label (one extra
+        # id-keyed join per round) — convergence drops from O(diameter) to
+        # O(log diameter), which is what makes long chain-shaped components
+        # (loose-threshold embedding graphs) tractable.
+        prop = (
+            prop.alias("p")
+            .join(
+                prop.select(
+                    F.col("doc_id").alias("label"),
+                    F.col("label").alias("_ll"),
+                ).alias("pl"),
+                "label",
+                "left",
+            )
+            .select(
+                F.col("doc_id"),
+                F.least(F.col("label"), F.col("_ll")).alias("label"),
+            )
+        )
+        # localCheckpoint, NOT persist: persist keeps the full lineage, so
+        # each round's plan embeds the previous round's twice and the plan
+        # tree (and its explain string) grows exponentially — observed
+        # driver heap OOM around round 8. Checkpointing truncates lineage to
+        # the materialized result, keeping every round's plan constant-size.
+        prop = prop.localCheckpoint(eager=True)
         changed = (
             prop.join(labels.withColumnRenamed("label", "_old"), "doc_id")
             .filter(F.col("label") != F.col("_old"))
@@ -398,7 +429,6 @@ def connected_components(edges: DataFrame) -> DataFrame:
         "doc_id", F.col("label").alias("cluster_id")
     ).localCheckpoint(eager=True)
     labels.unpersist()
-    bidir.unpersist()
     return out
 
 

@@ -64,6 +64,45 @@ def interval_join_bucketed(
     )
 
 
+BLOOM_M = 1 << 16  # filter positions; size is BOUNDED by m regardless of keys
+BLOOM_K = 2  # hash functions
+
+
+def _bloom_pos(c, seed: int):
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(BLOOM_M))
+
+
+def bloom_semi_filter(
+    probe: DataFrame, build_keys: DataFrame, build_col: str, probe_col: str
+) -> DataFrame:
+    """Bloom-style runtime row pruning for selective joins, in pure Column
+    expressions (Spark's own ``bloom_filter_agg`` powers InjectRuntimeFilter
+    but is not SQL/DataFrame-exposed): the build side's keys hash into k
+    positions of an m-slot space; the occupied-position set (<= m values — a
+    BOUNDED broadcast no matter how many keys) broadcasts to the probe side,
+    which keeps only rows whose k positions are all present.
+
+    May pass false positives, NEVER false negatives — so following with the
+    exact join keeps results exact while the shuffle/scan downstream sees
+    only candidate rows. At 100 TB this is the difference between shuffling
+    the full fact table and shuffling the matching slice.
+    """
+    bits = build_keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(build_col), s) for s in range(BLOOM_K)]
+            )
+        ).alias("_pos")
+    ).agg(F.sort_array(F.collect_set("_pos")).alias("_bloom"))
+    pred = None
+    for s in range(BLOOM_K):
+        hit = F.array_contains(
+            F.col("_bloom"), _bloom_pos(F.col(probe_col), s)
+        )
+        pred = hit if pred is None else (pred & hit)
+    return probe.join(F.broadcast(bits)).filter(pred).drop("_bloom")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -328,13 +328,8 @@ def embedding_neardup_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
-def embedding_neardup_sql(
-    threshold: float = 0.9,
-    n_bits: int = N_BITS,
-    probe_radius: int = PROBE_RADIUS,
-) -> str:
-    return f"""
-WITH bucketed AS (
+def _neardup_base_ctes(n_bits: int, probe_radius: int) -> str:
+    return f"""bucketed AS (
     SELECT vec_id, embedding,
            {bucket_sql(n_bits)} AS bucket,
            {_NORM_SQL.format(a="embedding")} AS nrm
@@ -351,9 +346,31 @@ pairs AS (
                  / (a.nrm_a * b.nrm), {COS_ROUND}) AS cos
     FROM bucketed b JOIN a_probes a
       ON b.bucket = a.probe AND a.id_a < b.vec_id
-)
+)"""
+
+
+def embedding_neardup_sql(
+    threshold: float = 0.9,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> str:
+    return f"""
+WITH {_neardup_base_ctes(n_bits, probe_radius)}
 SELECT doc_a, doc_b, cos FROM pairs WHERE cos >= {threshold}
 """
+
+
+def neardup_ctes_sql(
+    threshold: float = 0.9,
+    n_bits: int = N_BITS,
+    probe_radius: int = PROBE_RADIUS,
+) -> str:
+    """CTE chain ending in ``neardup_pairs`` (doc_a, doc_b) — composable into
+    downstream oracles (connected components over the embedding pair graph)."""
+    return f"""{_neardup_base_ctes(n_bits, probe_radius)},
+neardup_pairs AS (
+    SELECT doc_a, doc_b FROM pairs WHERE cos >= {threshold}
+)"""
 
 
 # ---------------------------------------------------------------------------

@@ -264,3 +264,57 @@ ranked AS (
 )
 SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's own unigram
+    LM with add-one smoothing: p(tok) = (c(tok)+1) / (N+V). The classic
+    language-model quality filter a training pipeline runs to drop gibberish
+    (low avg log-prob) before spending GPU time on it.
+
+    Plan: one token explode -> vocab-keyed count (map-side partials) ->
+    token-keyed join back (vocab-sized right side; Catalyst broadcasts when
+    stats allow, hash-joins otherwise) -> per-doc average. The (N, V) corpus
+    totals ride along as a 1-row broadcast. avg rounds to 5 decimals so the
+    ~1e-13 summation-order noise between engines can't flip the hash.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    logp = F.log(
+        (F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")
+    )
+    return (
+        toks.join(freq, "term")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 5).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(source: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source}
+    ) WHERE len(term) > 0
+),
+freq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term
+),
+tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM freq
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(CAST(f.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))), 5)
+         AS avg_logprob
+FROM tok t JOIN freq f USING (term) CROSS JOIN tot
+GROUP BY t.doc_id
+"""

@@ -1229,3 +1229,94 @@ def similarity_ivf_topk(spark, sf_dir):
     2 iterations) + n_probe=4 probing, exact cosine within probed cells only
     (the shard-per-cell ANN layout for 100 TB; size n_cells ~ sqrt(n))."""
     return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: edge-generic clustering, bloom-pruned join, LM quality
+# ---------------------------------------------------------------------------
+
+
+def _embedding_clusters_oracle():
+    return f"""
+WITH RECURSIVE {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()},
+cluster_edges AS (
+    SELECT doc_a, doc_b FROM neardup_pairs
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM neardup_pairs
+),
+walk(doc_id, label) AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM cluster_edges
+    UNION
+    SELECT e.doc_b AS doc_id, w.label
+    FROM walk w JOIN cluster_edges e ON e.doc_a = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+"""
+
+
+@register("dedup_embedding_clusters", _embedding_clusters_oracle())
+def dedup_embedding_clusters(spark, sf_dir):
+    """Connected components are EDGE-SOURCE GENERIC: the same
+    ``connected_components`` operator as dedup_clusters, fed embedding-cosine
+    near-dup pairs instead of text-Jaccard pairs — semantic duplicate groups
+    (translations, paraphrases) that lexical dedup can't see. Gated against
+    the same recursive-CTE fixpoint over the embedding pair graph."""
+    edges = similarity.embedding_neardup_pairs(
+        _emb(spark, sf_dir), 0.2, n_bits=8
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(edges)
+
+
+@register(
+    "join_bloom_pruned",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Bloom-style runtime row pruning (operators/joins.py:bloom_semi_filter):
+    the selective build side's keys hash into a BOUNDED position set that
+    broadcasts to the fact scan, dropping non-matching rows before the join
+    shuffle. False positives are removed by the exact join that follows, so
+    the oracle is the PLAIN join — the filter must be semantically invisible.
+    (Spark's InjectRuntimeFilter does this internally for some shapes; this
+    is the explicit, always-available form.)"""
+    from .operators.joins import bloom_semi_filter
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_semi_filter(li, o, "o_orderkey", "l_orderkey")
+    return (
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register("text_unigram_logprob", textstats.unigram_logprob_sql())
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality scoring: per-doc average unigram log-probability
+    (add-one smoothing) — the LM-based gibberish filter of a training-data
+    pipeline (low avg log-prob = drop candidate)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
+BENCH_EXTRA.extend(
+    ["dedup_embedding_clusters", "join_bloom_pruned", "text_unigram_logprob"]
+)
