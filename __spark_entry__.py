@@ -39,6 +39,14 @@ _GATE_FIRST = [
     "dedup_embedding_clusters",  # new in r3
     "join_bloom_pruned",  # new in r3
     "text_unigram_logprob",  # new in r3
+    "decontaminate_benchmark",  # new in r3
+    "text_gopher_rules",  # new in r3
+    "text_repetition_ratio",  # new in r3
+    "pack_sequences",  # new in r3
+    "shuffle_global",  # new in r3
+    "text_pii_redaction",  # new in r3
+    "index_inverted",  # new in r3
+    "dedup_semantic_keep",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",

@@ -318,3 +318,48 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tok t JOIN freq f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
 """
+
+
+def repetition_ratio(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): fraction of
+    word 3-grams that are repeats of an earlier gram in the same doc. High
+    ratio = boilerplate/spam/looping text — drop before training.
+
+    Pure per-row array math (gram array vs its distinct form) — zero-shuffle
+    whole-stage-codegen scan at any scale.
+    """
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    n = F.size(F.col("_g"))
+    d = F.size(F.array_distinct(F.col("_g")))
+    return (
+        docs.withColumn("_g", grams)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_grams"),
+            d.cast("bigint").alias("n_distinct_grams"),
+            F.round((n - d).cast("double") / n.cast("double"), 5).alias(
+                "rep_ratio"
+            ),
+        )
+    )
+
+
+def repetition_ratio_sql(source: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+       round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g), 5)
+         AS rep_ratio
+FROM (
+    SELECT doc_id, list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+    ) AS g
+    FROM {source}
+)
+"""

@@ -1320,3 +1320,144 @@ def text_unigram_logprob(spark, sf_dir):
 BENCH_EXTRA.extend(
     ["dedup_embedding_clusters", "join_bloom_pruned", "text_unigram_logprob"]
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: training-data curation layer (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from .operators import curation  # noqa: E402
+
+# Benchmark stand-in: the seeded duplicate copies (every DUP_SEED_MOD-th doc
+# re-tagged at +DUP_SEED_OFFSET) act as the "eval set" — so the scan must
+# rediscover exactly the leaked source docs via shared n-grams.
+_BENCHMARK_SQL = f"""(
+    SELECT doc_id + {dedup.DUP_SEED_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % {dedup.DUP_SEED_MOD} = 0
+)"""
+
+
+def _benchmark_docs(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % dedup.DUP_SEED_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(dedup.DUP_SEED_OFFSET))
+        .select("doc_id", "text")
+    )
+
+
+@register(
+    "decontaminate_benchmark",
+    curation.decontaminate_sql("documents", _BENCHMARK_SQL),
+)
+def decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 8-gram with the
+    eval set (seeded-duplicate stand-in) — the test-set-leak scan run before
+    every training job. Digest-only shuffle + broadcast benchmark grams."""
+    return curation.decontaminate(
+        _docs(spark, sf_dir), _benchmark_docs(spark, sf_dir)
+    )
+
+
+@register("text_gopher_rules", curation.gopher_rules_sql())
+def text_gopher_rules(spark, sf_dir):
+    """Composite Gopher-style quality gate (word count, mean word length,
+    stopword presence) with per-signal columns — zero-shuffle codegen scan."""
+    return curation.gopher_rules(_docs(spark, sf_dir))
+
+
+@register("text_repetition_ratio", textstats.repetition_ratio_sql())
+def text_repetition_ratio(spark, sf_dir):
+    """Intra-doc 3-gram repetition fraction (boilerplate/spam signal) —
+    per-row array math, zero shuffles."""
+    return textstats.repetition_ratio(_docs(spark, sf_dir))
+
+
+@register("pack_sequences", curation.pack_sequences_sql())
+def pack_sequences(spark, sf_dir):
+    """Context-window packing: assign docs to fixed 512-token training blocks
+    by running offset within each source shard (per-shard window, no global
+    sort)."""
+    return curation.pack_sequences(_docs(spark, sf_dir))
+
+
+@register("shuffle_global", curation.global_shuffle_sql())
+def shuffle_global(spark, sf_dir):
+    """Seeded engine-independent global shuffle order (rank of md5(seed:id))
+    — the data-loader ordering pass; range-partitioned sort on a uniform
+    key."""
+    return curation.global_shuffle(_docs(spark, sf_dir))
+
+
+@register(
+    "text_pii_redaction",
+    curation.redact_pii_sql(curation.SYNTHETIC_PII_SQL),
+)
+def text_pii_redaction(spark, sf_dir):
+    """Email scrubbing over deterministically-injected synthetic PII: count +
+    placeholder replacement per doc (map-only regex scan; pattern family
+    extends to phones/SSNs)."""
+    return curation.redact_pii(
+        curation.with_synthetic_pii(_docs(spark, sf_dir))
+    )
+
+
+@register("index_inverted", curation.inverted_index_sql())
+def index_inverted(spark, sf_dir):
+    """Inverted index (term -> df + sorted postings): one term-keyed shuffle
+    with map-side distinct."""
+    return curation.inverted_index(_docs(spark, sf_dir))
+
+
+def _semantic_keep_oracle():
+    return f"""
+WITH RECURSIVE {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()},
+cluster_edges AS (
+    SELECT doc_a, doc_b FROM neardup_pairs
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM neardup_pairs
+),
+walk(doc_id, label) AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM cluster_edges
+    UNION
+    SELECT e.doc_b AS doc_id, w.label
+    FROM walk w JOIN cluster_edges e ON e.doc_a = w.doc_id
+),
+comp AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT e.vec_id FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.doc_id
+WHERE comp.cluster_id IS NULL OR comp.cluster_id = e.vec_id
+"""
+
+
+@register("dedup_semantic_keep", _semantic_keep_oracle())
+def dedup_semantic_keep(spark, sf_dir):
+    """The ACTION step of semantic dedup: keep one representative (min id)
+    per embedding-cosine cluster, pass through unclustered docs — the frame a
+    training run actually reads after near-dup analysis."""
+    emb = _emb(spark, sf_dir)
+    edges = similarity.embedding_neardup_pairs(emb, 0.2, n_bits=8).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup.connected_components(edges)
+    return (
+        emb.join(cc, emb["vec_id"] == cc["doc_id"], "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("vec_id"))
+        )
+        .select("vec_id")
+    )
+
+
+BENCH_EXTRA.extend(
+    [
+        "decontaminate_benchmark",
+        "text_gopher_rules",
+        "text_repetition_ratio",
+        "pack_sequences",
+        "shuffle_global",
+        "text_pii_redaction",
+        "index_inverted",
+        "dedup_semantic_keep",
+    ]
+)

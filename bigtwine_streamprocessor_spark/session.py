@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # Cap plan EXPLAIN strings: AQE re-renders the plan string on every
+        # runtime re-plan, and operators with wide unrolled expression trees
+        # (64-dim LSH hyperplanes, 12-perm minhash) can make that string
+        # large enough to dominate driver heap. 8 MB keeps plans debuggable
+        # while bounding the cost. (Execution is unaffected — only toString.)
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if rocksdb_state:
