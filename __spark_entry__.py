@@ -58,6 +58,12 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "sampling_deterministic",
     "text_language_id",
     "agg_rollup",
+    "neel_resources",
+    "neel_nel",
+    "filter_has_links",
+    "agg_pricing_summary",
+    "join_broadcast_dims",
+    "window_tumbling_events",
 ]
 
 

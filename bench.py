@@ -53,19 +53,33 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
     from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
     from bigtwine_streamprocessor_spark.streaming import topology
 
+    import pyspark.sql.functions as F
+
     root = tempfile.mkdtemp(prefix="bench-topo-")
     try:
-        parsed = parse_tweets(
+        base = parse_tweets(
             corpus.tweets_df(spark, stream_sf_dir), skip_retweets=True
-        ).cache()
+        )
+        # replay amplification: x10 copies under distinct ids — batches must
+        # carry enough rows that the steady rate measures per-batch CAPACITY
+        # of the hops, not the feed's drip latency (470-row total corpus ->
+        # ~60-row batches -> a number dominated by 1 s trigger waits).
+        parsed = base
+        for i in range(1, 10):
+            parsed = parsed.unionByName(
+                base.withColumn(
+                    "id", F.concat(F.col("id"), F.lit(f"_r{i}"))
+                )
+            )
+        parsed = parsed.cache()
         n = parsed.count()
         indir = os.path.join(root, "in")
         # many small files -> a continuous stream of micro-batches rather
         # than one giant batch followed by idle triggers
-        parsed.repartition(16).write.json(indir)
+        parsed.repartition(32).write.json(indir)
         stream = (
             spark.readStream.schema(parsed.schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 4)
             .json(indir)
         )
 
@@ -107,7 +121,8 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "steady_tweets_per_s": round(steady_rate, 1),
             "steady_window_s": round(steady_window, 3),
             "method": "rate over samples from 25%-complete to last result,"
-            " continuous feed (16 files, maxFilesPerTrigger=2)",
+            " continuous feed (x10 replay-amplified corpus, 32 files,"
+            " maxFilesPerTrigger=4)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

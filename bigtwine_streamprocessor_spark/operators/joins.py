@@ -64,43 +64,78 @@ def interval_join_bucketed(
     )
 
 
-BLOOM_M = 1 << 16  # filter positions; size is BOUNDED by m regardless of keys
+BLOOM_M = 1 << 20  # filter bits; sized ~10x expected build keys
 BLOOM_K = 2  # hash functions
 
 
-def _bloom_pos(c, seed: int):
-    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(BLOOM_M))
+def _bloom_pos(c, seed: int, m: int):
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m))
 
 
 def bloom_semi_filter(
-    probe: DataFrame, build_keys: DataFrame, build_col: str, probe_col: str
+    probe: DataFrame,
+    build_keys: DataFrame,
+    build_col: str,
+    probe_col: str,
+    m: int = BLOOM_M,
 ) -> DataFrame:
     """Bloom-style runtime row pruning for selective joins, in pure Column
     expressions (Spark's own ``bloom_filter_agg`` powers InjectRuntimeFilter
-    but is not SQL/DataFrame-exposed): the build side's keys hash into k
-    positions of an m-slot space; the occupied-position set (<= m values — a
-    BOUNDED broadcast no matter how many keys) broadcasts to the probe side,
-    which keeps only rows whose k positions are all present.
+    but is not SQL/DataFrame-exposed): the build side's keys hash into k of
+    m bit positions; the bitmask — packed into m/64 longs, a BOUNDED
+    broadcast (m=2^20 -> 128 KiB) no matter how many keys — broadcasts to
+    the probe side, which keeps only rows whose k bits are all set.
+
+    The probe is O(1) per row: ``element_at`` on the word array is a direct
+    index (GetArrayItem), then shift+mask. (An earlier occupied-position-set
+    formulation probed via ``array_contains`` — a LINEAR scan of up to m
+    values per row, ~100x slower on a 600k-row probe side.)
 
     May pass false positives, NEVER false negatives — so following with the
     exact join keeps results exact while the shuffle/scan downstream sees
     only candidate rows. At 100 TB this is the difference between shuffling
     the full fact table and shuffling the matching slice.
     """
-    bits = build_keys.select(
-        F.explode(
-            F.array(
-                *[_bloom_pos(F.col(build_col), s) for s in range(BLOOM_K)]
-            )
-        ).alias("_pos")
-    ).agg(F.sort_array(F.collect_set("_pos")).alias("_bloom"))
+    n_words = (m + 63) // 64
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col(build_col), s, m) for s in range(BLOOM_K)])
+    ).alias("_pos")
+    # bit_or partials combine map-side; the zero filler guarantees every word
+    # index exists, so the collected array is dense and positional.
+    filler = build_keys.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("_w"), F.lit(0).cast("long").alias("_b")
+    )
+    words = (
+        build_keys.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_w"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_b"),
+        )
+        .union(filler)
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    # one row: dense word array (index = word, O(1) element access on probe)
+    mask = words.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_w", "_bits"))),
+            lambda x: x["_bits"],
+        ).alias("_bloom")
+    )
+
+    def _hit(s: int):
+        return F.expr(
+            f"(shiftright(element_at(_bloom, CAST(pmod(xxhash64({probe_col},"
+            f" {s}), {m}) / 64 AS INT) + 1),"
+            f" CAST(pmod(xxhash64({probe_col}, {s}), {m}) % 64 AS INT))"
+            f" & 1L) = 1L"
+        )
+
     pred = None
     for s in range(BLOOM_K):
-        hit = F.array_contains(
-            F.col("_bloom"), _bloom_pos(F.col(probe_col), s)
-        )
-        pred = hit if pred is None else (pred & hit)
-    return probe.join(F.broadcast(bits)).filter(pred).drop("_bloom")
+        h = _hit(s)
+        pred = h if pred is None else (pred & h)
+    return probe.join(F.broadcast(mask)).filter(pred).drop("_bloom")
 
 
 def asof_join(

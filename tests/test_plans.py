@@ -115,3 +115,40 @@ def test_parse_filter_pushdown(spark, sf_dir):
     )
     assert "PushedFilters: [" in plan
     assert "PushedFilters: []" not in plan
+
+
+def test_bloom_filter_broadcasts_and_join_still_hashes(spark, sf_dir):
+    """join_bloom_pruned: the bloom bit-set side must BROADCAST (bounded tiny
+    frame), and the exact join after pruning stays a hash join on the key."""
+    plan = _plan(spark, sf_dir, "join_bloom_pruned")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set (eval sets are small by definition) must reach
+    the corpus side via broadcast, not a shuffled join."""
+    plan = _plan(spark, sf_dir, "decontaminate_benchmark")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_has_no_global_sort(spark, sf_dir):
+    """Packing must window per-source (parallel shards), never collapse to a
+    single-partition global sort."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    # per-source window: a hashpartitioning exchange on source, no
+    # SinglePartition coalesce for the window operator
+    assert "hashpartitioning(source" in plan
+    assert "singlepartition" not in plan.lower()
+
+
+def test_curation_scans_are_map_only(spark, sf_dir):
+    """Quality rules / repetition / redaction are map-only JVM scans: zero
+    exchanges, zero Python. (HOF lambdas keep these out of whole-stage
+    codegen, but they stay interpreted-JVM Column expressions — the scale
+    properties that matter are no shuffle and no BatchEvalPython.)"""
+    for name in ("text_gopher_rules", "text_repetition_ratio", "text_pii_redaction"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+        assert "EvalPython" not in plan, f"{name}: Python in the scan"
