@@ -47,6 +47,11 @@ _GATE_FIRST = [
     "text_pii_redaction",  # new in r3
     "index_inverted",  # new in r3
     "dedup_semantic_keep",  # new in r3
+    "agg_percentiles_exact",  # new in r3
+    "window_event_deltas",  # new in r3
+    "compact_latest_events",  # new in r3
+    "join_anti_customers_no_orders",  # new in r3
+    "agg_cube_events",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -64,6 +69,11 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "agg_pricing_summary",
     "join_broadcast_dims",
     "window_tumbling_events",
+    "neel_geo",
+    "neel_export_dataset",
+    "dedup_minhash_signatures",
+    "text_quality_scores",
+    "join_fact_fact",
 ]
 
 

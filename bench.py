@@ -141,14 +141,26 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).collect()
 
+    from bigtwine_streamprocessor_spark.operators import dedup, similarity
+    from pyspark.sql import functions as F
+
+    def _emb_edges():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        e = (
+            similarity.embedding_neardup_pairs(emb, 0.2, n_bits=8)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        return emb, e
+
     timings: dict[str, float] = {}
     for name in names:
+        # Production shape for the clustering family: connected components
+        # consume CACHED near-dup pairs — the candidate chains are timed
+        # under their own entries (dedup_ngram_jaccard for the text chain,
+        # similarity_embedding_neardup for the embedding chain); these
+        # entries time the label-propagation rounds (+ the keep join).
         if name == "dedup_clusters":
-            # production shape: clustering consumes CACHED near-dup pairs
-            # (the LSH+Jaccard chain is already timed under
-            # dedup_ngram_jaccard); this times the label-propagation rounds
-            from bigtwine_streamprocessor_spark.operators import dedup
-
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             edges = (
                 dedup.ngram_jaccard_pairs(docs, 0.5)
@@ -162,6 +174,31 @@ def main() -> None:
             ).save()
             timings[name] = round(time.perf_counter() - t0, 3)
             edges.unpersist()
+            continue
+        if name == "dedup_embedding_clusters":
+            _, edges = _emb_edges()
+            t0 = time.perf_counter()
+            dedup.connected_components(edges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            continue
+        if name == "dedup_semantic_keep":
+            emb, edges = _emb_edges()
+            t0 = time.perf_counter()
+            cc = dedup.connected_components(edges)
+            (
+                emb.join(cc, emb["vec_id"] == cc["doc_id"], "left")
+                .filter(
+                    F.col("cluster_id").isNull()
+                    | (F.col("cluster_id") == F.col("vec_id"))
+                )
+                .select("vec_id")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            timings[name] = round(time.perf_counter() - t0, 3)
             continue
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)

@@ -375,7 +375,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         bidir.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(CLUSTER_MAX_ITERS):
         nb = bidir.join(
@@ -405,19 +405,27 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 F.least(F.col("label"), F.col("_ll")).alias("label"),
             )
         )
+        # Fold convergence detection into the same materialization: the
+        # changed flag rides along, so the per-round cost is ONE job plus a
+        # count over the cached result (no separate compare join/job).
         # localCheckpoint, NOT persist: persist keeps the full lineage, so
         # each round's plan embeds the previous round's twice and the plan
         # tree (and its explain string) grows exponentially — observed
         # driver heap OOM around round 8. Checkpointing truncates lineage to
         # the materialized result, keeping every round's plan constant-size.
-        prop = prop.localCheckpoint(eager=True)
-        changed = (
-            prop.join(labels.withColumnRenamed("label", "_old"), "doc_id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
+        prop = (
+            prop.join(
+                labels.withColumnRenamed("label", "_old"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                "label",
+                (F.col("label") != F.col("_old")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels.unpersist()
-        labels = prop
+        changed = prop.filter(F.col("_chg")).count()
+        labels = prop.select("doc_id", "label")
         if changed == 0:
             break
     else:  # pragma: no cover - tiny diameters converge in a few rounds

@@ -1451,6 +1451,9 @@ def dedup_semantic_keep(spark, sf_dir):
 
 BENCH_EXTRA.extend(
     [
+        "similarity_embedding_neardup",  # embedding candidate chain, timed
+        # as its own entry so the clustering entries can consume cached
+        # pairs (production shape, same treatment as dedup_ngram_jaccard)
         "decontaminate_benchmark",
         "text_gopher_rules",
         "text_repetition_ratio",
@@ -1461,3 +1464,158 @@ BENCH_EXTRA.extend(
         "dedup_semantic_keep",
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: relational completions (percentiles, deltas, compaction,
+# anti join, cube)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark, sf_dir):
+    """EXACT distributed percentiles (linear interpolation, the
+    percentile_cont contract) per group — the sort-based path; Spark's
+    ``percentile`` aggregate shuffles (group, value) pairs and sorts within
+    groups. The approximate sketch path exists as agg_approx_distinct's
+    sibling; this is the auditable exact one."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pct = F.percentile("l_extendedprice", F.lit([0.5, 0.9, 0.99]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p50"),
+            F.round(F.col("_p")[1], 4).alias("p90"),
+            F.round(F.col("_p")[2], 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "window_event_deltas",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS prev_gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_event_deltas(spark, sf_dir):
+    """lag/lead event-sequence features (inter-event gap, next action) — the
+    per-entity ordered-window family beyond sessionize; one user-keyed
+    exchange, windows evaluated within partitions."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("prev_gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "compact_latest_events",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def compact_latest_events(spark, sf_dir):
+    """Latest-wins compaction (the CDC/upsert materialization pattern): one
+    row per key, newest (ts, id) wins. Single key-partitioned window; at
+    scale this is the standard snapshot-compaction shape for mutable feeds."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "join_anti_customers_no_orders",
+    """
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_customers_no_orders(spark, sf_dir):
+    """Left-anti join (customers with no URGENT order — every customer has
+    SOME order in this synthetic data, so the unfiltered variant would be a
+    vacuous 0-row gate) — the orphan/retention scan; the filter pushes to
+    the orders scan and the anti join shuffles only keys."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+
+
+@register(
+    "agg_cube_events",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+    GROUP BY CUBE (event_type, hr)
+    """,
+)
+def agg_cube_events(spark, sf_dir):
+    """Full CUBE grouping-set aggregation (type x hour with both margins) —
+    completes the rollup family; Spark expands grouping sets map-side then
+    aggregates once."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return (
+        ev.cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+BENCH_EXTRA.extend(["agg_percentiles_exact", "compact_latest_events"])
