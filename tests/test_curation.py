@@ -140,3 +140,64 @@ def test_semantic_keep_removes_only_cluster_members(spark, sf_dir):
     n_clusters = cc.select("cluster_id").distinct().count()
     # kept = unclustered + one representative per cluster
     assert n_kept == n_emb - n_clustered + n_clusters
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis drives the data, Spark checks the invariant)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+    extra=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+)
+def test_bloom_never_false_negative(spark, keys, extra):
+    """Every probe row whose key IS in the build set must survive the bloom
+    filter, for arbitrary key sets (false positives allowed, negatives
+    never)."""
+    from bigtwine_streamprocessor_spark.operators.joins import bloom_semi_filter
+
+    build = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    probe = spark.createDataFrame(
+        [(k,) for k in set(keys) | set(extra)], "p bigint"
+    )
+    kept = {
+        r.p
+        for r in bloom_semi_filter(probe, build, "k", "p", m=1 << 12).collect()
+    }
+    assert set(keys) <= kept
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60)
+)
+def test_pack_offsets_always_bounded(spark, toks):
+    """block_offset < window and block ids are non-decreasing in doc order,
+    even when single docs exceed the window size."""
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.operators import curation
+
+    rows = [(i, "s0", " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curation.pack_sequences(docs).collect()
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    assert all(0 <= r.block_offset < curation.PACK_WINDOW for r in by_id)
+    blocks = [r.block_id for r in by_id]
+    assert blocks == sorted(blocks)
+    assert blocks[0] == 0

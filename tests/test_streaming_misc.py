@@ -518,3 +518,59 @@ def test_replay_rate_cap_bounds_batch_rows(spark, sf_dir, tmp_path):
         f"(> {4 * CAP} = 4 x {CAP} rows/file)"
     )
     assert len(nonzero) >= n_files, "each file must land in its own trigger"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the batch pair
+    set (purchases x nearby same-user events within +-5 min)."""
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.session import load_events
+    from bigtwine_streamprocessor_spark.streaming.stream_joins import (
+        interval_pair_stream,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    d = tmp_path / "ev"
+    ev.coalesce(4).write.json(str(d))
+
+    events_s = spark.readStream.schema(ev.schema).json(str(d))
+    purchases_s = (
+        spark.readStream.schema(ev.schema)
+        .json(str(d))
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = interval_pair_stream(events_s, purchases_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.anchor_event_id, r.event_id)
+        for r in spark.table("ssj_out").collect()
+    }
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_k"),
+        F.col("event_id").alias("anchor_event_id"),
+        F.col("ts").alias("_ats"),
+    )
+    expected = {
+        (r.anchor_event_id, r.event_id)
+        for r in ev.join(
+            purchases,
+            (F.col("user_id") == F.col("_k"))
+            & (F.col("ts") >= F.col("_ats") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("ts") <= F.col("_ats") + F.expr("INTERVAL 300 SECONDS")),
+        )
+        .select("anchor_event_id", "event_id")
+        .collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
