@@ -52,6 +52,8 @@ _GATE_FIRST = [
     "compact_latest_events",  # new in r3
     "join_anti_customers_no_orders",  # new in r3
     "agg_cube_events",  # new in r3
+    "decontaminate_keep",  # new in r3
+    "embedding_label_centroids",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -74,6 +76,8 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "dedup_minhash_signatures",
     "text_quality_scores",
     "join_fact_fact",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
 ]
 
 

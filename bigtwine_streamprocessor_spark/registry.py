@@ -1619,3 +1619,76 @@ def agg_cube_events(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["agg_percentiles_exact", "compact_latest_events"])
+
+
+@register(
+    "decontaminate_keep",
+    f"""
+    WITH flagged AS (
+        {{}}
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+    """.format(
+        curation.decontaminate_sql("documents", _BENCHMARK_SQL).strip()
+    ),
+)
+def decontaminate_keep(spark, sf_dir):
+    """The ACTION step of decontamination: the clean corpus (docs with NO
+    benchmark n-gram overlap) via left-anti join against the flagged set —
+    what the training run actually reads."""
+    docs = _docs(spark, sf_dir)
+    flagged = curation.decontaminate(docs, _benchmark_docs(spark, sf_dir))
+    return docs.join(flagged, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH comp AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+        FROM comp GROUP BY label, pos
+    ),
+    sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        FROM embeddings GROUP BY label
+    )
+    SELECT m.label, s.n_members, list(m.m ORDER BY m.pos) AS centroid
+    FROM means m JOIN sizes s USING (label)
+    GROUP BY m.label, s.n_members
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the class-prototype audit an embedding
+    pipeline runs): posexplode -> (label, dim)-keyed mean partials -> re-pack
+    ordered centroid arrays. Shuffles (label, dim, partial-sum) triples —
+    dimension-parallel, never a whole-vector exchange; both aggregations
+    combine map-side."""
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    means = comp.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("centroid")
+        )
+        .join(sizes, "label")
+        .select("label", "n_members", "centroid")
+    )
+
+
+BENCH_EXTRA.extend(["embedding_label_centroids"])
