@@ -60,12 +60,12 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         base = parse_tweets(
             corpus.tweets_df(spark, stream_sf_dir), skip_retweets=True
         )
-        # replay amplification: x10 copies under distinct ids — batches must
+        # replay amplification: x20 copies under distinct ids — batches must
         # carry enough rows that the steady rate measures per-batch CAPACITY
         # of the hops, not the feed's drip latency (470-row total corpus ->
         # ~60-row batches -> a number dominated by 1 s trigger waits).
         parsed = base
-        for i in range(1, 10):
+        for i in range(1, 20):
             parsed = parsed.unionByName(
                 base.withColumn(
                     "id", F.concat(F.col("id"), F.lit(f"_r{i}"))
@@ -76,10 +76,10 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         indir = os.path.join(root, "in")
         # many small files -> a continuous stream of micro-batches rather
         # than one giant batch followed by idle triggers
-        parsed.repartition(32).write.json(indir)
+        parsed.repartition(64).write.json(indir)
         stream = (
             spark.readStream.schema(parsed.schema)
-            .option("maxFilesPerTrigger", 4)
+            .option("maxFilesPerTrigger", 8)
             .json(indir)
         )
 
@@ -121,8 +121,8 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "steady_tweets_per_s": round(steady_rate, 1),
             "steady_window_s": round(steady_window, 3),
             "method": "rate over samples from 25%-complete to last result,"
-            " continuous feed (x10 replay-amplified corpus, 32 files,"
-            " maxFilesPerTrigger=4)",
+            " continuous feed (x20 replay-amplified corpus, 64 files,"
+            " maxFilesPerTrigger=8, ~1175 rows/trigger)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
