@@ -1,0 +1,129 @@
+"""End-to-end training-corpus curation job.
+
+The composition a 100 TB data pipeline actually runs between raw corpus and
+tokenizer, chaining the curation operators (`operators/curation.py`,
+`operators/dedup.py`, `operators/similarity.py`) in their production order:
+
+    1. quality gate   — Gopher-style composite rules (map-only scan)
+    2. PII redaction  — regex scrub, redaction counts kept as metadata
+    3. decontaminate  — drop docs sharing n-grams with the benchmark/eval set
+    4. exact dedup    — keep min doc_id per byte-identical text hash
+    5. near dedup     — SimHash banded Hamming pairs -> connected components
+                        -> keep one representative per cluster
+    6. pack + shuffle — 512-token block assignment, seeded global order
+    7. write          — parquet partitioned by source (partition pruning at
+                        read time), plus a one-row JSON funnel report
+
+Stage order matters at scale: the cheap map-only gates run FIRST so every
+shuffle-bearing stage (dedup, packing) sees only surviving rows. Each stage
+is also exposed separately in the registry with its own oracle; this job is
+the glue + the funnel accounting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import curation, dedup
+from ..session import get_spark
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    simhash_max_distance: int = 3,
+) -> tuple[DataFrame, dict]:
+    """Run the funnel over ``docs`` (doc_id, text, lang, source, n_chars).
+
+    Returns (curated DataFrame ready to write, funnel counts dict). The
+    funnel dict is driver-side scalars only — one count per stage.
+    """
+    funnel: dict[str, int] = {"input": docs.count()}
+
+    # 1. quality gate (map-only; no shuffle)
+    quality = curation.gopher_rules(docs).filter("passes").select("doc_id")
+    kept = docs.join(quality, "doc_id", "left_semi")
+    funnel["after_quality"] = kept.count()
+
+    # 2. PII redaction (map-only; keeps the cleaned text)
+    red = curation.redact_pii(kept)
+    kept = (
+        kept.drop("text")
+        .join(red.select("doc_id", "n_redactions", "text_clean"), "doc_id")
+        .withColumnRenamed("text_clean", "text")
+    )
+    funnel["redactions"] = int(
+        kept.agg(F.sum("n_redactions")).collect()[0][0] or 0
+    )
+
+    # 3. benchmark decontamination (broadcast gram semijoin -> anti join)
+    if benchmark is not None:
+        flagged = curation.decontaminate(kept, benchmark).select("doc_id")
+        kept = kept.join(flagged, "doc_id", "left_anti")
+    funnel["after_decontaminate"] = kept.count()
+
+    # 4. exact dedup (digest-only shuffle)
+    kept = dedup.dedup_exact(kept)
+    funnel["after_exact_dedup"] = kept.count()
+
+    # 5. near dedup: SimHash banded-Hamming pairs -> components -> keep min
+    pairs = dedup.simhash_pairs(kept, hamming_t=simhash_max_distance)
+    cc = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    kept = kept.join(drop, "doc_id", "left_anti")
+    funnel["after_near_dedup"] = kept.count()
+
+    # 6. pack + deterministic shuffle order
+    packed = curation.pack_sequences(kept).select(
+        "doc_id", "n_tokens", "block_id", "block_offset"
+    )
+    order = curation.global_shuffle(kept)
+    out = (
+        kept.join(packed, "doc_id")
+        .join(order, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_tokens",
+            "n_redactions",
+            "block_id",
+            "block_offset",
+            "shuffle_pos",
+        )
+    )
+    return out, funnel
+
+
+def run(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(prog="curate-corpus-job")
+    p.add_argument("--input-path", required=True, help="documents parquet")
+    p.add_argument("--benchmark-path", help="eval-set parquet (doc_id, text)")
+    p.add_argument("--output-path", required=True)
+    p.add_argument("--report-path")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="curate-corpus")
+    docs = spark.read.parquet(args.input_path)
+    benchmark = (
+        spark.read.parquet(args.benchmark_path) if args.benchmark_path else None
+    )
+    out, funnel = curate(docs, benchmark)
+    # partitioned by source: a reader filtering one source prunes the scan
+    out.write.mode("overwrite").partitionBy("source").parquet(args.output_path)
+    funnel["written"] = spark.read.parquet(args.output_path).count()
+    report = args.report_path or os.path.join(args.output_path, "_funnel.json")
+    with open(report, "w") as f:
+        json.dump(funnel, f, indent=2)
+    print(json.dumps(funnel))
+    return funnel
+
+
+if __name__ == "__main__":
+    run()

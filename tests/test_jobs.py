@@ -133,3 +133,60 @@ def test_input_selector_validation():
     )
     assert r.returncode == 2
     assert "exactly one" in r.stderr
+
+
+def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
+    """End-to-end curation funnel: monotone counts, partitioned output,
+    near-dup removal actually removes the seeded duplicates, report written."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.jobs import curate_corpus_job
+    from bigtwine_streamprocessor_spark.operators.dedup import (
+        DUP_SEED_MOD,
+        DUP_SEED_OFFSET,
+        with_seeded_duplicates,
+    )
+
+    # corpus with seeded exact duplicates so stage 4/5 have work to do
+    docs = with_seeded_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    src = tmp_path / "in"
+    docs.write.parquet(str(src))
+    bench_p = tmp_path / "bench"
+    docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text").write.parquet(
+        str(bench_p)
+    )
+    out = tmp_path / "out"
+
+    # run() builds its own session via get_spark — same JVM, fine in tests
+    funnel = curate_corpus_job.run(
+        [
+            "--input-path", str(src),
+            "--benchmark-path", str(bench_p),
+            "--output-path", str(out),
+        ]
+    )
+
+    assert funnel["input"] == docs.count()
+    assert (
+        funnel["input"]
+        >= funnel["after_quality"]
+        >= funnel["after_decontaminate"]
+        >= funnel["after_exact_dedup"]
+        >= funnel["after_near_dedup"]
+        == funnel["written"]
+    )
+    # the seeded verbatim copies can never survive: quality is id-independent,
+    # decontamination flags source+copy together, exact dedup keeps min id
+    survivors = spark.read.parquet(str(out))
+    assert survivors.filter(F.col("doc_id") >= DUP_SEED_OFFSET).count() == 0
+    # partitioned layout -> partition pruning is available to readers
+    assert any(p.name.startswith("source=") for p in out.iterdir())
+    # packing + shuffle columns present and sane
+    row = survivors.limit(1).collect()[0]
+    assert row.block_offset < 512 and row.shuffle_pos >= 1
+    report = json.loads((out / "_funnel.json").read_text())
+    assert report == funnel
