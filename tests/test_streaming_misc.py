@@ -574,3 +574,37 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """The curation quality gate is stateless, so the SAME operator code runs
+    unchanged on a stream — streaming survivors equal the batch survivors."""
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = tmp_path / "docs"
+    docs.coalesce(2).write.json(str(d))
+    stream = spark.readStream.schema(docs.schema).json(str(d))
+    q = (
+        curation.gopher_rules(stream)
+        .filter("passes")
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("qf_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.table("qf_out").collect()}
+    expected = {
+        r.doc_id
+        for r in curation.gopher_rules(docs).filter("passes").collect()
+    }
+    assert got == expected and len(expected) > 0
