@@ -54,6 +54,8 @@ _GATE_FIRST = [
     "agg_cube_events",  # new in r3
     "decontaminate_keep",  # new in r3
     "embedding_label_centroids",  # new in r3
+    "join_salted_skew",  # new in r3
+    "agg_moments",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -78,6 +80,8 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "join_fact_fact",
     "dedup_exact_groups",
     "dedup_exact_keep",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 
 

@@ -1692,3 +1692,87 @@ def embedding_label_centroids(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["embedding_label_centroids"])
+
+
+SALT_FACTOR = 8
+
+
+@register(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 'engagement' ELSE 'other' END AS category
+        FROM events
+    )
+    SELECT d.category, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY d.category
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """EXPLICIT skew-salted join: the fact side's hot keys (a handful of
+    event types over millions of rows) would hash a whole key to one task;
+    salting splits each key into SALT_FACTOR sub-partitions (deterministic
+    per-row salt) and replicates the small dim across all salts. AQE's
+    skew-join does this adaptively; the explicit form is the portable
+    contract and the oracle is the UNSALTED join — salting must be
+    semantically invisible."""
+    ev = load_events(spark, sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin("click", "view"), F.lit("engagement")
+            ).otherwise(F.lit("other")),
+        )
+    )
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_FACTOR)).cast("int")
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_FACTOR - 1)))
+    )
+    return (
+        fact.join(dim_rep, ["event_type", "_salt"])
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_discount), 6) AS discount_var,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Second-moment statistics per group (stddev/variance/correlation/
+    covariance) — single-pass map-side-combinable aggregates (Welford-style
+    merge states), one exchange on the group key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_cov"
+        ),
+    )
+
+
+BENCH_EXTRA.extend(["join_salted_skew", "agg_moments"])
