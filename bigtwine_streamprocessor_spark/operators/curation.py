@@ -227,18 +227,36 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+SHUFFLE_BUCKETS = 256  # 2 hex chars of the md5 key; raise for larger clusters
+
+
 def global_shuffle(docs: DataFrame, seed: str = SHUFFLE_SEED) -> DataFrame:
     """Seeded, engine-independent global shuffle order for training: position
     = rank of md5(seed || doc_id). Output: (doc_id, shuffle_pos).
 
-    The one intentional total order in the pipeline. Spark executes it as a
-    range-partitioned sort on the hash key — uniformly distributed, so range
-    partitions are balanced at any scale; there is no skew by construction.
+    The one intentional total order in the pipeline — computed WITHOUT a
+    global window (``Window.orderBy`` with no partition collapses all rows
+    to one task). Because the bucket is a PREFIX of the sort key, global
+    order = (bucket, in-bucket order), so: rank locally per bucket (uniform
+    md5 prefix -> 256 balanced partitions), then add the cumulative count of
+    lower buckets. The offset table is <= SHUFFLE_BUCKETS rows — its own
+    window is single-partition but BOUNDED by construction, and it reaches
+    the data-sized side as a broadcast join.
     """
     key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return docs.select(
-        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    keyed = docs.select("doc_id", key.alias("_k")).withColumn(
+        "_b", F.substring("_k", 1, 2)
+    )
+    w_local = Window.partitionBy("_b").orderBy("_k", "doc_id")
+    local = keyed.withColumn("_lr", F.row_number().over(w_local))
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return local.join(F.broadcast(offsets), "_b").select(
+        "doc_id",
+        (F.col("_off") + F.col("_lr")).cast("bigint").alias("shuffle_pos"),
     )
 
 

@@ -152,3 +152,10 @@ def test_curation_scans_are_map_only(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name}: unexpected shuffle"
         assert "EvalPython" not in plan, f"{name}: Python in the scan"
+
+
+def test_global_shuffle_has_no_data_sized_global_window(spark, sf_dir):
+    """The shuffle rank must compute per md5-prefix bucket (hash-partitioned
+    window); only the bounded 256-row offset table may be single-partition."""
+    plan = _plan(spark, sf_dir, "shuffle_global")
+    assert "hashpartitioning(_b" in plan
