@@ -56,6 +56,8 @@ _GATE_FIRST = [
     "embedding_label_centroids",  # new in r3
     "join_salted_skew",  # new in r3
     "agg_moments",  # new in r3
+    "dedup_minhash_estimate",  # new in r3
+    "multimodal_frame_sample",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -82,6 +84,8 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "dedup_exact_keep",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "text_fingerprints",
+    "text_fingerprint_overlap",
 ]
 
 

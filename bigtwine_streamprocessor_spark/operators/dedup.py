@@ -686,3 +686,56 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str,
     streaming face of `dedup_exact` for continuous ingestion pipelines.
     """
     return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+
+
+def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash ESTIMATE
+    of Jaccard (fraction of agreeing signature components) beside the exact
+    n-gram Jaccard and the absolute error. Both sides are deterministic
+    (fixed md5-chunk permutations), so the whole calibration is oracle-exact
+    — the audit that tells you whether K=12 permutations is enough before
+    trusting the sketch at 100 TB.
+    """
+    exact = ngram_jaccard_pairs(docs, 0.0).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    sigs = minhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(MINHASH_K))
+    return (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("exact_jaccard", 6).alias("exact_jaccard"),
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+def minhash_estimate_sql(source: str = "documents") -> str:
+    return f"""
+WITH {ngram_jaccard_sql(source, 0.0).strip().rstrip(',')},
+calib AS (
+    SELECT j.doc_a, j.doc_b, j.jaccard AS exact_jaccard,
+           CAST(len([i FOR i IN generate_series(1, {MINHASH_K})
+                     IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / {MINHASH_K}
+             AS est_jaccard
+    FROM jaccard_pairs j
+    JOIN signatures sa ON sa.doc_id = j.doc_a
+    JOIN signatures sb ON sb.doc_id = j.doc_b
+)
+SELECT doc_a, doc_b, round(exact_jaccard, 6) AS exact_jaccard,
+       round(est_jaccard, 6) AS est_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM calib
+"""

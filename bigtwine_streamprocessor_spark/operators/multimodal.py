@@ -133,3 +133,82 @@ SELECT asset_id, modality,
        md5(lower(hex(payload))) AS checksum
 FROM assets
 """
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video) — index selection is exact Column math; the decode
+# of selected frames stays behind the stubbed codec seam like every kernel
+# here.
+# ---------------------------------------------------------------------------
+
+FRAME_RATE = 4  # synthetic fps for the deterministic metadata
+SAMPLE_EVERY_S = 2.0  # sample one frame every N seconds
+MAX_FRAMES = 8  # per-asset cap (bounds downstream decode fan-out)
+
+
+def with_video_metadata(assets: DataFrame) -> DataFrame:
+    """Attach deterministic (fps, duration_s) metadata to video assets —
+    stands in for the container-header parse a real codec would do."""
+    return assets.filter(F.col("modality") == "video").select(
+        "asset_id",
+        "n_bytes",
+        F.lit(FRAME_RATE).alias("fps"),
+        # duration derived from payload size: 1 second per 40 bytes, >= 1s
+        F.greatest(
+            (F.col("n_bytes") / 40).cast("double"), F.lit(1.0)
+        ).alias("duration_s"),
+    )
+
+
+def sample_frame_indices(videos: DataFrame) -> DataFrame:
+    """Uniform-in-time frame sampling: one frame every SAMPLE_EVERY_S
+    seconds, capped at MAX_FRAMES per asset — the index plan a video
+    pipeline hands to the (stubbed) decoder. Output: one row per selected
+    frame (asset_id, frame_idx, t_offset_s).
+
+    Pure Column arithmetic + explode: map-only, no shuffle; the per-asset
+    cap bounds the decode fan-out so downstream Arrow batches stay sized.
+    """
+    n_samples = F.least(
+        F.greatest(
+            F.ceil(F.col("duration_s") / SAMPLE_EVERY_S).cast("int"), F.lit(1)
+        ),
+        F.lit(MAX_FRAMES),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_samples - 1)).alias("sample_no")
+    return (
+        videos.select("asset_id", "fps", "duration_s", idx)
+        .select(
+            "asset_id",
+            (
+                (F.col("sample_no") * SAMPLE_EVERY_S) * F.col("fps")
+            ).cast("bigint").alias("frame_idx"),
+            F.round(F.col("sample_no") * SAMPLE_EVERY_S, 3).alias("t_offset_s"),
+        )
+    )
+
+
+def frame_sample_sql(source: str = "documents") -> str:
+    """DuckDB twin over the same synthesized corpus: video assets are
+    doc_id % 3 == 2; payload = 4-byte magic + utf-8 text."""
+    return f"""
+WITH videos AS (
+    SELECT doc_id AS asset_id,
+           4 + octet_length(encode(text)) AS n_bytes,
+           {FRAME_RATE} AS fps,
+           greatest(CAST(4 + octet_length(encode(text)) AS DOUBLE) / 40, 1.0)
+             AS duration_s
+    FROM {source} WHERE doc_id % 3 = 2
+),
+samples AS (
+    SELECT asset_id, fps,
+           unnest(generate_series(0,
+               least(greatest(CAST(ceil(duration_s / {SAMPLE_EVERY_S}) AS INT),
+                              1), {MAX_FRAMES}) - 1)) AS sample_no
+    FROM videos
+)
+SELECT asset_id,
+       CAST(sample_no * {SAMPLE_EVERY_S} * fps AS BIGINT) AS frame_idx,
+       round(sample_no * {SAMPLE_EVERY_S}, 3) AS t_offset_s
+FROM samples
+"""

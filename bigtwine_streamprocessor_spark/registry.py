@@ -1776,3 +1776,25 @@ def agg_moments(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["join_salted_skew", "agg_moments"])
+
+
+@register("dedup_minhash_estimate", dedup.minhash_estimate_sql())
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash sketch calibration over LSH candidates: estimated vs exact
+    Jaccard with per-pair absolute error — deterministic on both engines, so
+    the calibration itself is hash-gated."""
+    return dedup.minhash_estimate_pairs(_docs(spark, sf_dir))
+
+
+@register("multimodal_frame_sample", multimodal.frame_sample_sql())
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: uniform-in-time frame indices (one per
+    2 s, capped at 8) from synthesized video assets — the exact index plan
+    handed to the stubbed decoder; map-only explode, bounded fan-out."""
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    return multimodal.sample_frame_indices(
+        multimodal.with_video_metadata(assets)
+    )
+
+
+BENCH_EXTRA.extend(["dedup_minhash_estimate", "multimodal_frame_sample"])
