@@ -58,6 +58,8 @@ _GATE_FIRST = [
     "agg_moments",  # new in r3
     "dedup_minhash_estimate",  # new in r3
     "multimodal_frame_sample",  # new in r3
+    "text_bigram_logprob",  # new in r3
+    "text_lexical_diversity",  # new in r3
 ]
 _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "project_nested_json",
@@ -86,6 +88,8 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "dedup_simhash_pairs",
     "text_fingerprints",
     "text_fingerprint_overlap",
+    "sessionize_events",
+    "pivot_event_types",
 ]
 
 

@@ -363,3 +363,144 @@ FROM (
     FROM {source}
 )
 """
+
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram ML estimate
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc average interpolated bigram log-probability under the corpus's
+    own LM: p(w2|w1) = L * c(w1 w2)/c(w1) + (1-L) * (c(w2)+1)/(N+V) — the
+    perplexity-filter upgrade over the unigram model (catches shuffled-word
+    salad that unigram stats cannot).
+
+    Plan: one bigram explode + one token explode feed two count tables
+    (map-side partials); bigrams join their own count and the left-token
+    count (both vocabulary-sized sides), then a per-doc average. Deterministic
+    arithmetic on both engines; avg rounds to 5.
+    """
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).filter(~F.col("bg").rlike("^ | $") & (F.size(F.split(F.col("bg"), " ")) == 2))
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = uni.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v"))
+    bfreq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    scored = (
+        bg.join(bfreq, "bg")
+        .withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(uni.select(F.col("term").alias("_w1"), F.col("cu").alias("c1")), "_w1")
+        .join(uni.select(F.col("term").alias("_w2"), F.col("cu").alias("c2")), "_w2")
+        .join(F.broadcast(totals))
+    )
+    p = (
+        F.lit(BIGRAM_LAMBDA) * F.col("cb").cast("double") / F.col("c1").cast("double")
+        + F.lit(1 - BIGRAM_LAMBDA)
+        * (F.col("c2") + 1).cast("double")
+        / (F.col("n") + F.col("v")).cast("double")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 5).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(source: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source}
+    ) WHERE len(term) > 0
+),
+uni AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY term
+),
+tot AS (
+    SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni
+),
+bg AS (
+    SELECT doc_id, bg FROM (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+        )) AS bg
+        FROM {source}
+    ) WHERE len(string_split(bg, ' ')) = 2
+      AND NOT (bg LIKE ' %' OR bg LIKE '% ')
+),
+bfreq AS (
+    SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(
+           {BIGRAM_LAMBDA} * CAST(f.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+           + {1 - BIGRAM_LAMBDA} * CAST(u2.cu + 1 AS DOUBLE)
+             / CAST(tot.n + tot.v AS DOUBLE)
+       )), 5) AS avg_logprob
+FROM bg b
+JOIN bfreq f USING (bg)
+JOIN uni u1 ON u1.term = string_split(b.bg, ' ')[1]
+JOIN uni u2 ON u2.term = string_split(b.bg, ' ')[2]
+CROSS JOIN tot
+GROUP BY b.doc_id
+"""
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Type-token ratio + hapax fraction per doc (lexical-diversity quality
+    signals: spam repeats words, word salad never does). Pure per-row array
+    math — zero-shuffle codegen scan."""
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda t: F.length(t) > 0
+    )
+    n = F.size(F.col("_t"))
+    d = F.size(F.array_distinct(F.col("_t")))
+    hapax = F.size(
+        F.filter(
+            F.col("_t"),
+            lambda t: F.size(F.filter(F.col("_t"), lambda u: u == t)) == 1,
+        )
+    )
+    return (
+        docs.withColumn("_t", toks)
+        .withColumn("_h", hapax)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            d.cast("bigint").alias("n_types"),
+            F.round(d.cast("double") / n.cast("double"), 5).alias("ttr"),
+            F.round(F.col("_h").cast("double") / n.cast("double"), 5).alias(
+                "hapax_frac"
+            ),
+        )
+    )
+
+
+def lexical_diversity_sql(source: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 5) AS ttr,
+       round(CAST(len([x FOR x IN t IF len([y FOR y IN t IF y = x]) = 1])
+                  AS DOUBLE) / len(t), 5) AS hapax_frac
+FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
+    FROM {source}
+)
+"""

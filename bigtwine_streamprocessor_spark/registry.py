@@ -1798,3 +1798,21 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["dedup_minhash_estimate", "multimodal_frame_sample"])
+
+
+@register("text_bigram_logprob", textstats.bigram_logprob_sql())
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM scoring (0.75 bigram ML + 0.25 smoothed
+    unigram) — the perplexity filter that catches shuffled word salad a
+    unigram model scores as fine."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
+
+
+@register("text_lexical_diversity", textstats.lexical_diversity_sql())
+def text_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + hapax fraction per doc — zero-shuffle lexical
+    diversity signals (spam repeats, salad never does)."""
+    return textstats.lexical_diversity(_docs(spark, sf_dir))
+
+
+BENCH_EXTRA.extend(["text_bigram_logprob", "text_lexical_diversity"])
