@@ -332,39 +332,88 @@ FROM {source}
 # ---------------------------------------------------------------------------
 
 
-def inverted_index(docs: DataFrame) -> DataFrame:
-    """Term -> (document frequency, sorted posting list). The search-side
-    artifact a corpus service builds next to the training set. Output:
-    (term, df, postings).
+POSTING_SEGMENT = 64  # max doc ids per (term, segment) output row
 
-    One term-keyed shuffle of (term, doc_id) pairs with map-side distinct;
-    vocabulary keys are near-uniform so the exchange is balanced. At 100 TB
-    posting lists for ultra-common terms get long — production would cap or
-    shard them (doc-partitioned segments); the aggregation shape is the same.
+
+def inverted_index(
+    docs: DataFrame, seg_size: int = POSTING_SEGMENT
+) -> DataFrame:
+    """Term -> segmented posting list + exact global document frequency. The
+    search-side artifact a corpus service builds next to the training set.
+    Output: (term, segment, df, postings) — ``postings`` is the
+    comma-joined sorted doc-id run of ≤ ``seg_size`` ids; ``df`` is the
+    EXACT per-term total across all of that term's segments.
+
+    Shape for 100 TB: one term-keyed shuffle of (term, doc_id) pairs with
+    map-side distinct; vocabulary keys are near-uniform so the exchange is
+    balanced. A stop-word's postings are NOT collected into one group (an
+    unbounded ``collect_list`` is a single-task OOM at scale) — instead a
+    per-term ``row_number`` assigns each posting to a ``seg_size``-capped
+    segment, so every collected group is bounded by construction. The
+    row_number window sorts within the term partition (sort-spillable,
+    disk-bounded) rather than buffering the term's postings in memory the
+    way collect_list must. ``df`` is recovered as a window sum over the
+    already-aggregated segment counts (rows = #segments, tiny).
+
+    Postings serialize as a comma-joined string — a deterministic scalar
+    encoding both engines produce identically (the canonical-form pattern
+    of operators/export.py's JSON lines), which also keeps downstream
+    hashing/diffing of index shards trivial.
     """
-    return (
+    pairs = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
         )
         .filter(F.length("term") > 0)
         .distinct()
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
-        )
+    )
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    seg = pairs.withColumn(
+        "segment",
+        F.floor((F.row_number().over(w_rank) - 1) / seg_size).cast("bigint"),
+    )
+    grouped = seg.groupBy("term", "segment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    w_df = Window.partitionBy("term")
+    return grouped.select(
+        "term",
+        "segment",
+        F.sum("_n").over(w_df).cast("bigint").alias("df"),
+        "postings",
     )
 
 
-def inverted_index_sql(source: str = "documents") -> str:
+def inverted_index_sql(
+    source: str = "documents", seg_size: int = POSTING_SEGMENT
+) -> str:
     return f"""
-SELECT term, CAST(count(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
-FROM (
+WITH pairs AS (
     SELECT DISTINCT doc_id, term
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM {source})
     WHERE len(term) > 0
+),
+seg AS (
+    SELECT term, doc_id,
+           CAST(floor((row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                       - 1) / {seg_size}) AS BIGINT) AS segment
+    FROM pairs
+),
+grouped AS (
+    SELECT term, segment, count(*) AS _n,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                           ',') AS postings
+    FROM seg GROUP BY term, segment
 )
-GROUP BY term
+SELECT term, segment,
+       CAST(sum(_n) OVER (PARTITION BY term) AS BIGINT) AS df, postings
+FROM grouped
 """

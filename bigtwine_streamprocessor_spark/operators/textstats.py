@@ -464,20 +464,29 @@ GROUP BY b.doc_id
 def lexical_diversity(docs: DataFrame) -> DataFrame:
     """Type-token ratio + hapax fraction per doc (lexical-diversity quality
     signals: spam repeats words, word salad never does). Pure per-row array
-    math — zero-shuffle codegen scan."""
+    math — zero-shuffle codegen scan.
+
+    Hapax counting is sorted-neighbor-diff: sort the token array once, then
+    a token is a hapax iff it differs from BOTH sorted neighbors — O(n log n)
+    per row. (The naive nested-filter formulation is O(n²) per row: harmless
+    at tweet length, quadratic CPU burn on 10k-token documents at 100 TB.)
+    ``F.get`` is 0-based and yields NULL out of range, so the boundary
+    tokens need no special-casing beyond a null check."""
     toks = F.filter(
         F.split(F.col("text"), " "), lambda t: F.length(t) > 0
     )
     n = F.size(F.col("_t"))
     d = F.size(F.array_distinct(F.col("_t")))
-    hapax = F.size(
-        F.filter(
-            F.col("_t"),
-            lambda t: F.size(F.filter(F.col("_t"), lambda u: u == t)) == 1,
-        )
-    )
+
+    def _is_hapax(x, i):
+        prev = F.get(F.col("_s"), i - 1)
+        nxt = F.get(F.col("_s"), i + 1)
+        return (prev.isNull() | (prev != x)) & (nxt.isNull() | (nxt != x))
+
+    hapax = F.size(F.filter(F.col("_s"), _is_hapax))
     return (
         docs.withColumn("_t", toks)
+        .withColumn("_s", F.array_sort(F.col("_t")))
         .withColumn("_h", hapax)
         .select(
             "doc_id",
@@ -492,15 +501,23 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
 
 
 def lexical_diversity_sql(source: str = "documents") -> str:
+    # same sorted-neighbor-diff shape as the Spark side (DuckDB is 1-based
+    # and yields NULL out of range, hence IS DISTINCT FROM)
     return f"""
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 5) AS ttr,
-       round(CAST(len([x FOR x IN t IF len([y FOR y IN t IF y = x]) = 1])
+       round(CAST(len([i FOR i IN generate_series(1, len(s))
+                       IF s[i - 1] IS DISTINCT FROM s[i]
+                          AND s[i + 1] IS DISTINCT FROM s[i]])
                   AS DOUBLE) / len(t), 5) AS hapax_frac
 FROM (
-    SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
-    FROM {source}
+    SELECT doc_id, t, list_sort(t) AS s
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        FROM {source}
+    )
 )
 """

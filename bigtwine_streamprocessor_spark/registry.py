@@ -1659,7 +1659,9 @@ def decontaminate_keep(spark, sf_dir):
         SELECT label, CAST(count(*) AS BIGINT) AS n_members
         FROM embeddings GROUP BY label
     )
-    SELECT m.label, s.n_members, list(m.m ORDER BY m.pos) AS centroid
+    SELECT m.label, s.n_members,
+           array_to_string(list(printf('%.6f', m.m) ORDER BY m.pos), ',')
+             AS centroid
     FROM means m JOIN sizes s USING (label)
     GROUP BY m.label, s.n_members
     """,
@@ -1667,9 +1669,12 @@ def decontaminate_keep(spark, sf_dir):
 def embedding_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (the class-prototype audit an embedding
     pipeline runs): posexplode -> (label, dim)-keyed mean partials -> re-pack
-    ordered centroid arrays. Shuffles (label, dim, partial-sum) triples —
+    ordered centroid vectors. Shuffles (label, dim, partial-sum) triples —
     dimension-parallel, never a whole-vector exchange; both aggregations
-    combine map-side."""
+    combine map-side. The centroid serializes as a comma-joined fixed-point
+    (%.6f) string — a deterministic scalar encoding both engines produce
+    identically (means are pre-rounded to 6 decimals, so the fixed-point
+    render is exact on both sides)."""
     emb = _emb(spark, sf_dir)
     comp = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -1681,9 +1686,12 @@ def embedding_label_centroids(spark, sf_dir):
     return (
         means.groupBy("label")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda x: x["m"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: F.format_string("%.6f", x["m"]),
+                ),
+                ",",
             ).alias("centroid")
         )
         .join(sizes, "label")

@@ -201,3 +201,42 @@ def test_pack_offsets_always_bounded(spark, toks):
     blocks = [r.block_id for r in by_id]
     assert blocks == sorted(blocks)
     assert blocks[0] == 0
+
+
+def test_inverted_index_segments_bounded_and_df_exact(spark, sf_dir):
+    """Posting lists are capped at seg_size per output row (no single-group
+    OOM at scale), segments of a term partition its postings in sorted order
+    without overlap, and df is the EXACT global per-term document
+    frequency."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg_size = 4  # small cap so the test corpus actually produces overflow
+    rows = curation.inverted_index(docs, seg_size=seg_size).collect()
+    assert any(r.segment > 0 for r in rows)  # sharding actually engaged
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    exact_df = {
+        r.term: r.n
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for term, segs in by_term.items():
+        segs.sort(key=lambda r: r.segment)
+        assert [s.segment for s in segs] == list(range(len(segs)))
+        postings = [
+            [int(x) for x in s.postings.split(",")] for s in segs
+        ]
+        for p in postings:
+            assert 0 < len(p) <= seg_size
+            assert p == sorted(p)
+        flat = [x for p in postings for x in p]
+        # contiguous sorted run across segments, no overlap, exact df
+        assert flat == sorted(set(flat))
+        assert {s.df for s in segs} == {exact_df[term]}
+        assert len(flat) == exact_df[term]
