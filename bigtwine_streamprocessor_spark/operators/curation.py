@@ -227,7 +227,13 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
-SHUFFLE_BUCKETS = 256  # 2 hex chars of the md5 key; raise for larger clusters
+# Bucket count is DERIVED from the hex-prefix length actually used to split
+# the sort key, so raising it genuinely widens the shuffle (a standalone
+# bucket constant the code never read was a tuning trap). The oracle twin is
+# unaffected: the bucket is a PREFIX of the md5 sort key, so the bucketed
+# two-phase rank produces the identical total order at any prefix length.
+SHUFFLE_PREFIX_CHARS = 2  # raise to 3 (4096 buckets) for larger clusters
+SHUFFLE_BUCKETS = 16**SHUFFLE_PREFIX_CHARS
 
 
 def global_shuffle(docs: DataFrame, seed: str = SHUFFLE_SEED) -> DataFrame:
@@ -238,14 +244,15 @@ def global_shuffle(docs: DataFrame, seed: str = SHUFFLE_SEED) -> DataFrame:
     global window (``Window.orderBy`` with no partition collapses all rows
     to one task). Because the bucket is a PREFIX of the sort key, global
     order = (bucket, in-bucket order), so: rank locally per bucket (uniform
-    md5 prefix -> 256 balanced partitions), then add the cumulative count of
-    lower buckets. The offset table is <= SHUFFLE_BUCKETS rows — its own
+    md5 prefix -> SHUFFLE_BUCKETS balanced partitions), then add the
+    cumulative count of lower buckets. The offset table is <= SHUFFLE_BUCKETS
+    rows — its own
     window is single-partition but BOUNDED by construction, and it reaches
     the data-sized side as a broadcast join.
     """
     key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("_k")).withColumn(
-        "_b", F.substring("_k", 1, 2)
+        "_b", F.substring("_k", 1, SHUFFLE_PREFIX_CHARS)
     )
     w_local = Window.partitionBy("_b").orderBy("_k", "doc_id")
     local = keyed.withColumn("_lr", F.row_number().over(w_local))

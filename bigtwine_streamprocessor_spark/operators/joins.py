@@ -97,8 +97,17 @@ def bloom_semi_filter(
     the full fact table and shuffling the matching slice.
     """
     n_words = (m + 63) // 64
+    # xxhash64 is input-TYPE-sensitive: int(1) and bigint(1) hash differently,
+    # which would silently violate the never-false-negative contract when the
+    # build and probe key types differ. Hash a STRING render on both sides so
+    # equal values always hash equal regardless of declared width.
     pos = F.explode(
-        F.array(*[_bloom_pos(F.col(build_col), s, m) for s in range(BLOOM_K)])
+        F.array(
+            *[
+                _bloom_pos(F.col(build_col).cast("string"), s, m)
+                for s in range(BLOOM_K)
+            ]
+        )
     ).alias("_pos")
     # bit_or partials combine map-side; the zero filler guarantees every word
     # index exists, so the collected array is dense and positional.
@@ -124,10 +133,11 @@ def bloom_semi_filter(
     )
 
     def _hit(s: int):
+        probe_key = f"CAST({probe_col} AS STRING)"
         return F.expr(
-            f"(shiftright(element_at(_bloom, CAST(pmod(xxhash64({probe_col},"
+            f"(shiftright(element_at(_bloom, CAST(pmod(xxhash64({probe_key},"
             f" {s}), {m}) / 64 AS INT) + 1),"
-            f" CAST(pmod(xxhash64({probe_col}, {s}), {m}) % 64 AS INT))"
+            f" CAST(pmod(xxhash64({probe_key}, {s}), {m}) % 64 AS INT))"
             f" & 1L) = 1L"
         )
 

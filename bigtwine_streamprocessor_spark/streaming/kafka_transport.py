@@ -65,14 +65,26 @@ def _factory_identity(factory) -> tuple:
 def _producer_for(bootstrap: str, factory):
     key = (*_factory_identity(factory), bootstrap)
     p = _PRODUCER_CACHE.get(key)
-    if p is None:
-        while len(_PRODUCER_CACHE) >= _PRODUCER_CACHE_MAX:
-            _, old = _PRODUCER_CACHE.popitem()
-            close = getattr(old, "close", None)
-            if callable(close):
-                close()
-        p = factory(bootstrap)
+    if p is not None:
+        # LRU: move the hit to the insertion-order tail so eviction (which
+        # pops the HEAD) always removes the least-recently-used producer,
+        # not the hottest one.
+        _PRODUCER_CACHE.pop(key)
         _PRODUCER_CACHE[key] = p
+        return p
+    while len(_PRODUCER_CACHE) >= _PRODUCER_CACHE_MAX:
+        oldest = next(iter(_PRODUCER_CACHE))
+        old = _PRODUCER_CACHE.pop(oldest)
+        # drain buffered async sends before tearing down the connection —
+        # close() alone may drop them
+        flush = getattr(old, "flush", None)
+        if callable(flush):
+            flush()
+        close = getattr(old, "close", None)
+        if callable(close):
+            close()
+    p = factory(bootstrap)
+    _PRODUCER_CACHE[key] = p
     return p
 
 

@@ -240,3 +240,16 @@ def test_inverted_index_segments_bounded_and_df_exact(spark, sf_dir):
         assert flat == sorted(set(flat))
         assert {s.df for s in segs} == {exact_df[term]}
         assert len(flat) == exact_df[term]
+
+
+def test_bloom_never_false_negative_across_key_widths(spark):
+    """xxhash64 is type-sensitive; the filter must still honor its
+    never-false-negative contract when the build key is int and the probe
+    key is bigint (both sides hash a string render)."""
+    build = spark.createDataFrame([(k,) for k in range(0, 50, 5)], "k int")
+    probe = spark.createDataFrame([(k,) for k in range(50)], "p bigint")
+    kept = {
+        r.p
+        for r in bloom_semi_filter(probe, build, "k", "p", m=1 << 12).collect()
+    }
+    assert set(range(0, 50, 5)) <= kept

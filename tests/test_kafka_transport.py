@@ -63,6 +63,47 @@ def test_producer_cache_bounded(tmp_path):
     assert len(kt._PRODUCER_CACHE) <= kt._PRODUCER_CACHE_MAX
 
 
+def test_producer_cache_evicts_lru_and_flushes(tmp_path):
+    """Eviction under key churn must drop the LEAST-recently-used producer
+    (a recently-hit hot producer survives), and evicted producers are
+    flushed before close so buffered async sends are not lost."""
+
+    events = []
+
+    class Probe:
+        def __init__(self, name):
+            self.name = name
+
+        def flush(self):
+            events.append(("flush", self.name))
+
+        def close(self):
+            events.append(("close", self.name))
+
+    class ProbeFactory:
+        def __init__(self, name):
+            self.name = name
+
+        def cache_key(self):
+            return self.name
+
+        def __call__(self, bootstrap):
+            return Probe(self.name)
+
+    kt._PRODUCER_CACHE.clear()
+    factories = [ProbeFactory(f"p{i}") for i in range(kt._PRODUCER_CACHE_MAX)]
+    for f in factories:
+        kt._producer_for("b:9092", f)
+    # touch p0 — it becomes most-recently-used, so the next eviction must
+    # take p1 (the oldest untouched), NOT p0
+    kt._producer_for("b:9092", factories[0])
+    kt._producer_for("b:9092", ProbeFactory("overflow"))
+    assert events == [("flush", "p1"), ("close", "p1")]
+    live = {v.name for v in kt._PRODUCER_CACHE.values()}
+    assert "p0" in live and "p1" not in live
+    kt._PRODUCER_CACHE.clear()
+
+
 def test_line_writer_through_foreachpartition(spark, tmp_path):
     spool = str(tmp_path / "spool")
     topic = kt.KafkaTopic("b:9092", "results", kt.SpoolProducerFactory(spool))
