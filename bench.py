@@ -104,15 +104,37 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
                 s.stop()
         parsed.unpersist()
 
-        # steady window: first sample at >= 25% completed -> last sample
+        # steady region: first sample at >= 25% completed -> last sample.
+        # One end-to-end slope over that region is sampling-window sensitive
+        # (PERF.md r3: a 265-953 tweets/s band across runs), so the region is
+        # split into >= 3 equal-duration sub-windows and the MEDIAN sub-window
+        # rate is the headline steady number; the min-max band is reported so
+        # a round-over-round comparison can see the variance it's riding on.
         steady_rate = 0.0
         steady_window = 0.0
+        sub_rates: list[float] = []
         warm = [(t, c) for t, c in samples if c >= max(1, n // 4)]
         if len(warm) >= 2:
             (t_a, c_a), (t_b, c_b) = warm[0], warm[-1]
             if t_b > t_a and c_b > c_a:
                 steady_window = t_b - t_a
-                steady_rate = (c_b - c_a) / steady_window
+                n_sub = 3
+                bounds = [t_a + steady_window * i / n_sub for i in range(n_sub + 1)]
+                for lo, hi in zip(bounds, bounds[1:]):
+                    win = [(t, c) for t, c in warm if lo <= t <= hi]
+                    if len(win) >= 2 and win[-1][0] > win[0][0]:
+                        r = (win[-1][1] - win[0][1]) / (win[-1][0] - win[0][0])
+                        if r > 0:
+                            sub_rates.append(r)
+                if len(sub_rates) >= 2:
+                    steady_rate = sorted(sub_rates)[len(sub_rates) // 2]
+                else:  # degenerate sampling: fall back to the single slope
+                    steady_rate = (c_b - c_a) / steady_window
+        band = (
+            round((max(sub_rates) - min(sub_rates)) / steady_rate, 3)
+            if sub_rates and steady_rate > 0
+            else None
+        )
         return {
             "tweets": n,
             "completed": got,
@@ -120,9 +142,12 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "tweets_per_s": round(got / elapsed, 1) if elapsed > 0 else 0.0,
             "steady_tweets_per_s": round(steady_rate, 1),
             "steady_window_s": round(steady_window, 3),
-            "method": "rate over samples from 25%-complete to last result,"
-            " continuous feed (x20 replay-amplified corpus, 64 files,"
-            " maxFilesPerTrigger=8, ~1175 rows/trigger)",
+            "steady_subwindow_rates": [round(r, 1) for r in sub_rates],
+            "steady_band_frac": band,
+            "method": "median of 3 equal-duration sub-window rates over the"
+            " 25%-complete..last-result region, continuous feed (x20"
+            " replay-amplified corpus, 64 files, maxFilesPerTrigger=8,"
+            " ~1175 rows/trigger)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

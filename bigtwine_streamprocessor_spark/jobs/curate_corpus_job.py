@@ -8,10 +8,14 @@ tokenizer, chaining the curation operators (`operators/curation.py`,
     2. PII redaction  — regex scrub, redaction counts kept as metadata
     3. decontaminate  — drop docs sharing n-grams with the benchmark/eval set
     4. exact dedup    — keep min doc_id per byte-identical text hash
-    5. near dedup     — SimHash banded Hamming pairs -> connected components
+    5. fuzzy dedup    — MinHash banded LSH candidates -> exact n-gram
+                        Jaccard on candidates only -> connected components
                         -> keep one representative per cluster
-    6. pack + shuffle — 512-token block assignment, seeded global order
-    7. write          — parquet partitioned by source (partition pruning at
+    6. near dedup     — SimHash banded Hamming pairs over the survivors
+                        (catches small edits the shingle Jaccard threshold
+                        lets through) -> components -> keep representative
+    7. pack + shuffle — 512-token block assignment, seeded global order
+    8. write          — parquet partitioned by source (partition pruning at
                         read time), plus a one-row JSON funnel report
 
 Stage order matters at scale: the cheap map-only gates run FIRST so every
@@ -37,6 +41,7 @@ def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     simhash_max_distance: int = 3,
+    lsh_jaccard_threshold: float = 0.5,
 ) -> tuple[DataFrame, dict]:
     """Run the funnel over ``docs`` (doc_id, text, lang, source, n_chars).
 
@@ -71,7 +76,19 @@ def curate(
     kept = dedup.dedup_exact(kept)
     funnel["after_exact_dedup"] = kept.count()
 
-    # 5. near dedup: SimHash banded-Hamming pairs -> components -> keep min
+    # 5. fuzzy dedup: MinHash banded LSH -> exact Jaccard on candidate pairs
+    # only (never all-pairs) -> components -> keep min doc_id per cluster
+    lsh_pairs = dedup.ngram_jaccard_pairs(kept, lsh_jaccard_threshold)
+    lsh_cc = dedup.connected_components(lsh_pairs.select("doc_a", "doc_b"))
+    lsh_drop = lsh_cc.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select("doc_id")
+    kept = kept.join(lsh_drop, "doc_id", "left_anti")
+    funnel["after_lsh_dedup"] = kept.count()
+
+    # 6. near dedup: SimHash banded-Hamming pairs over the LSH survivors ->
+    # components -> keep min (catches small-edit near-dups below the shingle
+    # Jaccard threshold)
     pairs = dedup.simhash_pairs(kept, hamming_t=simhash_max_distance)
     cc = dedup.connected_components(pairs.select("doc_a", "doc_b"))
     drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")

@@ -153,6 +153,24 @@ def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
     docs = with_seeded_duplicates(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
+    # plus seeded NEAR duplicates (two appended tokens — survives exact
+    # dedup, shingle Jaccard ~0.9) so the MinHash-LSH stage has real work.
+    # Seed only from QUALITY-PASSING originals: a copy whose original dies
+    # at the quality gate has no LSH partner left and would legitimately
+    # survive as its own cluster representative.
+    from bigtwine_streamprocessor_spark.operators.curation import gopher_rules
+
+    NEAR_SEED_OFFSET = 2_000_000
+    passing = gopher_rules(docs).filter("passes").select("doc_id")
+    near = (
+        docs.join(passing, "doc_id", "left_semi")
+        .filter(
+            (F.col("doc_id") % 37 == 0) & (F.col("doc_id") < NEAR_SEED_OFFSET)
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.lit(NEAR_SEED_OFFSET))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" trailing tokens")))
+    )
+    docs = docs.unionByName(near)
     src = tmp_path / "in"
     docs.write.parquet(str(src))
     bench_p = tmp_path / "bench"
@@ -176,11 +194,17 @@ def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
         >= funnel["after_quality"]
         >= funnel["after_decontaminate"]
         >= funnel["after_exact_dedup"]
+        >= funnel["after_lsh_dedup"]
         >= funnel["after_near_dedup"]
         == funnel["written"]
     )
+    # the MinHash-LSH stage runs between exact and SimHash dedup, and on
+    # this corpus (seeded near-identical copies) it must actually fire
+    assert funnel["after_lsh_dedup"] < funnel["after_exact_dedup"]
     # the seeded verbatim copies can never survive: quality is id-independent,
-    # decontamination flags source+copy together, exact dedup keeps min id
+    # decontamination flags source+copy together, exact dedup keeps min id;
+    # the seeded near-dups (>= NEAR_SEED_OFFSET) must fall to the LSH stage
+    # (cluster representative = min doc_id = the original)
     survivors = spark.read.parquet(str(out))
     assert survivors.filter(F.col("doc_id") >= DUP_SEED_OFFSET).count() == 0
     # partitioned layout -> partition pruning is available to readers
