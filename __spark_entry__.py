@@ -26,42 +26,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST 50 queries in dict
-# order. Gate-priority policy: queries whose implementations changed recently
-# or have never had a driver-side CORRECTNESS row sort FIRST; the overflow
-# tail holds only queries with multiple green driver rows and untouched code
-# (every query — sampled or not — is still oracle-gated in
-# tests/test_registry.py each round, so nothing goes unchecked).
+# order. Gate-priority policy (rotation, refreshed every round so no query's
+# newest driver row ages past ~2 rounds): (1) queries with NO green driver
+# row yet, (2) queries whose implementation files changed this round,
+# (3) queries whose newest green row is 2+ rounds old, then (4) the
+# most-recently-verified set as the overflow tail, ordered so its head —
+# which still lands inside the 50-sample — holds the queries whose operator
+# modules saw collateral edits. New queries register outside both lists and
+# sort between them automatically. (Every query, sampled or not, is still
+# oracle-gated in tests/test_registry.py each round.)
 _GATE_FIRST = [
-    "similarity_ivf_topk",  # k-means rewrite never driver-gated (r2 verdict)
-    "neel_fanin_batch",
-    "neel_assembled_join",
-    "agg_approx_distinct",
-    "dedup_embedding_clusters",  # new in r3
-    "join_bloom_pruned",  # new in r3
-    "text_unigram_logprob",  # new in r3
-    "decontaminate_benchmark",  # new in r3
-    "text_gopher_rules",  # new in r3
-    "text_repetition_ratio",  # new in r3
-    "pack_sequences",  # new in r3
-    "shuffle_global",  # new in r3
-    "text_pii_redaction",  # new in r3
-    "index_inverted",  # new in r3
-    "dedup_semantic_keep",  # new in r3
-    "agg_percentiles_exact",  # new in r3
-    "window_event_deltas",  # new in r3
-    "compact_latest_events",  # new in r3
-    "join_anti_customers_no_orders",  # new in r3
-    "agg_cube_events",  # new in r3
-    "decontaminate_keep",  # new in r3
-    "embedding_label_centroids",  # new in r3
-    "join_salted_skew",  # new in r3
-    "agg_moments",  # new in r3
-    "dedup_minhash_estimate",  # new in r3
-    "multimodal_frame_sample",  # new in r3
-    "text_bigram_logprob",  # new in r3
-    "text_lexical_diversity",  # new in r3
-]
-_GATE_LAST = [  # double-green (r1+r2), code untouched since
+    # -- no green driver row before r4 (array columns broke the harness
+    #    canonicalizer; outputs now serialize as canonical strings) --
+    "index_inverted",
+    "embedding_label_centroids",
+    # -- implementation changed in r4 --
+    "text_lexical_diversity",  # hapax rewritten sorted-neighbor-diff
+    "shuffle_global",  # bucket count now derived from prefix length
+    "join_bloom_pruned",  # bloom hashes a string render of the key
+    "multimodal_features",  # multimodal.py gained the image-codec seam
+    # -- newest green row is r1/r2 (rotated in from the r3 tail) --
     "project_nested_json",
     "project_dump_rows",
     "text_token_counts",
@@ -90,6 +74,54 @@ _GATE_LAST = [  # double-green (r1+r2), code untouched since
     "text_fingerprint_overlap",
     "sessionize_events",
     "pivot_event_types",
+]
+_GATE_LAST = [  # newest green row is r3; head = modules with r4 collateral
+    # edits (curation.py / textstats.py), so the head still lands inside the
+    # 50-sample; tail = operators untouched since their r3 green row
+    "pack_sequences",
+    "text_pii_redaction",
+    "text_gopher_rules",
+    "decontaminate_benchmark",
+    "decontaminate_keep",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_repetition_ratio",
+    "text_tfidf_topterms",
+    "multimodal_frame_sample",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_estimate",
+    "neel_assembled",
+    "neel_export_json",
+    "similarity_ivf_topk",
+    "neel_fanin_batch",
+    "neel_assembled_join",
+    "agg_approx_distinct",
+    "dedup_embedding_clusters",
+    "dedup_semantic_keep",
+    "agg_percentiles_exact",
+    "window_event_deltas",
+    "compact_latest_events",
+    "join_anti_customers_no_orders",
+    "agg_cube_events",
+    "join_salted_skew",
+    "agg_moments",
+    "neel_parsed",
+    "neel_ner",
+    "neel_export_challenge",
+    "neel_export_extended",
+    "group_collect_entities",
+    "similarity_bruteforce_topk",
+    "similarity_ann_lsh",
+    "similarity_embedding_neardup",
+    "profile_documents",
+    "progress_running_totals",
+    "enrich_request_envelopes",
+    "join_asof_last_purchase",
+    "join_interval_nearby_events",
+    "sampling_stratified",
+    "agg_salted_heavy_hitters",
 ]
 
 
