@@ -49,7 +49,11 @@ def interval_join_bucketed(
     of the max interval length for a ~2-3x row expansion on the (usually
     much smaller) interval side only.
     """
-    cell = lambda c: F.floor(F.unix_micros(F.col(c)) / (granularity_s * 1_000_000))
+    # cast tolerates TIMESTAMP_NTZ parquet columns (session tz is pinned UTC,
+    # so NTZ->TIMESTAMP is value-stable and a no-op for TIMESTAMP inputs)
+    cell = lambda c: F.floor(
+        F.unix_micros(F.col(c).cast("timestamp")) / (granularity_s * 1_000_000)
+    )
     pb = points.withColumn("_cell", cell(point_ts))
     ib = intervals.withColumn(
         "_cell", F.explode(F.sequence(cell(start_col), cell(end_col)))

@@ -73,16 +73,22 @@ def get_spark(
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """events.parquet with its NANOS timestamp normalized to TimestampType.
+    """events.parquet with its timestamp normalized to TimestampType.
 
-    With ``nanosAsLong`` the column arrives as nanos-since-epoch; integer-DIV
-    to micros matches DuckDB's truncating nanos->micros read exactly.
+    Generations of the testdata have stored ``ts`` as TIMESTAMP(NANOS) (which
+    ``nanosAsLong`` surfaces as nanos-since-epoch bigint) or as un-annotated
+    micros (which Spark reads as TIMESTAMP_NTZ). Both normalize to plain
+    TimestampType here; the session timezone is pinned UTC, so the NTZ cast is
+    value-stable and downstream plans/oracles see one consistent type.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
