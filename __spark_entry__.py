@@ -36,16 +36,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
 _GATE_FIRST = [
-    # -- no green driver row before r4 (array columns broke the harness
-    #    canonicalizer; outputs now serialize as canonical strings) --
+    # -- newest green driver row is r3 (the 28 queries outside r4's
+    #    50-sample); lead the r5 sample so no evidence ages past 2 rounds --
+    "neel_parsed",
+    "neel_ner",
+    "neel_export_challenge",
+    "neel_export_extended",
+    "group_collect_entities",
+    "similarity_bruteforce_topk",
+    "similarity_ann_lsh",
+    "similarity_embedding_neardup",
+    "profile_documents",
+    "progress_running_totals",
+    "enrich_request_envelopes",
+    "join_asof_last_purchase",
+    "join_interval_nearby_events",
+    "sampling_stratified",
+    "agg_salted_heavy_hitters",
+    "neel_fanin_batch",
+    "neel_assembled_join",
+    "agg_approx_distinct",
+    "similarity_ivf_topk",
+    "dedup_embedding_clusters",
+    "dedup_semantic_keep",
+    "agg_percentiles_exact",
+    "window_event_deltas",
+    "compact_latest_events",
+    "join_anti_customers_no_orders",
+    "agg_cube_events",
+    "join_salted_skew",
+    "agg_moments",
+]
+_GATE_LAST = [  # all green in r4; head = queries whose operator modules see
+    # r5 collateral edits, so the head still lands inside the 50-sample
     "index_inverted",
     "embedding_label_centroids",
-    # -- implementation changed in r4 --
-    "text_lexical_diversity",  # hapax rewritten sorted-neighbor-diff
-    "shuffle_global",  # bucket count now derived from prefix length
-    "join_bloom_pruned",  # bloom hashes a string render of the key
-    "multimodal_features",  # multimodal.py gained the image-codec seam
-    # -- newest green row is r1/r2 (rotated in from the r3 tail) --
+    "text_lexical_diversity",
+    "shuffle_global",
+    "pack_sequences",
+    "text_pii_redaction",
+    "text_gopher_rules",
+    "decontaminate_benchmark",
+    "decontaminate_keep",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_repetition_ratio",
+    "text_tfidf_topterms",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_estimate",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "join_bloom_pruned",
+    "neel_assembled",
+    "neel_export_json",
     "project_nested_json",
     "project_dump_rows",
     "text_token_counts",
@@ -74,54 +119,6 @@ _GATE_FIRST = [
     "text_fingerprint_overlap",
     "sessionize_events",
     "pivot_event_types",
-]
-_GATE_LAST = [  # newest green row is r3; head = modules with r4 collateral
-    # edits (curation.py / textstats.py), so the head still lands inside the
-    # 50-sample; tail = operators untouched since their r3 green row
-    "pack_sequences",
-    "text_pii_redaction",
-    "text_gopher_rules",
-    "decontaminate_benchmark",
-    "decontaminate_keep",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_repetition_ratio",
-    "text_tfidf_topterms",
-    "multimodal_frame_sample",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_minhash_estimate",
-    "neel_assembled",
-    "neel_export_json",
-    "similarity_ivf_topk",
-    "neel_fanin_batch",
-    "neel_assembled_join",
-    "agg_approx_distinct",
-    "dedup_embedding_clusters",
-    "dedup_semantic_keep",
-    "agg_percentiles_exact",
-    "window_event_deltas",
-    "compact_latest_events",
-    "join_anti_customers_no_orders",
-    "agg_cube_events",
-    "join_salted_skew",
-    "agg_moments",
-    "neel_parsed",
-    "neel_ner",
-    "neel_export_challenge",
-    "neel_export_extended",
-    "group_collect_entities",
-    "similarity_bruteforce_topk",
-    "similarity_ann_lsh",
-    "similarity_embedding_neardup",
-    "profile_documents",
-    "progress_running_totals",
-    "enrich_request_envelopes",
-    "join_asof_last_purchase",
-    "join_interval_nearby_events",
-    "sampling_stratified",
-    "agg_salted_heavy_hitters",
 ]
 
 

@@ -89,19 +89,35 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             timeout_ms=120_000,
         )
         samples: list[tuple[float, int]] = []
+        got = 0
         try:
             deadline = time.time() + timeout_s
-            got = 0
             while time.time() < deadline and got < n:
                 got = len(topics["results"].read_all())
                 samples.append((time.perf_counter() - t0, got))
                 time.sleep(0.25)
             elapsed = time.perf_counter() - t0
         finally:
+            # Drain in-flight micro-batches before stop: stop() interrupts
+            # running tasks and the state-store abort path then stack-traces
+            # into the output (this buried the r4 bench JSON line). Only
+            # drain when the run completed — on timeout, stop immediately.
+            if got >= n:
+                for q in queries:
+                    try:
+                        q.processAllAvailable()
+                    except Exception:
+                        pass
             for q in queries:
-                q.stop()
+                try:
+                    q.stop()
+                except Exception:
+                    pass
             for s in sims:
-                s.stop()
+                try:
+                    s.stop()
+                except Exception:
+                    pass
         parsed.unpersist()
 
         # steady region: first sample at >= 25% completed -> last sample.
@@ -248,24 +264,34 @@ def main() -> None:
     stream_sf = os.environ.get(
         "SPARK_GRAFT_STREAM_SF_DIR", "/root/testdata/sf0.01"
     )
-    streaming = bench_topology(spark, stream_sf)
-    timings["topology_stream"] = streaming["elapsed_s"]
+    try:
+        streaming = bench_topology(spark, stream_sf)
+        timings["topology_stream"] = streaming["elapsed_s"]
+    except Exception as exc:  # still emit the JSON line on a streaming crash
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steady": steady,
-                "streaming": streaming,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "steady": steady,
+            "streaming": streaming,
+            "sf": sf,
+        }
     )
+    # The driver parses the LAST line of combined output. Spark's JVM logs to
+    # stderr asynchronously (executor-thread stack traces on streaming stop
+    # landed AFTER the JSON line in r4 and broke the parse), so: stop Spark
+    # first, give the JVM a moment to flush its final log lines, then print
+    # the JSON as the absolute last output.
     spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    time.sleep(2.0)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

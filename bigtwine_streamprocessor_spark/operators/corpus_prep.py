@@ -1,0 +1,470 @@
+"""Corpus-preparation operators for training-data pipelines: cardinality
+sketching, paragraph-level dedup, weighted source mixing, length-bucketed
+batching, URL/domain auditing, and random-projection embedding compression.
+
+The layer between curation (``operators/curation.py``) and the trainer: once
+a corpus is cleaned, a pipeline still has to (a) audit per-source vocabulary
+cardinality without a full distinct (KMV sketch), (b) drop boilerplate
+paragraphs repeated across documents (CCNet-style line dedup, here on
+fixed-width word chunks since the synthetic corpus has no newlines),
+(c) sample sources into a training mixture at fixed ratios, (d) group
+similar-length documents into batches to minimize padding, (e) audit/block
+documents by URL domain, and (f) compress embeddings with a deterministic
+random projection for cheap downstream ANN.
+
+Every operator is pure Column expressions (whole-stage codegen, zero
+Python rows) with a DuckDB SQL twin generated from the SAME constants, so
+the oracle can never drift from the engine. All randomness is md5-derived:
+identical on Spark, DuckDB, and hashlib, which is what makes the sketches
+and samplers oracle-checkable bit-for-bit.
+
+Scale posture (100 TB):
+- the KMV sketch shuffles distinct (source, token) pairs once, then finds
+  the k smallest hashes with a TWO-PHASE rank (salted local top-k, then
+  top-k of the <=16k survivors) so no single per-source task sees more than
+  k*16 candidate rows — a global per-source window would serialize each
+  source through one task;
+- paragraph dedup shuffles (chunk-hash, doc, pos) triples; chunk hashes are
+  uniform, and the per-hash window is bounded by the duplication factor;
+- mixing/bucketing windows partition on (source | bucket); with few groups
+  at cluster scale, switch to the md5-prefix bucketed two-phase rank used by
+  ``curation.global_shuffle`` (same trick: the bucket is a prefix of the
+  sort key, so local rank + broadcast offsets = the global rank);
+- the projection matrix is a compile-time literal (md5-derived), so the
+  projection is a map-only scan — no shuffle, no Python, no broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------------
+KMV_K = 128
+KMV_HEX = 12  # 48-bit hash prefix: exact in doubles, negligible collisions
+KMV_SPACE = 16**KMV_HEX
+
+# --- paragraph dedup ------------------------------------------------------
+CHUNK_WORDS = 16  # "paragraph" = fixed word chunk (corpus has no newlines)
+
+# --- weighted source mixing ----------------------------------------------
+MIX_TOTAL = 200
+MIX_SEED = "mix"
+
+# --- length-bucketed batching --------------------------------------------
+LEN_BOUNDS = (16, 32, 64, 128, 256, 512)
+LEN_OVERFLOW = 1024
+BATCH_DOCS = 8
+
+# --- URL/domain audit ----------------------------------------------------
+URL_MOD = 5  # every URL_MOD-th doc gets a synthetic URL (corpus has none)
+URL_SITES = 13
+BLOCKED_SITES = (3, 7, 11)
+URL_RE = "https://([a-z0-9.]+)/"
+
+# --- random projection ---------------------------------------------------
+PROJ_IN = 64
+PROJ_OUT = 16
+
+
+def _hexnum_sql(expr: str, pos_fn: str) -> str:
+    """Numeric value of the first KMV_HEX chars of a lowercase hex string.
+
+    Emitted as a sum of exact-integer terms (digit * 16^k, all < 2^48), so
+    the double result is exact and ORDER-INDEPENDENT — bit-identical on any
+    engine. ``pos_fn`` is the (haystack, needle) position function: Spark
+    ``instr``, DuckDB ``strpos``.
+    """
+    terms = [
+        f"(({pos_fn}('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (KMV_HEX - i)}.0)"
+        for i in range(1, KMV_HEX + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmv_distinct_by_source(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-source distinct-token estimate via a KMV (k-minimum-values)
+    sketch, with the exact count and relative error alongside — the
+    cardinality audit a pipeline runs per shard before committing to a full
+    vocabulary build. Estimator: (k-1) / h_k where h_k is the k-th smallest
+    hash normalized to [0,1) (Bar-Yossef et al. 2002); with fewer than k
+    distinct values the sketch IS the exact count.
+
+    All hashes are md5-derived and the estimate arithmetic is the same
+    literal expression on both engines, so the sketch is oracle-checkable
+    exactly — unlike HLL, whose register layout is engine-private.
+    """
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    h = toks.withColumn("_hv", F.expr(_hexnum_sql("md5(tok)", "instr")))
+    # two-phase k-smallest: salted local top-k bounds every task at k rows,
+    # then the true per-source top-k runs over <= 16k survivors
+    salted = h.withColumn("_s", F.pmod(F.col("_hv").cast("bigint"), F.lit(16)))
+    w1 = Window.partitionBy("source", "_s").orderBy("_hv", "tok")
+    cand = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_s")
+    )
+    w2 = Window.partitionBy("source").orderBy("_hv", "tok")
+    top = cand.withColumn("_r", F.row_number().over(w2)).filter(F.col("_r") <= k)
+    sketch = top.groupBy("source").agg(
+        F.max("_hv").alias("_hk"), F.count(F.lit(1)).alias("_m")
+    )
+    exact = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(F.col("_m") < k, F.col("_m").cast("double")).otherwise(
+        F.expr(f"round(({k - 1} * {KMV_SPACE}.0) / _hk, 2)")
+    )
+    return (
+        sketch.join(F.broadcast(exact), "source")
+        .withColumn("kmv_est", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ),
+        )
+        .select("source", "kmv_est", "exact_distinct", "rel_err")
+    )
+
+
+def kmv_distinct_sql(k: int = KMV_K, source: str = "documents") -> str:
+    hv = _hexnum_sql("md5(tok)", "strpos")
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+    FROM {source}
+),
+h AS (SELECT source, tok, {hv} AS hv FROM toks),
+r AS (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv, tok) AS rn
+    FROM h
+),
+sk AS (
+    SELECT source, max(hv) AS hk, count(*) AS m
+    FROM r WHERE rn <= {k} GROUP BY source
+),
+ex AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+    FROM toks GROUP BY source
+),
+est AS (
+    SELECT sk.source,
+           CASE WHEN sk.m < {k} THEN CAST(sk.m AS DOUBLE)
+                ELSE round(({k - 1} * {16**KMV_HEX}.0) / sk.hk, 2)
+           END AS kmv_est,
+           ex.exact_distinct
+    FROM sk JOIN ex USING (source)
+)
+SELECT source, kmv_est, exact_distinct,
+       round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est
+"""
+
+
+def paragraph_dedup(docs: DataFrame, chunk_words: int = CHUNK_WORDS) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup: cut each document into
+    fixed ``chunk_words``-word chunks (the corpus has no newline paragraphs),
+    keep only the globally FIRST occurrence of each chunk (by (doc_id, pos)),
+    and re-assemble the surviving text. Output: (doc_id, n_chunks, n_kept,
+    text_kept) — the boilerplate-stripping pass run before exact dedup.
+
+    Plan: one explode -> row_number over the chunk-hash partitions (uniform
+    md5 keys; group size = cross-corpus duplication factor) -> per-doc
+    re-assembly with collect_list bounded by document length.
+    """
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    ch = docs.select(
+        "doc_id", F.posexplode(chunks).alias("_p", "chunk")
+    ).withColumn("pos", (F.col("_p") + 1).cast("bigint"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    r = ch.withColumn("_kept", F.row_number().over(w) == 1)
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
+def paragraph_dedup_sql(
+    chunk_words: int = CHUNK_WORDS, source: str = "documents"
+) -> str:
+    n = f"greatest(CAST(ceil(len(tk) / {chunk_words}.0) AS BIGINT), 1)"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {source}),
+c AS (
+    SELECT doc_id,
+           unnest(generate_series(1, {n})) AS pos,
+           unnest(list_transform(
+               generate_series(1, {n}),
+               i -> array_to_string(
+                   tk[(i-1)*{chunk_words}+1:(i-1)*{chunk_words}+{chunk_words}],
+                   ' ')
+           )) AS chunk
+    FROM t
+),
+r AS (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, pos) AS rn
+    FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                '') AS text_kept
+FROM r GROUP BY doc_id
+"""
+
+
+def mix_weighted_quota(docs: DataFrame, total: int = MIX_TOTAL) -> DataFrame:
+    """Deterministic weighted training mixture: each source gets a quota
+    proportional to its weight (floor(total * w / sum_w), min 1) and fills it
+    with its quota-smallest docs by seeded md5 — i.e. fixed epoch ratios with
+    a reproducible per-source sample, the standard corpus-mixing contract.
+    Source weights derive from the source name (1 + id % 3) so the oracle
+    computes the identical plan with zero side-channel state.
+
+    Output: (doc_id, source, mix_rank).
+    """
+    wt = 1 + F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 3
+    dims = docs.select("source").distinct().withColumn("_w", wt)
+    total_w = dims.agg(F.sum("_w").alias("_tw"))
+    quota = (
+        dims.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.floor(F.lit(float(total)) * F.col("_w") / F.col("_tw")),
+                F.lit(1),
+            ),
+        )
+        .select("source", "quota")
+    )
+    key = F.md5(
+        F.concat(F.lit(f"{MIX_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    ranked = docs.select("doc_id", "source").withColumn(
+        "mix_rank", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("mix_rank") <= F.col("quota")
+    ).select("doc_id", "source", "mix_rank")
+
+
+def mix_weighted_sql(total: int = MIX_TOTAL, source: str = "documents") -> str:
+    return f"""
+WITH dims AS (SELECT DISTINCT source FROM {source}),
+w AS (
+    SELECT source,
+           1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) AS wt
+    FROM dims
+),
+q AS (
+    SELECT source,
+           greatest(CAST(floor({total}.0 * wt / (SELECT sum(wt) FROM w))
+                    AS BIGINT), 1) AS quota
+    FROM w
+),
+r AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS mix_rank
+    FROM {source}
+)
+SELECT r.doc_id, r.source, r.mix_rank
+FROM r JOIN q USING (source)
+WHERE r.mix_rank <= q.quota
+"""
+
+
+def bucket_by_length(docs: DataFrame, batch_docs: int = BATCH_DOCS) -> DataFrame:
+    """Length-bucketed batch assignment: documents fall into power-of-two
+    token-length buckets and each bucket packs ``batch_docs`` docs per batch
+    in doc_id order — the padding-minimizing batching a trainer's data
+    loader does, precomputed engine-side. Output: (doc_id, n_tokens, bucket,
+    batch_id, pos_in_batch).
+
+    The per-bucket window has as many partitions as buckets (7 here); at
+    cluster scale use the md5-prefix two-phase rank from
+    ``curation.global_shuffle`` (bucket stays the partition prefix).
+    """
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bucket = F.lit(LEN_OVERFLOW)
+    for b in reversed(LEN_BOUNDS):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        docs.select("doc_id", n.alias("n_tokens"))
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            F.floor((F.col("_rn") - 1) / F.lit(float(batch_docs)))
+            .cast("bigint")
+            .alias("batch_id"),
+            ((F.col("_rn") - 1) % batch_docs).cast("int").alias("pos_in_batch"),
+        )
+    )
+
+
+def bucket_by_length_sql(
+    batch_docs: int = BATCH_DOCS, source: str = "documents"
+) -> str:
+    case = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in LEN_BOUNDS
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM {source}
+),
+b AS (
+    SELECT doc_id, n_tokens,
+           CAST(CASE {case} ELSE {LEN_OVERFLOW} END AS INT) AS bucket
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_tokens, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+    FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((rn - 1) / {batch_docs}.0) AS BIGINT) AS batch_id,
+       CAST((rn - 1) % {batch_docs} AS INT) AS pos_in_batch
+FROM r
+"""
+
+
+def url_domain_audit(docs: DataFrame) -> DataFrame:
+    """Extract URL domains and flag blocklisted ones — the domain-level
+    filter a web-scale pipeline applies before any content-level scoring.
+    The synthetic corpus has no URLs, so every ``URL_MOD``-th doc gets a
+    deterministic one injected (same convention as the PII path:
+    ``curation.with_synthetic_pii``), making the extraction non-vacuous and
+    exactly mirrored by the oracle. Output: (doc_id, domain, blocked) for
+    docs carrying a URL. Map-only scan, no shuffle.
+    """
+    url = F.concat(
+        F.lit(" see https://site"),
+        (F.col("doc_id") % URL_SITES).cast("string"),
+        F.lit(".example.com/page"),
+    )
+    text = F.when(
+        F.col("doc_id") % URL_MOD == 0, F.concat(F.col("text"), url)
+    ).otherwise(F.col("text"))
+    dom = F.regexp_extract(text, URL_RE, 1)
+    blocked_domains = [f"site{s}.example.com" for s in BLOCKED_SITES]
+    return (
+        docs.select("doc_id", dom.alias("domain"))
+        .filter(F.col("domain") != "")
+        .withColumn("blocked", F.col("domain").isin(blocked_domains))
+    )
+
+
+def url_domain_sql(source: str = "documents") -> str:
+    blocked = ", ".join(f"'site{s}.example.com'" for s in BLOCKED_SITES)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {URL_MOD} = 0
+                THEN text || ' see https://site'
+                     || CAST(doc_id % {URL_SITES} AS VARCHAR)
+                     || '.example.com/page'
+                ELSE text END AS text
+    FROM {source}
+),
+d AS (SELECT doc_id, regexp_extract(text, '{URL_RE}', 1) AS domain FROM t)
+SELECT doc_id, domain, domain IN ({blocked}) AS blocked
+FROM d WHERE domain <> ''
+"""
+
+
+def _proj_sign(j: int, i: int) -> float:
+    """Deterministic +-1 from md5 — identical by construction to what the
+    engines would compute, but folded at build time so the projection plan
+    is a pure literal-matrix scan (no per-row hashing)."""
+    d = int(hashlib.md5(f"proj:{j}:{i}".encode()).hexdigest()[0], 16)
+    return 1.0 if d % 2 == 0 else -1.0
+
+
+def embedding_random_projection(
+    emb: DataFrame, out_dim: int = PROJ_OUT, in_dim: int = PROJ_IN
+) -> DataFrame:
+    """Sign random projection (Achlioptas 2003): compress ``in_dim``-float
+    embeddings to ``out_dim`` components with a deterministic md5-derived
+    +-1 matrix — the cheap dimensionality reduction in front of ANN/dedup
+    at 100 TB. The matrix is a compile-time literal, so the plan is a
+    map-only whole-stage-codegen scan: no shuffle, no Python, no broadcast.
+
+    Each component serializes fixed-point (%.4f after round-4) and the
+    vector joins with commas — the canonical-string encoding the driver
+    harness compares exactly (same pattern as ``embedding_label_centroids``).
+    Sums fold left in index order on both engines over exact float->double
+    casts, so the strings are bit-identical.
+    """
+    comps = []
+    for j in range(out_dim):
+        terms = [
+            F.col("embedding").getItem(i).cast("double")
+            * F.lit(_proj_sign(j, i))
+            for i in range(in_dim)
+        ]
+        comps.append(
+            F.format_string("%.4f", F.round(reduce(lambda a, b: a + b, terms), 4))
+        )
+    return emb.select(
+        "vec_id", "label", F.concat_ws(",", *comps).alias("proj")
+    )
+
+
+def embedding_projection_sql(
+    out_dim: int = PROJ_OUT, in_dim: int = PROJ_IN, source: str = "embeddings"
+) -> str:
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) * {_proj_sign(j, i)})"
+            for i in range(in_dim)
+        )
+        comps.append(f"printf('%.4f', round({terms}, 4))")
+    joined = ", ".join(comps)
+    return f"""
+SELECT vec_id, label, concat_ws(',', {joined}) AS proj
+FROM {source}
+"""

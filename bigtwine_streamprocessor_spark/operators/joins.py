@@ -43,6 +43,10 @@ def interval_join_bucketed(
     exact bounds refine the candidates. A point occupies exactly one cell, so
     each (point, interval) pair matches at most once — no dedup.
 
+    Precondition: if the timestamp columns are TIMESTAMP_NTZ, the session
+    timezone must be UTC for the ``cast("timestamp")`` below to be
+    value-stable (the engine's sessions pin it; arbitrary callers must too).
+
     Scale story: Spark plans a raw inequality join as broadcast-nested-loop
     (pair explosion); this shape is one shuffled equi-join with explode
     factor ``interval_len/granularity + 1`` — pick granularity on the order

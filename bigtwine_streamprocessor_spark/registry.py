@@ -1824,3 +1824,64 @@ def text_lexical_diversity(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["text_bigram_logprob", "text_lexical_diversity"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation layer (operators/corpus_prep.py): cardinality sketch,
+# paragraph dedup, weighted mixing, length bucketing, domain audit,
+# random-projection compression
+# ---------------------------------------------------------------------------
+from .operators import corpus_prep  # noqa: E402
+
+
+@register("sketch_kmv_distinct", corpus_prep.kmv_distinct_sql())
+def sketch_kmv_distinct(spark, sf_dir):
+    """Per-source distinct-token cardinality via a KMV sketch (k=128) with
+    exact count + relative error alongside. md5-derived hashes make the
+    sketch oracle-checkable bit-for-bit, unlike engine-private HLL; the
+    k-smallest scan is a salted two-phase rank so no task holds a full
+    source."""
+    return corpus_prep.kmv_distinct_by_source(_docs(spark, sf_dir))
+
+
+@register("dedup_paragraphs", corpus_prep.paragraph_dedup_sql())
+def dedup_paragraphs(spark, sf_dir):
+    """CCNet-style cross-document paragraph dedup on 16-word chunks: keep
+    the globally first occurrence of each chunk, re-assemble surviving
+    text."""
+    return corpus_prep.paragraph_dedup(_docs(spark, sf_dir))
+
+
+@register("mix_weighted_sources", corpus_prep.mix_weighted_sql())
+def mix_weighted_sources(spark, sf_dir):
+    """Deterministic weighted training mixture: per-source quotas
+    proportional to name-derived weights, filled with the quota-smallest
+    docs by seeded md5 — fixed epoch ratios, reproducible sample."""
+    return corpus_prep.mix_weighted_quota(_docs(spark, sf_dir))
+
+
+@register("bucket_by_length", corpus_prep.bucket_by_length_sql())
+def bucket_by_length(spark, sf_dir):
+    """Power-of-two length buckets + 8-doc batch assignment in doc order —
+    the padding-minimizing batch layout precomputed engine-side."""
+    return corpus_prep.bucket_by_length(_docs(spark, sf_dir))
+
+
+@register("filter_url_domains", corpus_prep.url_domain_sql())
+def filter_url_domains(spark, sf_dir):
+    """URL domain extraction + blocklist flag over synthetically injected
+    URLs (corpus carries none) — map-only, regex stays in codegen."""
+    return corpus_prep.url_domain_audit(_docs(spark, sf_dir))
+
+
+@register("embedding_random_projection", corpus_prep.embedding_projection_sql())
+def embedding_random_projection(spark, sf_dir):
+    """64->16-dim sign random projection with a literal md5-derived matrix;
+    components serialize fixed-point so both engines render identical
+    canonical strings. Map-only whole-stage-codegen scan."""
+    return corpus_prep.embedding_random_projection(_emb(spark, sf_dir))
+
+
+BENCH_EXTRA.extend(
+    ["sketch_kmv_distinct", "dedup_paragraphs", "embedding_random_projection"]
+)

@@ -78,11 +78,16 @@ def load_events(spark: SparkSession, sf_dir: str):
     Generations of the testdata have stored ``ts`` as TIMESTAMP(NANOS) (which
     ``nanosAsLong`` surfaces as nanos-since-epoch bigint) or as un-annotated
     micros (which Spark reads as TIMESTAMP_NTZ). Both normalize to plain
-    TimestampType here; the session timezone is pinned UTC, so the NTZ cast is
-    value-stable and downstream plans/oracles see one consistent type.
+    TimestampType here. The NTZ->TIMESTAMP cast is value-stable ONLY under a
+    UTC session timezone, and this function may be called with an arbitrary
+    caller-provided session (outside get_spark's pinning), so the timezone is
+    pinned here too rather than assumed.
     """
     from pyspark.sql import functions as F
 
+    # pin (don't assume) UTC: a non-UTC JVM default would silently shift
+    # every event timestamp during the NTZ cast below
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

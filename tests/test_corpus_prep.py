@@ -1,0 +1,141 @@
+"""Property tests for the corpus-preparation layer (operators/corpus_prep.py).
+
+Oracle equality is covered per-query in tests/test_registry.py; these pin the
+semantic invariants the oracle compare can't express (error bounds, quota
+arithmetic, batch shapes) plus the zero-exchange plan contract for the
+map-only operators.
+"""
+
+from pyspark.sql import functions as F
+
+from bigtwine_streamprocessor_spark.operators import corpus_prep
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_kmv_error_bound(spark):
+    out = corpus_prep.kmv_distinct_by_source(_docs(spark)).collect()
+    assert len(out) > 0
+    for r in out:
+        # KMV k=128 has ~1/sqrt(k-2) ≈ 9% std error; 3 sigma bound
+        assert r.rel_err <= 0.27, (r.source, r.rel_err)
+        # a sketch that saw fewer than k distinct values IS exact
+        if r.exact_distinct < corpus_prep.KMV_K:
+            assert r.kmv_est == float(r.exact_distinct)
+
+
+def test_paragraph_dedup_invariants(spark):
+    docs = _docs(spark)
+    out = corpus_prep.paragraph_dedup(docs)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_chunks").alias("chunks")
+    ).collect()[0]
+    # every doc survives with between 0 and all of its chunks
+    assert out.filter(
+        (F.col("n_kept") < 0) | (F.col("n_kept") > F.col("n_chunks"))
+    ).count() == 0
+    assert out.count() == docs.count()
+    # total kept == number of distinct chunks in the corpus (first-occurrence
+    # semantics keep exactly one copy of each)
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(corpus_prep.CHUNK_WORDS))).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * corpus_prep.CHUNK_WORDS + 1,
+                    corpus_prep.CHUNK_WORDS),
+            " ",
+        ),
+    )
+    distinct_chunks = (
+        docs.select(F.explode(chunks).alias("c")).distinct().count()
+    )
+    assert agg.kept == distinct_chunks
+    assert agg.chunks >= agg.kept
+
+
+def test_mix_quota_counts(spark):
+    docs = _docs(spark)
+    out = corpus_prep.mix_weighted_quota(docs)
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # quotas are proportional to 1 + id%3 and never exceed the source size
+    sizes = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    weights = {s: 1 + int("".join(ch for ch in s if ch.isdigit()) or 0) % 3
+               for s in sizes}
+    tw = sum(weights.values())
+    for s, n in per.items():
+        expect = max(int(corpus_prep.MIX_TOTAL * weights[s] / tw), 1)
+        assert n == min(expect, sizes[s]), (s, n, expect)
+    # ranks within a source are dense from 1
+    mx = out.groupBy("source").agg(
+        F.max("mix_rank").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_bucket_batch_shape(spark):
+    out = corpus_prep.bucket_by_length(_docs(spark))
+    # every doc fits its bucket, and no smaller bucket would do
+    bad = out.filter(F.col("n_tokens") > F.col("bucket")).count()
+    assert bad == 0
+    assert out.filter(
+        (F.col("pos_in_batch") < 0)
+        | (F.col("pos_in_batch") >= corpus_prep.BATCH_DOCS)
+    ).count() == 0
+    # all but the final batch of each bucket are full
+    sizes = out.groupBy("bucket", "batch_id").agg(F.count("*").alias("n"))
+    last = out.groupBy("bucket").agg(F.max("batch_id").alias("last_batch"))
+    partial = (
+        sizes.join(last, "bucket")
+        .filter(
+            (F.col("n") < corpus_prep.BATCH_DOCS)
+            & (F.col("batch_id") != F.col("last_batch"))
+        )
+        .count()
+    )
+    assert partial == 0
+
+
+def test_url_audit_rows(spark):
+    out = corpus_prep.url_domain_audit(_docs(spark))
+    rows = out.collect()
+    assert all(r.doc_id % corpus_prep.URL_MOD == 0 for r in rows)
+    assert all(r.domain.endswith(".example.com") for r in rows)
+    for r in rows:
+        site = int(r.domain.split(".")[0].removeprefix("site"))
+        assert r.blocked == (site in corpus_prep.BLOCKED_SITES)
+
+
+def test_projection_shape_and_determinism(spark):
+    out = corpus_prep.embedding_random_projection(_emb(spark))
+    a = {r.vec_id: r.proj for r in out.collect()}
+    b = {r.vec_id: r.proj for r in
+         corpus_prep.embedding_random_projection(_emb(spark)).collect()}
+    assert a == b
+    assert all(len(v.split(",")) == corpus_prep.PROJ_OUT for v in a.values())
+
+
+def test_map_only_plans(spark):
+    """url_domain_audit and embedding_random_projection are pinned
+    zero-exchange map-only scans (the literal projection matrix must not
+    introduce a shuffle or Python eval)."""
+    for df in (
+        corpus_prep.url_domain_audit(_docs(spark)),
+        corpus_prep.embedding_random_projection(_emb(spark)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
