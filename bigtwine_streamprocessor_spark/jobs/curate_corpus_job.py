@@ -14,8 +14,13 @@ tokenizer, chaining the curation operators (`operators/curation.py`,
     6. near dedup     — SimHash banded Hamming pairs over the survivors
                         (catches small edits the shingle Jaccard threshold
                         lets through) -> components -> keep representative
-    7. pack + shuffle — 512-token block assignment, seeded global order
-    8. write          — parquet partitioned by source (partition pruning at
+    7. paragraph dedup — strip chunks repeated ACROSS the surviving docs
+                        (CCNet-style boilerplate removal; docs emptied by it
+                        are dropped); placed after doc-level dedup so each
+                        stage catches its own duplicate class
+    8. pack + shuffle — 512-token block assignment, seeded global order,
+                        plus power-of-two length-bucket batch assignment
+    9. write          — parquet partitioned by source (partition pruning at
                         read time), plus a one-row JSON funnel report
 
 Stage order matters at scale: the cheap map-only gates run FIRST so every
@@ -33,7 +38,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import curation, dedup
+from ..operators import corpus_prep, curation, dedup
 from ..session import get_spark
 
 
@@ -95,14 +100,29 @@ def curate(
     kept = kept.join(drop, "doc_id", "left_anti")
     funnel["after_near_dedup"] = kept.count()
 
-    # 6. pack + deterministic shuffle order
+    # 7. paragraph dedup: drop chunks repeated across the surviving docs and
+    # keep the reassembled text; docs emptied entirely are boilerplate
+    para = corpus_prep.paragraph_dedup(kept)
+    kept = kept.drop("text").join(
+        para.filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_kept").alias("text")
+        ),
+        "doc_id",
+    )
+    funnel["after_paragraph_dedup"] = kept.count()
+
+    # 8. pack + deterministic shuffle order + length-bucket batch layout
     packed = curation.pack_sequences(kept).select(
         "doc_id", "n_tokens", "block_id", "block_offset"
     )
     order = curation.global_shuffle(kept)
+    buckets = corpus_prep.bucket_by_length(kept).select(
+        "doc_id", "bucket", "batch_id"
+    )
     out = (
         kept.join(packed, "doc_id")
         .join(order, "doc_id")
+        .join(buckets, "doc_id")
         .select(
             "doc_id",
             "text",
@@ -112,6 +132,8 @@ def curate(
             "n_redactions",
             "block_id",
             "block_offset",
+            "bucket",
+            "batch_id",
             "shuffle_pos",
         )
     )

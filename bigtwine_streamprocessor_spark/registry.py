@@ -1885,3 +1885,121 @@ def embedding_random_projection(spark, sf_dir):
 BENCH_EXTRA.extend(
     ["sketch_kmv_distinct", "dedup_paragraphs", "embedding_random_projection"]
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join relational completions (TPC-H Q3/Q5 shapes): the canonical
+# shuffle-join + broadcast-dim plans a warehouse engine must get right
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style shipping priority: segment-filtered customer (semijoin
+    reduces orders BEFORE the fact-fact shuffle), orders|x|lineitem on
+    orderkey, revenue top-10 with a deterministic (revenue, orderkey)
+    tiebreak. Both date filters push to the parquet scans; the top-10 is a
+    TakeOrderedAndProject — no global sort materializes."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style local-supplier volume: the 6-table join chain with the
+    customer-nation = supplier-nation co-location condition. Shuffle joins
+    carry only the two facts (lineitem|x|orders on orderkey, then customer
+    on custkey); supplier, nation, and region ride as broadcasts, and the
+    region filter prunes nations before any fact is touched."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dims = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    sup = s.join(
+        F.broadcast(dims), s["s_nationkey"] == dims["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+BENCH_EXTRA.extend(["join_shipping_priority", "join_local_supplier_volume"])

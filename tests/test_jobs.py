@@ -196,6 +196,7 @@ def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
         >= funnel["after_exact_dedup"]
         >= funnel["after_lsh_dedup"]
         >= funnel["after_near_dedup"]
+        >= funnel["after_paragraph_dedup"]
         == funnel["written"]
     )
     # the MinHash-LSH stage runs between exact and SimHash dedup, and on
@@ -209,9 +210,10 @@ def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
     assert survivors.filter(F.col("doc_id") >= DUP_SEED_OFFSET).count() == 0
     # partitioned layout -> partition pruning is available to readers
     assert any(p.name.startswith("source=") for p in out.iterdir())
-    # packing + shuffle columns present and sane
+    # packing + shuffle + bucket columns present and sane
     row = survivors.limit(1).collect()[0]
     assert row.block_offset < 512 and row.shuffle_pos >= 1
+    assert row.n_tokens <= row.bucket and row.batch_id >= 0
     report = json.loads((out / "_funnel.json").read_text())
     assert report == funnel
 
