@@ -98,16 +98,14 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
                 time.sleep(0.25)
             elapsed = time.perf_counter() - t0
         finally:
-            # Drain in-flight micro-batches before stop: stop() interrupts
-            # running tasks and the state-store abort path then stack-traces
-            # into the output (this buried the r4 bench JSON line). Only
-            # drain when the run completed — on timeout, stop immediately.
-            if got >= n:
-                for q in queries:
-                    try:
-                        q.processAllAvailable()
-                    except Exception:
-                        pass
+            # stop() interrupts any running task and the state-store abort
+            # path then stack-traces into stderr — harmless (the queries are
+            # being torn down) but noisy, which is why main() prints the
+            # JSON line strictly LAST. NOTE: do NOT processAllAvailable()
+            # here to quiesce first — the service simulators keep appending
+            # topic files on every trigger, so downstream queries always see
+            # "more data available" and the drain never returns.
+            spark.sparkContext.setLogLevel("OFF")  # mute teardown traces
             for q in queries:
                 try:
                     q.stop()
@@ -118,6 +116,7 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
                     s.stop()
                 except Exception:
                     pass
+            spark.sparkContext.setLogLevel("WARN")
         parsed.unpersist()
 
         # steady region: first sample at >= 25% completed -> last sample.

@@ -37,7 +37,6 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -437,19 +436,37 @@ def embedding_random_projection(
     harness compares exactly (same pattern as ``embedding_label_centroids``).
     Sums fold left in index order on both engines over exact float->double
     casts, so the strings are bit-identical.
+
+    The matrix rides as ONE literal array-of-arrays evaluated through
+    ``transform``/``aggregate`` HOFs rather than out_dim*in_dim explicit
+    expression nodes: the flat form made Janino compile an 8-second
+    whole-stage method; the HOF form plans instantly and runs the same
+    left-fold.
     """
-    comps = []
-    for j in range(out_dim):
-        terms = [
-            F.col("embedding").getItem(i).cast("double")
-            * F.lit(_proj_sign(j, i))
-            for i in range(in_dim)
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(_proj_sign(j, i)) for i in range(in_dim)])
+            for j in range(out_dim)
         ]
-        comps.append(
-            F.format_string("%.4f", F.round(reduce(lambda a, b: a + b, terms), 4))
-        )
+    )
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(out_dim)),
+        lambda j: F.format_string(
+            "%.4f",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(in_dim)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(F.col("embedding"), i).cast("double")
+                    * F.element_at(F.element_at(matrix, j), i),
+                ),
+                4,
+            ),
+        ),
+    )
     return emb.select(
-        "vec_id", "label", F.concat_ws(",", *comps).alias("proj")
+        "vec_id", "label", F.array_join(comps, ",").alias("proj")
     )
 
 
@@ -467,4 +484,266 @@ def embedding_projection_sql(
     return f"""
 SELECT vec_id, label, concat_ws(',', {joined}) AS proj
 FROM {source}
+"""
+
+
+# --- incremental (new-batch vs corpus) dedup ------------------------------
+INC_EXACT_MOD = 50  # every 50th doc gets an exact incoming copy
+INC_EXACT_OFFSET = 1_000_000
+INC_NEAR_MOD = 37  # every 37th doc gets a near incoming copy
+INC_NEAR_OFFSET = 2_000_000
+INC_NEAR_SUFFIX = " trailing tokens appended"
+INC_SHINGLE_N = 3
+INC_DF_CAP = 100  # drop shingles seen in more existing docs than this
+INC_JACCARD_MIN = 0.35
+
+SEEDED_INCREMENTAL_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {INC_EXACT_OFFSET} AS doc_id, text
+FROM documents WHERE doc_id % {INC_EXACT_MOD} = 0
+UNION ALL
+SELECT doc_id + {INC_NEAR_OFFSET} AS doc_id, text || '{INC_NEAR_SUFFIX}' AS text
+FROM documents WHERE doc_id % {INC_NEAR_MOD} = 0
+"""
+
+
+def with_seeded_incremental(docs: DataFrame) -> DataFrame:
+    """Seed an 'incoming batch' onto the corpus: exact copies (+1M ids) of
+    every INC_EXACT_MOD-th doc and near copies (+2M ids, a few appended
+    tokens) of every INC_NEAR_MOD-th — the synthetic corpus is word salad,
+    so without seeding the incremental scan proves nothing. Mirrored
+    verbatim by SEEDED_INCREMENTAL_SQL."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % INC_EXACT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + INC_EXACT_OFFSET
+    )
+    near = (
+        base.filter(F.col("doc_id") % INC_NEAR_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + INC_NEAR_OFFSET)
+        .withColumn("text", F.concat(F.col("text"), F.lit(INC_NEAR_SUFFIX)))
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def incremental_dedup(corpus: DataFrame) -> DataFrame:
+    """Incremental dedup: flag INCOMING docs (doc_id >= INC_EXACT_OFFSET)
+    that duplicate the EXISTING corpus (doc_id below it) — the scan every
+    ingestion pipeline runs per batch, where re-deduping the whole corpus
+    would be quadratic over time. Output: (doc_id, dup_kind, match_id,
+    score); exact matches score 1.0, near matches carry their (DF-capped)
+    shingle Jaccard.
+
+    Plan shape at 100 TB: the exact pass shuffles (md5, doc_id) digests
+    only. The near pass joins distinct shingles inverted-index style with a
+    document-frequency cap (INC_DF_CAP) so stop-grams can't explode the
+    co-occurrence join — the classic candidate-bounding trick; the Jaccard
+    uses FULL distinct-shingle counts, so capping only ever LOWERS a
+    pair's score (lower-bound semantics, documented contract).
+    """
+    existing = corpus.filter(F.col("doc_id") < INC_EXACT_OFFSET)
+    incoming = corpus.filter(F.col("doc_id") >= INC_EXACT_OFFSET)
+
+    ex_h = existing.select(F.col("doc_id").alias("ex_id"), F.md5("text").alias("h"))
+    in_h = incoming.select("doc_id", F.md5("text").alias("h"))
+    exact = (
+        in_h.join(ex_h, "h")
+        .groupBy("doc_id")
+        .agg(F.min("ex_id").alias("match_id"))
+        .select(
+            "doc_id",
+            F.lit("exact").alias("dup_kind"),
+            "match_id",
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - INC_SHINGLE_N, F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(toks, i + 1, INC_SHINGLE_N), " "),
+        )
+    )
+    ex_sh = existing.select(
+        F.col("doc_id").alias("ex_id"), F.explode(grams).alias("g")
+    )
+    ex_sizes = ex_sh.groupBy("ex_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    # DF cap computed over the EXISTING side (the big, growing one)
+    rare = (
+        ex_sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= INC_DF_CAP)
+        .select("g")
+    )
+    in_near = incoming.join(exact.select("doc_id"), "doc_id", "left_anti")
+    in_sh = in_near.select("doc_id", F.explode(grams).alias("g"))
+    in_sizes = in_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
+    shared = (
+        in_sh.join(rare, "g")
+        .join(ex_sh, "g")
+        .groupBy("doc_id", "ex_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = (
+        shared.join(in_sizes, "doc_id")
+        .join(ex_sizes, "ex_id")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("shared")
+                / (F.col("n_in") + F.col("n_ex") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= INC_JACCARD_MIN)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "ex_id")
+    near = (
+        jacc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "doc_id",
+            F.lit("near").alias("dup_kind"),
+            F.col("ex_id").alias("match_id"),
+            "score",
+        )
+    )
+    return exact.unionByName(near)
+
+
+def incremental_dedup_sql() -> str:
+    n = INC_SHINGLE_N
+    return f"""
+WITH corpus AS ({SEEDED_INCREMENTAL_SQL}),
+existing AS (SELECT * FROM corpus WHERE doc_id < {INC_EXACT_OFFSET}),
+incoming AS (SELECT * FROM corpus WHERE doc_id >= {INC_EXACT_OFFSET}),
+exact AS (
+    SELECT i.doc_id, 'exact' AS dup_kind, min(e.doc_id) AS match_id,
+           1.0 AS score
+    FROM incoming i JOIN existing e ON md5(i.text) = md5(e.text)
+    GROUP BY i.doc_id
+),
+ex_sh AS (
+    SELECT doc_id AS ex_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+               i -> array_to_string(string_split(text,' ')[i:i+{n - 1}], ' ')
+           ))) AS g
+    FROM existing
+),
+ex_sizes AS (SELECT ex_id, count(*) AS n_ex FROM ex_sh GROUP BY ex_id),
+rare AS (
+    SELECT g FROM ex_sh GROUP BY g HAVING count(*) <= {INC_DF_CAP}
+),
+in_near AS (
+    SELECT * FROM incoming WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+in_sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+               i -> array_to_string(string_split(text,' ')[i:i+{n - 1}], ' ')
+           ))) AS g
+    FROM in_near
+),
+in_sizes AS (SELECT doc_id, count(*) AS n_in FROM in_sh GROUP BY doc_id),
+shared AS (
+    SELECT i.doc_id, e.ex_id, count(*) AS shared
+    FROM in_sh i JOIN rare USING (g) JOIN ex_sh e USING (g)
+    GROUP BY i.doc_id, e.ex_id
+),
+jacc AS (
+    SELECT s.doc_id, s.ex_id,
+           round(s.shared / (i.n_in + e.n_ex - s.shared), 6) AS score
+    FROM shared s
+    JOIN in_sizes i USING (doc_id)
+    JOIN ex_sizes e USING (ex_id)
+    WHERE round(s.shared / (i.n_in + e.n_ex - s.shared), 6) >= {INC_JACCARD_MIN}
+),
+near AS (
+    SELECT doc_id, 'near' AS dup_kind, ex_id AS match_id, score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, ex_id) AS rn
+        FROM jacc
+    ) WHERE rn = 1
+)
+SELECT * FROM exact
+UNION ALL
+SELECT * FROM near
+"""
+
+
+# --- quality classifier score (algebraic sigmoid) -------------------------
+QS_BIAS = -0.75
+QS_W_LEN = 1.0
+QS_W_STOP = 3.0
+QS_W_DUP = -1.5
+QS_STOPWORDS = ("the", "a", "of", "and", "is")
+QS_LEN_NORM = 100.0
+
+
+def quality_sigmoid_score(docs: DataFrame) -> DataFrame:
+    """Classifier-lite quality score: a fixed-weight linear model over three
+    cheap features (length saturation, stopword ratio, duplicate-3-gram
+    fraction) squashed by the ALGEBRAIC sigmoid 0.5 + z/(2(1+|z|)) — chosen
+    over 1/(1+e^-z) because it is exact IEEE arithmetic, so both engines
+    produce bit-identical scores (libm exp() is not correctly rounded and
+    may differ across implementations). Output: (doc_id, score, passes);
+    map-only scan, no shuffle.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*QS_STOPWORDS))
+    ) / n.cast("double")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    dup3 = (
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        / F.size(grams).cast("double")
+    )
+    z = (
+        F.lit(QS_BIAS)
+        + F.lit(QS_W_LEN) * F.least(n / F.lit(QS_LEN_NORM), F.lit(1.0))
+        + F.lit(QS_W_STOP) * stop_ratio
+        + F.lit(QS_W_DUP) * dup3
+    )
+    score = F.round(F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6)
+    return docs.select(
+        "doc_id", score.alias("score"), (score >= 0.5).alias("passes")
+    )
+
+
+def quality_sigmoid_sql(source: str = "documents") -> str:
+    sw = ", ".join(f"'{s}'" for s in QS_STOPWORDS)
+    return f"""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n,
+           len(list_filter(string_split(text, ' '), t -> t IN ({sw})))
+             AS n_stop,
+           list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+           ) AS grams
+    FROM {source}
+),
+z AS (
+    SELECT doc_id,
+           {QS_BIAS} + {QS_W_LEN} * least(n / {QS_LEN_NORM}, 1.0)
+           + {QS_W_STOP} * (n_stop / CAST(n AS DOUBLE))
+           + {QS_W_DUP} * ((len(grams) - len(list_distinct(grams)))
+                           / CAST(len(grams) AS DOUBLE)) AS z
+    FROM f
+)
+SELECT doc_id,
+       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score,
+       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) >= 0.5 AS passes
+FROM z
 """

@@ -2003,3 +2003,25 @@ def join_local_supplier_volume(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["join_shipping_priority", "join_local_supplier_volume"])
+
+
+@register("dedup_incremental", corpus_prep.incremental_dedup_sql())
+def dedup_incremental(spark, sf_dir):
+    """Incremental new-batch-vs-corpus dedup: exact digests + DF-capped
+    shingle-Jaccard near matches against the existing half only — the
+    per-batch ingestion scan that avoids re-deduping the whole corpus.
+    Seeded cross-split copies make it non-vacuous (mirrored in SQL)."""
+    return corpus_prep.incremental_dedup(
+        corpus_prep.with_seeded_incremental(_docs(spark, sf_dir))
+    )
+
+
+@register("quality_sigmoid_score", corpus_prep.quality_sigmoid_sql())
+def quality_sigmoid_score(spark, sf_dir):
+    """Classifier-lite quality score: fixed-weight linear model over length/
+    stopword/dup-3-gram features through an ALGEBRAIC sigmoid (exact IEEE
+    ops — bit-identical across engines, unlike libm exp). Map-only."""
+    return corpus_prep.quality_sigmoid_score(_docs(spark, sf_dir))
+
+
+BENCH_EXTRA.extend(["dedup_incremental", "quality_sigmoid_score"])

@@ -139,3 +139,40 @@ def test_map_only_plans(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_incremental_dedup_finds_seeded_copies(spark):
+    corpus = corpus_prep.with_seeded_incremental(_docs(spark))
+    out = corpus_prep.incremental_dedup(corpus).collect()
+    by_id = {r.doc_id: r for r in out}
+    base_ids = [r.doc_id for r in _docs(spark).select("doc_id").collect()]
+    # every seeded exact copy is flagged 'exact' pointing at its original
+    for d in base_ids:
+        if d % corpus_prep.INC_EXACT_MOD == 0:
+            r = by_id[d + corpus_prep.INC_EXACT_OFFSET]
+            assert r.dup_kind == "exact" and r.match_id == d and r.score == 1.0
+    # every seeded near copy is flagged (near) at high Jaccard against its
+    # original — unless its original is so short the appended suffix
+    # dominates; the synthetic corpus has no such docs at this SF
+    for d in base_ids:
+        if d % corpus_prep.INC_NEAR_MOD == 0:
+            r = by_id.get(d + corpus_prep.INC_NEAR_OFFSET)
+            assert r is not None and r.dup_kind == "near"
+            assert r.match_id == d and r.score >= corpus_prep.INC_JACCARD_MIN
+    # nothing else is flagged: word-salad originals don't collide
+    flagged = set(by_id)
+    seeded = {
+        d + corpus_prep.INC_EXACT_OFFSET
+        for d in base_ids if d % corpus_prep.INC_EXACT_MOD == 0
+    } | {
+        d + corpus_prep.INC_NEAR_OFFSET
+        for d in base_ids if d % corpus_prep.INC_NEAR_MOD == 0
+    }
+    assert flagged <= seeded
+
+
+def test_quality_sigmoid_bounds(spark):
+    out = corpus_prep.quality_sigmoid_score(_docs(spark))
+    assert out.filter("score < 0.0 OR score > 1.0").count() == 0
+    n_pass = out.filter("passes").count()
+    assert 0 < n_pass < out.count()  # the weights split the corpus
