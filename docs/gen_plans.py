@@ -21,6 +21,9 @@ PICK = {
     "dedup_lsh_pairs": "banded-LSH candidate self-join on uniform keys",
     "pack_sequences": "per-source window, no global sort",
     "agg_pricing_summary": "pushed filters + partial aggregation",
+    "join_shipping_priority": "semijoin-reduced fact-fact + TakeOrdered top-k",
+    "sketch_kmv_distinct": "two-phase salted top-k, digest-only shuffles",
+    "embedding_random_projection": "literal-matrix map-only scan, no exchange",
 }
 
 HEADER = """# Physical-plan audit snapshots
