@@ -176,3 +176,67 @@ def test_quality_sigmoid_bounds(spark):
     assert out.filter("score < 0.0 OR score > 1.0").count() == 0
     n_pass = out.filter("passes").count()
     assert 0 < n_pass < out.count()  # the weights split the corpus
+
+
+# ---------------------------------------------------------------------------
+# Property tests: hypothesis drives tiny random corpora, a brute-force Python
+# reference checks the distributed answers exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "y"])
+_text = st.lists(_word, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=20))
+def test_paragraph_dedup_matches_bruteforce(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_kept)
+        for r in corpus_prep.paragraph_dedup(docs, chunk_words=4).collect()
+    }
+    # brute force: first global occurrence of each 4-word chunk survives
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        chunks = [
+            " ".join(toks[j: j + 4]) for j in range(0, max(len(toks), 1), 4)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want = (len(chunks), len(kept), " ".join(kept))
+        assert got[i] == want, (i, got[i], want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                   max_size=12)
+)
+def test_bucket_by_length_matches_bruteforce(spark, sizes):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.bucket, r.batch_id, r.pos_in_batch)
+        for r in corpus_prep.bucket_by_length(docs).collect()
+    }
+    buckets: dict[int, list[int]] = {}
+    for i, n in enumerate(sizes):
+        b = next(
+            (bb for bb in corpus_prep.LEN_BOUNDS if n <= bb),
+            corpus_prep.LEN_OVERFLOW,
+        )
+        buckets.setdefault(b, []).append(i)
+    for b, ids in buckets.items():
+        for rank, i in enumerate(sorted(ids)):
+            want = (b, rank // corpus_prep.BATCH_DOCS,
+                    rank % corpus_prep.BATCH_DOCS)
+            assert got[i] == want, (i, got[i], want)
