@@ -747,3 +747,162 @@ SELECT doc_id,
        round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) >= 0.5 AS passes
 FROM z
 """
+
+
+# --- Count-Min sketch -----------------------------------------------------
+CMS_D = 4
+CMS_W = 256
+CMS_TOP = 20
+
+
+def _cms_bucket_sql(d_expr: str, pos_fn: str) -> str:
+    """Bucket of token ``tok`` in sketch row ``d_expr``: md5-derived 48-bit
+    value mod CMS_W. Integer arithmetic end-to-end — engine-independent."""
+    hv = _hexnum_sql(f"md5(concat('cm', {d_expr}, ':', tok))", pos_fn)
+    return f"(CAST({hv} AS BIGINT) % {CMS_W})"
+
+
+def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
+    """Count-Min sketch (d={CMS_D} rows x w={CMS_W} buckets) over ALL token
+    occurrences, evaluated on the top-``top`` exact terms: (tok, exact_n,
+    cms_est, overest). The CMS invariant — est >= exact, with overestimates
+    from bucket collisions only — holds by construction and is pinned in
+    tests; every count is an integer, so the sketch is oracle-exact.
+
+    Scale shape: one token explode feeds both the exact counts (map-side
+    partials) and the d x w = {CMS_D}x{CMS_W} cell table, which is bounded
+    and BROADCAST back to score query terms — at 100 TB the sketch stays
+    1024 rows no matter the corpus, which is the entire point of CMS.
+    """
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    rows = toks.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    ).withColumn("bucket", F.expr(_cms_bucket_sql("d", "instr")))
+    cells = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    q = (
+        exact.orderBy(F.col("exact_n").desc(), "tok")
+        .limit(top)
+        .select(
+            "tok",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+        )
+        .withColumn("bucket", F.expr(_cms_bucket_sql("d", "instr")))
+    )
+    return (
+        q.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overest"),
+        )
+    )
+
+
+def countmin_sql(top: int = CMS_TOP, source: str = "documents") -> str:
+    b = _cms_bucket_sql("d", "strpos")
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM {source}
+),
+exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+rows_ AS (
+    SELECT tok, unnest(generate_series(0, {CMS_D - 1})) AS d FROM toks
+),
+cells AS (
+    SELECT d, {b} AS bucket, count(*) AS cell_n
+    FROM rows_ GROUP BY d, {b}
+),
+q AS (
+    SELECT tok, exact_n, unnest(generate_series(0, {CMS_D - 1})) AS d
+    FROM (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT {top})
+),
+qb AS (SELECT tok, exact_n, d, {b} AS bucket FROM q)
+SELECT qb.tok, CAST(qb.exact_n AS BIGINT) AS exact_n,
+       CAST(min(c.cell_n) AS BIGINT) AS cms_est,
+       CAST(min(c.cell_n) - qb.exact_n AS BIGINT) AS overest
+FROM qb JOIN cells c USING (d, bucket)
+GROUP BY qb.tok, qb.exact_n
+"""
+
+
+# --- token-budget curriculum selection ------------------------------------
+CURR_BUDGET = 10_000  # token budget for the "train on the best" selection
+CURR_SCORE_DP = 2  # histogram granularity (score rounded to 2 decimals)
+
+
+def curriculum_token_budget(
+    docs: DataFrame, budget: int = CURR_BUDGET
+) -> DataFrame:
+    """Select the highest-quality docs until a token budget is exhausted —
+     'train on the best N tokens', the curriculum/selection step after
+    scoring. Order: quality score desc, doc_id asc (deterministic).
+
+    Computed WITHOUT a global sort: scores quantize to a {CURR_SCORE_DP}-dp
+    histogram (<= ~100 live buckets), per-bucket token totals broadcast back
+    as cumulative offsets, and each bucket runs its own bounded running-sum
+    window — rounding is monotonic, so (bucket desc, exact score desc,
+    doc_id) IS the global order. Same two-phase shape as
+    ``curation.global_shuffle``: a total order in the output with no
+    data-sized single-partition stage.
+    Output: (doc_id, score, n_tokens, cum_tokens) for selected docs.
+    """
+    scored = quality_sigmoid_score(docs).select("doc_id", "score")
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    base = scored.join(sized, "doc_id").withColumn(
+        "_b", F.round(F.col("score"), CURR_SCORE_DP)
+    )
+    htotals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bn"))
+    w_off = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = htotals.select(
+        "_b", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    joined = base.join(F.broadcast(offsets), "_b")
+    # in-bucket rank: deterministic (score desc, doc_id) within the bucket;
+    # every bucket is bounded by the histogram granularity at cluster scale
+    w_in = Window.partitionBy("_b").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    ranked = joined.withColumn(
+        "_cum",
+        F.col("_off")
+        + F.sum("n_tokens").over(
+            w_in.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        ranked.filter(F.col("_cum") <= budget)
+        .select(
+            "doc_id", "score", "n_tokens", F.col("_cum").alias("cum_tokens")
+        )
+    )
+
+
+def curriculum_sql(
+    budget: int = CURR_BUDGET, source: str = "documents"
+) -> str:
+    inner = quality_sigmoid_sql(source).strip().rstrip()
+    return f"""
+WITH scored AS ({inner}),
+base AS (
+    SELECT s.doc_id, s.score,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM scored s JOIN {source} d USING (doc_id)
+),
+cum AS (
+    SELECT doc_id, score, n_tokens,
+           sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {budget}
+"""

@@ -2025,3 +2025,23 @@ def quality_sigmoid_score(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["dedup_incremental", "quality_sigmoid_score"])
+
+
+@register("sketch_countmin_terms", corpus_prep.countmin_sql())
+def sketch_countmin_terms(spark, sf_dir):
+    """Count-Min sketch (4x256, md5-derived buckets) evaluated on the top-20
+    exact terms: est >= exact by construction, integer-exact on both
+    engines. The cell table stays 1024 rows at any corpus size."""
+    return corpus_prep.countmin_topterms(_docs(spark, sf_dir))
+
+
+@register("curriculum_token_budget", corpus_prep.curriculum_sql())
+def curriculum_token_budget(spark, sf_dir):
+    """Token-budget curriculum selection: highest-quality docs until the
+    budget is spent, via a score-histogram two-phase rank (no global
+    single-partition sort; rounding monotonicity makes the bucketed order
+    THE global order)."""
+    return corpus_prep.curriculum_token_budget(_docs(spark, sf_dir))
+
+
+BENCH_EXTRA.extend(["sketch_countmin_terms", "curriculum_token_budget"])

@@ -240,3 +240,31 @@ def test_bucket_by_length_matches_bruteforce(spark, sizes):
             want = (b, rank // corpus_prep.BATCH_DOCS,
                     rank % corpus_prep.BATCH_DOCS)
             assert got[i] == want, (i, got[i], want)
+
+
+def test_countmin_overestimate_invariant(spark):
+    out = corpus_prep.countmin_topterms(_docs(spark)).collect()
+    assert len(out) == corpus_prep.CMS_TOP
+    for r in out:
+        assert r.cms_est >= r.exact_n  # CMS never underestimates
+        assert r.overest == r.cms_est - r.exact_n
+
+
+def test_curriculum_budget_and_order(spark):
+    out = corpus_prep.curriculum_token_budget(_docs(spark)).collect()
+    assert out, "budget selects something"
+    assert max(r.cum_tokens for r in out) <= corpus_prep.CURR_BUDGET
+    # cum_tokens is the running sum in (score desc, doc_id) order
+    ordered = sorted(out, key=lambda r: (-r.score, r.doc_id))
+    run = 0
+    for r in ordered:
+        run += r.n_tokens
+        assert r.cum_tokens == run
+    # nothing selectable was skipped: every unselected doc would overflow
+    scored = corpus_prep.quality_sigmoid_score(_docs(spark)).collect()
+    sel = {r.doc_id for r in out}
+    # the selection is a prefix of the global quality order
+    boundary = max((-r.score, r.doc_id) for r in ordered)
+    for s in scored:
+        if (-s.score, s.doc_id) < boundary:
+            assert s.doc_id in sel
