@@ -100,7 +100,15 @@ def kmv_distinct_by_source(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).distinct()
-    h = toks.withColumn("_hv", F.expr(_hexnum_sql("md5(tok)", "instr")))
+    # Spark evaluates the hash prefix with conv() — ONE md5 reference.
+    # (_hexnum_sql's 12-term digit sum re-executes its argument per digit:
+    # codegen does no CSE, and CollapseProject re-inlines any intermediate
+    # column, so the md5 ran 12x per row — 6x slower at sf0.1. The DuckDB
+    # twin keeps the digit sum over a hash-once CTE; both are the exact
+    # integer value of the first 12 hex chars.)
+    h = toks.withColumn(
+        "_hv", F.expr(f"CAST(conv(substr(md5(tok), 1, {KMV_HEX}), 16, 10) AS DOUBLE)")
+    )
     # two-phase k-smallest: salted local top-k bounds every task at k rows,
     # then the true per-source top-k runs over <= 16k survivors
     salted = h.withColumn("_s", F.pmod(F.col("_hv").cast("bigint"), F.lit(16)))
@@ -137,13 +145,14 @@ def kmv_distinct_by_source(docs: DataFrame, k: int = KMV_K) -> DataFrame:
 
 
 def kmv_distinct_sql(k: int = KMV_K, source: str = "documents") -> str:
-    hv = _hexnum_sql("md5(tok)", "strpos")
+    hv = _hexnum_sql("m", "strpos")
     return f"""
 WITH toks AS (
     SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
     FROM {source}
 ),
-h AS (SELECT source, tok, {hv} AS hv FROM toks),
+hm AS (SELECT source, tok, md5(tok) AS m FROM toks),
+h AS (SELECT source, tok, {hv} AS hv FROM hm),
 r AS (
     SELECT source, hv,
            row_number() OVER (PARTITION BY source ORDER BY hv, tok) AS rn
@@ -755,11 +764,23 @@ CMS_W = 256
 CMS_TOP = 20
 
 
-def _cms_bucket_sql(d_expr: str, pos_fn: str) -> str:
-    """Bucket of token ``tok`` in sketch row ``d_expr``: md5-derived 48-bit
-    value mod CMS_W. Integer arithmetic end-to-end — engine-independent."""
-    hv = _hexnum_sql(f"md5(concat('cm', {d_expr}, ':', tok))", pos_fn)
-    return f"(CAST({hv} AS BIGINT) % {CMS_W})"
+# The d-th row-hash is hex digits [1+6d, 6+6d) of ONE md5(tok): 24 bits per
+# row, mutually disjoint digit ranges — d independent bucket functions from
+# a single hash evaluation per token occurrence.
+_CMS_BUCKET_DUCK = (
+    "(CAST(("
+    + " + ".join(
+        f"((strpos('0123456789abcdef', substr(md5(tok), 1 + 6*d + {i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}.0)"
+        for i in range(6)
+    )
+    + ") AS BIGINT) % "
+    + str(CMS_W)
+    + ")"
+)
+_CMS_BUCKET_SPARK = (
+    f"(CAST(conv(substr(md5(tok), 1 + 6*d, 6), 16, 10) AS BIGINT) % {CMS_W})"
+)
 
 
 def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
@@ -776,9 +797,12 @@ def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
     """
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # one md5 per row via conv() — see kmv_distinct_by_source for why the
+    # digit-sum form is DuckDB-only
+    bucket = F.expr(_CMS_BUCKET_SPARK)
     rows = toks.select(
         "tok", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
-    ).withColumn("bucket", F.expr(_cms_bucket_sql("d", "instr")))
+    ).withColumn("bucket", bucket)
     cells = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
     q = (
         exact.orderBy(F.col("exact_n").desc(), "tok")
@@ -788,7 +812,7 @@ def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
             "exact_n",
             F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
         )
-        .withColumn("bucket", F.expr(_cms_bucket_sql("d", "instr")))
+        .withColumn("bucket", bucket)
     )
     return (
         q.join(F.broadcast(cells), ["d", "bucket"])
@@ -804,18 +828,18 @@ def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
 
 
 def countmin_sql(top: int = CMS_TOP, source: str = "documents") -> str:
-    b = _cms_bucket_sql("d", "strpos")
+    b = _CMS_BUCKET_DUCK
     return f"""
 WITH toks AS (
     SELECT unnest(string_split(text, ' ')) AS tok FROM {source}
 ),
 exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
 rows_ AS (
-    SELECT tok, unnest(generate_series(0, {CMS_D - 1})) AS d FROM toks
+    SELECT tok, d, {b} AS bucket
+    FROM (SELECT tok, unnest(generate_series(0, {CMS_D - 1})) AS d FROM toks)
 ),
 cells AS (
-    SELECT d, {b} AS bucket, count(*) AS cell_n
-    FROM rows_ GROUP BY d, {b}
+    SELECT d, bucket, count(*) AS cell_n FROM rows_ GROUP BY d, bucket
 ),
 q AS (
     SELECT tok, exact_n, unnest(generate_series(0, {CMS_D - 1})) AS d
