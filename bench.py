@@ -60,12 +60,16 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         base = parse_tweets(
             corpus.tweets_df(spark, stream_sf_dir), skip_retweets=True
         )
-        # replay amplification: x20 copies under distinct ids — batches must
+        # replay amplification: x40 copies under distinct ids — batches must
         # carry enough rows that the steady rate measures per-batch CAPACITY
         # of the hops, not the feed's drip latency (470-row total corpus ->
-        # ~60-row batches -> a number dominated by 1 s trigger waits).
+        # ~60-row batches -> a number dominated by 1 s trigger waits). x40
+        # (r5, was x20) stretches the steady region to ~40 s so each of the
+        # 5 sub-windows averages ~8 trigger spurts — the x20 run's ~4 s
+        # sub-windows quantized on 1-2 spurts and the median swung 2x
+        # between runs (436-836 tweets/s).
         parsed = base
-        for i in range(1, 20):
+        for i in range(1, 40):
             parsed = parsed.unionByName(
                 base.withColumn(
                     "id", F.concat(F.col("id"), F.lit(f"_r{i}"))
@@ -76,7 +80,7 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         indir = os.path.join(root, "in")
         # many small files -> a continuous stream of micro-batches rather
         # than one giant batch followed by idle triggers
-        parsed.repartition(64).write.json(indir)
+        parsed.repartition(128).write.json(indir)
         stream = (
             spark.readStream.schema(parsed.schema)
             .option("maxFilesPerTrigger", 8)
@@ -120,11 +124,13 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         parsed.unpersist()
 
         # steady region: first sample at >= 25% completed -> last sample.
-        # One end-to-end slope over that region is sampling-window sensitive
-        # (PERF.md r3: a 265-953 tweets/s band across runs), so the region is
-        # split into >= 3 equal-duration sub-windows and the MEDIAN sub-window
-        # rate is the headline steady number; the min-max band is reported so
-        # a round-over-round comparison can see the variance it's riding on.
+        # The headline steady rate is the SLOPE over the whole region:
+        # throughput through the 6-hop topology genuinely oscillates
+        # trigger-to-trigger (fan-in completions land in bursts), so any
+        # sub-window sample swings 2x run-to-run (r5 measured 279-734
+        # tweets/s sub-windows within ONE run); the ~40 s full-region slope
+        # averages the oscillation and is the round-over-round comparable
+        # number. Sub-window rates stay as the variance diagnostic.
         steady_rate = 0.0
         steady_window = 0.0
         sub_rates: list[float] = []
@@ -133,7 +139,8 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             (t_a, c_a), (t_b, c_b) = warm[0], warm[-1]
             if t_b > t_a and c_b > c_a:
                 steady_window = t_b - t_a
-                n_sub = 3
+                steady_rate = (c_b - c_a) / steady_window
+                n_sub = 5
                 bounds = [t_a + steady_window * i / n_sub for i in range(n_sub + 1)]
                 for lo, hi in zip(bounds, bounds[1:]):
                     win = [(t, c) for t, c in warm if lo <= t <= hi]
@@ -141,10 +148,6 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
                         r = (win[-1][1] - win[0][1]) / (win[-1][0] - win[0][0])
                         if r > 0:
                             sub_rates.append(r)
-                if len(sub_rates) >= 2:
-                    steady_rate = sorted(sub_rates)[len(sub_rates) // 2]
-                else:  # degenerate sampling: fall back to the single slope
-                    steady_rate = (c_b - c_a) / steady_window
         band = (
             round((max(sub_rates) - min(sub_rates)) / steady_rate, 3)
             if sub_rates and steady_rate > 0
@@ -159,10 +162,10 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "steady_window_s": round(steady_window, 3),
             "steady_subwindow_rates": [round(r, 1) for r in sub_rates],
             "steady_band_frac": band,
-            "method": "median of 3 equal-duration sub-window rates over the"
-            " 25%-complete..last-result region, continuous feed (x20"
-            " replay-amplified corpus, 64 files, maxFilesPerTrigger=8,"
-            " ~1175 rows/trigger)",
+            "method": "slope over the full 25%-complete..last-result region"
+            " (sub-window rates kept as variance diagnostic), continuous"
+            " feed (x40 replay-amplified corpus, 128 files,"
+            " maxFilesPerTrigger=8, ~1175 rows/trigger)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

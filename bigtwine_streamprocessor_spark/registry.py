@@ -2045,3 +2045,180 @@ def curriculum_token_budget(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["sketch_countmin_terms", "curriculum_token_budget"])
+
+
+@register(
+    "join_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def join_returned_items(spark, sf_dir):
+    """TPC-H-Q10-style returned-item report: two fact shuffles (orders
+    date-pruned at the scan, lineitem returnflag-pruned), nation rides
+    broadcast, deterministic top-20 via TakeOrderedAndProject."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_nation_trade_volume",
+    """
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n2.n_name, n1.n_name, year(l.l_shipdate)
+    """,
+)
+def join_nation_trade_volume(spark, sf_dir):
+    """TPC-H-Q7-style bilateral trade volume: the nation-pair predicate
+    semijoin-reduces BOTH fact sides before the orderkey shuffle (supplier
+    and customer shrink to two nations via broadcast dims), then revenue
+    groups by (supp_nation, cust_nation, ship-year)."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sup = s.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("_sk"),
+                                F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = c.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("_ck"),
+                                F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("_ck"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_rank_features",
+    """
+    SELECT event_id, user_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_features(spark, sf_dir):
+    """Per-user ranking feature block: rank / dense_rank / ntile(4) /
+    percent_rank / cume_dist over the (ts, event_id)-ordered event history —
+    the full ranking-function family in one deterministic window (unique
+    sort key; the ratios are exact integer-derived doubles)."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    "WITH "
+    + dedup.lsh_pairs_sql().strip()
+    + """
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       round(levenshtein(a.text, b.text)
+             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6)
+         AS edit_ratio
+FROM lsh_pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id
+""",
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Character-level edit distance on LSH candidate pairs only (the O(n*m)
+    DP runs on dozens of pairs, never n^2) — the high-precision confirm pass
+    after shingle/LSH recall. Both engines implement classic unit-cost
+    Levenshtein, so distance and normalized ratio are integer-exact."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(docs)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("bigint").alias("edit_dist"),
+            F.round(
+                lev
+                / F.greatest(F.length("_ta"), F.length("_tb")).cast("double"),
+                6,
+            ).alias("edit_ratio"),
+        )
+    )
+
+
+BENCH_EXTRA.extend(["join_returned_items", "join_nation_trade_volume"])
