@@ -695,15 +695,10 @@ QS_STOPWORDS = ("the", "a", "of", "and", "is")
 QS_LEN_NORM = 100.0
 
 
-def quality_sigmoid_score(docs: DataFrame) -> DataFrame:
-    """Classifier-lite quality score: a fixed-weight linear model over three
-    cheap features (length saturation, stopword ratio, duplicate-3-gram
-    fraction) squashed by the ALGEBRAIC sigmoid 0.5 + z/(2(1+|z|)) — chosen
-    over 1/(1+e^-z) because it is exact IEEE arithmetic, so both engines
-    produce bit-identical scores (libm exp() is not correctly rounded and
-    may differ across implementations). Output: (doc_id, score, passes);
-    map-only scan, no shuffle.
-    """
+def _quality_score_col():
+    """The sigmoid quality score as a reusable Column over ``text`` (shared
+    by quality_sigmoid_score and curriculum_token_budget so the selection
+    never joins two frames derived from the same scan)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     stop_ratio = F.size(
@@ -723,7 +718,19 @@ def quality_sigmoid_score(docs: DataFrame) -> DataFrame:
         + F.lit(QS_W_STOP) * stop_ratio
         + F.lit(QS_W_DUP) * dup3
     )
-    score = F.round(F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6)
+    return F.round(F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6)
+
+
+def quality_sigmoid_score(docs: DataFrame) -> DataFrame:
+    """Classifier-lite quality score: a fixed-weight linear model over three
+    cheap features (length saturation, stopword ratio, duplicate-3-gram
+    fraction) squashed by the ALGEBRAIC sigmoid 0.5 + z/(2(1+|z|)) — chosen
+    over 1/(1+e^-z) because it is exact IEEE arithmetic, so both engines
+    produce bit-identical scores (libm exp() is not correctly rounded and
+    may differ across implementations). Output: (doc_id, score, passes);
+    map-only scan, no shuffle.
+    """
+    score = _quality_score_col()
     return docs.select(
         "doc_id", score.alias("score"), (score >= 0.5).alias("passes")
     )
@@ -875,12 +882,21 @@ def curriculum_token_budget(
     data-sized single-partition stage.
     Output: (doc_id, score, n_tokens, cum_tokens) for selected docs.
     """
-    scored = quality_sigmoid_score(docs).select("doc_id", "score")
-    sized = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
-    )
-    base = scored.join(sized, "doc_id").withColumn(
-        "_b", F.round(F.col("score"), CURR_SCORE_DP)
+    # score and size come from ONE scan — no self-join of two frames
+    # derived from the same documents read. The tiny (doc_id, score,
+    # n_tokens) projection materializes once (localCheckpoint): both the
+    # histogram branch and the data branch read it, instead of each
+    # re-evaluating the n-gram-heavy score expression over the full corpus
+    # (2-3x the query cost at any scale; the projection is O(rows), not
+    # O(text bytes)).
+    base = (
+        docs.select(
+            "doc_id",
+            _quality_score_col().alias("score"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("_b", F.round(F.col("score"), CURR_SCORE_DP))
+        .localCheckpoint(eager=True)
     )
     htotals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bn"))
     w_off = Window.orderBy(F.col("_b").desc()).rowsBetween(
