@@ -458,19 +458,28 @@ def embedding_random_projection(
             for j in range(out_dim)
         ]
     )
+    def _nz(v):
+        # -0.0 normalization: Spark's round() drops the sign of -0.0 while
+        # DuckDB keeps it, so printf renders "0.0000" vs "-0.0000" (caught
+        # by the sf0.1 sweep). SQL `= 0` is true for both zeros; map both
+        # to literal +0.0 before formatting (twin does the same).
+        return F.when(v == 0, F.lit(0.0)).otherwise(v)
+
     comps = F.transform(
         F.sequence(F.lit(1), F.lit(out_dim)),
         lambda j: F.format_string(
             "%.4f",
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(1), F.lit(in_dim)),
-                    F.lit(0.0),
-                    lambda acc, i: acc
-                    + F.element_at(F.col("embedding"), i).cast("double")
-                    * F.element_at(F.element_at(matrix, j), i),
-                ),
-                4,
+            _nz(
+                F.round(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.lit(in_dim)),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.element_at(F.col("embedding"), i).cast("double")
+                        * F.element_at(F.element_at(matrix, j), i),
+                    ),
+                    4,
+                )
             ),
         ),
     )
@@ -488,7 +497,12 @@ def embedding_projection_sql(
             f"(CAST(embedding[{i + 1}] AS DOUBLE) * {_proj_sign(j, i)})"
             for i in range(in_dim)
         )
-        comps.append(f"printf('%.4f', round({terms}, 4))")
+        # CASE maps -0.0 (equal to 0 in SQL) to +0.0 before printf — see
+        # the _nz note in embedding_random_projection
+        comps.append(
+            f"printf('%.4f', CASE WHEN round({terms}, 4) = 0 THEN 0.0"
+            f" ELSE round({terms}, 4) END)"
+        )
     joined = ", ".join(comps)
     return f"""
 SELECT vec_id, label, concat_ws(',', {joined}) AS proj
@@ -718,7 +732,10 @@ def _quality_score_col():
         + F.lit(QS_W_STOP) * stop_ratio
         + F.lit(QS_W_DUP) * dup3
     )
-    return F.round(F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6)
+    sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    # explicit half-up floor rounding: engine round() tie-breaks differ at
+    # exact half ties (see textstats._r6)
+    return F.floor(sig * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def quality_sigmoid_score(docs: DataFrame) -> DataFrame:
@@ -759,8 +776,10 @@ z AS (
     FROM f
 )
 SELECT doc_id,
-       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score,
-       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) >= 0.5 AS passes
+       floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000.0 + 0.5)
+         / 1000000.0 AS score,
+       floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000.0 + 0.5)
+         / 1000000.0 >= 0.5 AS passes
 FROM z
 """
 

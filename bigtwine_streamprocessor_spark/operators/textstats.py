@@ -83,23 +83,37 @@ FROM documents
 """
 
 
+def _r6(col):
+    """6-dp rounding as explicit floor(x*1e6 + 0.5)/1e6 — the identical IEEE
+    op sequence on any engine, so tie-breaking is defined by the arithmetic
+    itself. Engine round() differs exactly at half ties (Spark BigDecimal
+    HALF_UP vs DuckDB's nearbyint HALF_EVEN): an sf0.1 sweep caught
+    quality_score = 0.518128 (Spark) vs 0.518127 (DuckDB) on the product of
+    two pre-rounded ratios. Mirrored by _R6_SQL."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _r6_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score per document.
 
     Features: n_chars, n_tokens, avg token length, stopword ratio, alpha
     ratio. Score = stopword-ratio-centered quality heuristic in [0, 1]-ish.
+    All 6-dp roundings use the explicit half-up floor form (_r6) so both
+    engines agree at exact half ties.
     """
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     n_chars = F.length(F.col("text"))
-    avg_tok = F.round(n_chars.cast("double") / n_tokens.cast("double"), 6)
-    sw_ratio = F.round(sw.cast("double") / n_tokens.cast("double"), 6)
-    alpha_ratio = F.round(n_alpha.cast("double") / n_chars.cast("double"), 6)
-    score = F.round(
-        (F.lit(1.0) - F.abs(sw_ratio - F.lit(0.4))) * alpha_ratio, 6
-    )
+    avg_tok = _r6(n_chars.cast("double") / n_tokens.cast("double"))
+    sw_ratio = _r6(sw.cast("double") / n_tokens.cast("double"))
+    alpha_ratio = _r6(n_alpha.cast("double") / n_chars.cast("double"))
+    score = _r6((F.lit(1.0) - F.abs(sw_ratio - F.lit(0.4))) * alpha_ratio)
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_text"),
@@ -113,21 +127,25 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+_SW_RATIO = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST})))"
+    " AS DOUBLE) / len(string_split(text, ' '))"
+)
+_ALPHA_RATIO = (
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / length(text)"
+)
+
 QUALITY_SQL = f"""
 SELECT doc_id,
        length(text) AS n_chars_text,
        len(string_split(text, ' ')) AS n_tokens,
-       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+       {_r6_sql("CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))")}
          AS avg_token_len,
-       round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST})))
-             AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             / length(text), 6) AS alpha_ratio,
-       round((1.0 - abs(round(CAST(len(list_filter(string_split(text, ' '),
-                 t -> t IN ({_SW_LIST}))) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) - 0.4))
-             * round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 6), 6) AS quality_score
+       {_r6_sql(_SW_RATIO)} AS stopword_ratio,
+       {_r6_sql(_ALPHA_RATIO)} AS alpha_ratio,
+       {_r6_sql(f"(1.0 - abs({_r6_sql(_SW_RATIO)} - 0.4)) * {_r6_sql(_ALPHA_RATIO)}")}
+         AS quality_score
 FROM documents
 """
 
