@@ -2222,3 +2222,125 @@ def dedup_edit_distance(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["join_returned_items", "join_nation_trade_volume"])
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+                 AS n_events
+        FROM events
+    ),
+    per_hour AS (
+        SELECT user_id, h, n_events, value AS last_val
+        FROM hourly WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.user_id, g.h AS hour,
+           CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
+           last_value(p.last_val IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM grid g LEFT JOIN per_hour p
+      ON g.user_id = p.user_id AND g.h = p.h
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series regularization: per-user hourly grid (min..max hour) with
+    event counts and last-observation-carried-forward values — the
+    gap-filling resample a feature pipeline runs before any fixed-step
+    model. Grid explodes from per-user bounds (bounded fan-out); LOCF is one
+    ordered window per user, no as-of join per grid point."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_last = W.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.withColumn("h", hour)
+        .withColumn("rn", F.row_number().over(w_last))
+        .withColumn(
+            "n_events", F.count(F.lit(1)).over(W.partitionBy("user_id", "h"))
+        )
+    )
+    per_hour = hourly.filter(F.col("rn") == 1).select(
+        "user_id", "h", "n_events", F.col("value").alias("last_val")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w_locf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(per_hour, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.last("last_val", ignorenulls=True)
+            .over(w_locf)
+            .alias("locf_value"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_balance",
+    """
+    SELECT CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
+                WHEN c.c_custkey IS NULL THEN 'order_only'
+                ELSE 'both' END AS side,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(coalesce(o.o_totalprice, 0)), 2) AS total_price
+    FROM customer c
+    FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer_balance(spark, sf_dir):
+    """Full-outer reconciliation: which side of the customer/orders
+    relationship is unmatched, with totals — the referential-integrity
+    audit. One shuffle on the join key; the aggregation is 3 groups."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    side = (
+        F.when(F.col("o_custkey").isNull(), "customer_only")
+        .when(F.col("c_custkey").isNull(), "order_only")
+        .otherwise("both")
+    )
+    return (
+        j.groupBy(side.alias("side"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2)
+              .alias("total_price"),
+        )
+    )
