@@ -2344,3 +2344,84 @@ def join_full_outer_balance(spark, sf_dir):
               .alias("total_price"),
         )
     )
+
+
+@register(
+    "agg_promo_revenue",
+    """
+    SELECT round(
+             100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def agg_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-style promo revenue share: conditional aggregation over the
+    lineitem|x|part join (part rides broadcast; the date filter pushes to
+    the fact scan). Both sums pre-round to 2dp before the ratio so the
+    summation-order ulp can't shift the output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
+                    2,
+                )
+                / F.round(F.sum(rev), 2),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "agg_small_quantity_revenue",
+    """
+    WITH thresh AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS t
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.t
+    GROUP BY p.p_brand
+    """,
+)
+def agg_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17-style small-quantity revenue: the correlated-subquery shape
+    (qty below 20% of the per-part average) decorrelated into a per-part
+    aggregate + join. Quantities are integral, so the per-part average is an
+    exact-integer-sum division — the threshold compare is deterministic on
+    both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    thresh = li.groupBy(F.col("l_partkey").alias("_tk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("t")
+    )
+    return (
+        li.join(thresh, li["l_partkey"] == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("t"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            ),
+        )
+    )
