@@ -2425,3 +2425,108 @@ def agg_small_quantity_revenue(spark, sf_dir):
             ),
         )
     )
+
+
+CHUNK_W = 64  # sliding-window chunk width (tokens)
+CHUNK_S = 48  # stride (tokens); W - S = 16-token overlap between chunks
+
+
+@register(
+    "chunk_sliding_windows",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    n AS (
+        SELECT doc_id, tk,
+               greatest(CAST(ceil((len(tk) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT)
+                        + 1, 1) AS n_chunks
+        FROM t
+    )
+    SELECT doc_id,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+           unnest(list_transform(
+               generate_series(0, n_chunks - 1),
+               i -> array_to_string(tk[i*{CHUNK_S}+1:i*{CHUNK_S}+{CHUNK_W}], ' ')
+           )) AS chunk_text,
+           unnest(list_transform(
+               generate_series(0, n_chunks - 1),
+               i -> CAST(len(tk[i*{CHUNK_S}+1:i*{CHUNK_S}+{CHUNK_W}]) AS BIGINT)
+           )) AS n_tokens
+    FROM n
+    """,
+)
+def chunk_sliding_windows(spark, sf_dir):
+    """Sliding-window context chunking (64-token windows, 48-token stride,
+    16-token overlap) — the RAG/pretraining chunker that, unlike block
+    packing (pack_sequences), preserves context across boundaries. Map-only
+    explode with bounded fan-out ceil((n-W)/S)+1; no shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - CHUNK_W) / F.lit(float(CHUNK_S))).cast("bigint")
+        + 1,
+        F.lit(1).cast("bigint"),
+    )
+    win = lambda i: F.slice(toks, i * CHUNK_S + 1, CHUNK_W)
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.array_join(win(i), " ").alias("chunk_text"),
+                    F.size(win(i)).cast("bigint").alias("n_tokens"),
+                ),
+            )
+        ).alias("chunk_idx", "_c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH norms AS (
+        SELECT label,
+               floor(sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS nrm
+        FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           min(nrm) AS min_norm, max(nrm) AS max_norm,
+           floor(avg(nrm) * 10000.0 + 0.5) / 10000.0 AS mean_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label L2-norm audit of the embedding table (the sanity scan before
+    any cosine work: unnormalized vectors break cosine ANN). sqrt IS
+    IEEE-correctly-rounded (unlike exp/pow), and the square-sum folds left
+    in index order on both engines, so norms are bit-identical; mean rounds
+    via the explicit floor half-up form. Map-only + 10-group aggregate."""
+    emb = _emb(spark, sf_dir)
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nrm = F.floor(F.sqrt(sq_sum) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (
+                F.floor(F.avg("nrm") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("mean_norm"),
+        )
+    )
