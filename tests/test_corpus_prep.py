@@ -268,3 +268,83 @@ def test_curriculum_budget_and_order(spark):
     for s in scored:
         if (-s.score, s.doc_id) < boundary:
             assert s.doc_id in sel
+
+
+def test_streaming_quality_sigmoid_matches_batch(spark, tmp_path):
+    """quality_sigmoid_score is map-only, so it runs unchanged on a
+    streaming DataFrame; the streamed result equals the batch result."""
+    docs = _docs(spark)
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    out = corpus_prep.quality_sigmoid_score(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qs_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.score, r.passes)
+        for r in spark.sql("SELECT * FROM qs_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.score, r.passes)
+        for r in corpus_prep.quality_sigmoid_score(docs).collect()
+    }
+    assert got == want
+
+
+def test_streaming_incremental_exact_dedup(spark, tmp_path):
+    """The exact pass of incremental dedup as a STREAM-STATIC join: a stream
+    of incoming docs joins the static corpus digest table and flags the
+    seeded duplicates — the shape an ingestion pipeline actually runs
+    (static side broadcast-refreshed per batch, stream side append-only)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    corpus = corpus_prep.with_seeded_incremental(docs)
+    incoming = corpus.filter(
+        F.col("doc_id") >= corpus_prep.INC_EXACT_OFFSET
+    )
+    d = str(tmp_path / "incoming")
+    incoming.write.parquet(d)
+
+    existing_digests = (
+        corpus.filter(F.col("doc_id") < corpus_prep.INC_EXACT_OFFSET)
+        .select(F.col("doc_id").alias("ex_id"), F.md5("text").alias("h"))
+    )
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    flagged = (
+        stream.withColumn("h", F.md5("text"))
+        .join(existing_digests, "h")
+        .select("doc_id", "ex_id")
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("inc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.ex_id)
+        for r in spark.sql("SELECT * FROM inc_stream").collect()
+    }
+    want = {
+        (d + corpus_prep.INC_EXACT_OFFSET, d)
+        for (d,) in docs.select("doc_id").collect()
+        if d % corpus_prep.INC_EXACT_MOD == 0
+    }
+    assert got == want
