@@ -2530,3 +2530,20 @@ def embedding_norm_stats(spark, sf_dir):
             ).alias("mean_norm"),
         )
     )
+
+
+BENCH_EXTRA.extend(
+    [
+        "mix_weighted_sources",
+        "bucket_by_length",
+        "filter_url_domains",
+        "dedup_edit_distance",
+        "window_rank_features",
+        "events_gap_fill",
+        "join_full_outer_balance",
+        "agg_promo_revenue",
+        "agg_small_quantity_revenue",
+        "chunk_sliding_windows",
+        "embedding_norm_stats",
+    ]
+)
