@@ -348,3 +348,67 @@ def test_streaming_incremental_exact_dedup(spark, tmp_path):
         if d % corpus_prep.INC_EXACT_MOD == 0
     }
     assert got == want
+
+
+def test_kmv_matches_hashlib_bruteforce(spark):
+    """The KMV estimate equals a pure-Python hashlib reference exactly —
+    pinning the conv()-based hash prefix and estimator arithmetic against a
+    third independent implementation (Spark, DuckDB, and hashlib must all
+    agree bit-for-bit)."""
+    import hashlib
+
+    docs = _docs(spark)
+    rows = docs.select("source", "text").collect()
+    by_source: dict[str, set] = {}
+    for r in rows:
+        by_source.setdefault(r.source, set()).update(r.text.split(" "))
+    k, space = corpus_prep.KMV_K, 16**corpus_prep.KMV_HEX
+    want = {}
+    for s, toks in by_source.items():
+        hs = sorted(
+            int(hashlib.md5(t.encode()).hexdigest()[: corpus_prep.KMV_HEX], 16)
+            for t in toks
+        )
+        if len(hs) < k:
+            est = float(len(hs))
+        else:
+            hk = float(hs[k - 1])
+            est = round((k - 1) * float(space) / hk, 2)
+        want[s] = (est, len(hs))
+    got = {
+        r.source: (r.kmv_est, r.exact_distinct)
+        for r in corpus_prep.kmv_distinct_by_source(docs).collect()
+    }
+    assert got == want
+
+
+def test_countmin_matches_hashlib_bruteforce(spark):
+    """Count-Min cells and estimates equal a pure-Python reference using the
+    same single-md5 disjoint-substring row hashes."""
+    import hashlib
+    from collections import Counter
+
+    docs = _docs(spark)
+    toks = []
+    for r in docs.select("text").collect():
+        toks.extend(r.text.split(" "))
+    exact = Counter(toks)
+    d_rows, w = corpus_prep.CMS_D, corpus_prep.CMS_W
+    cells: dict[tuple, int] = {}
+    buckets: dict[tuple, int] = {}
+    for t, n in exact.items():
+        h = hashlib.md5(t.encode()).hexdigest()
+        for d in range(d_rows):
+            b = int(h[6 * d : 6 * d + 6], 16) % w
+            buckets[(t, d)] = b
+            cells[(d, b)] = cells.get((d, b), 0) + n
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: corpus_prep.CMS_TOP]
+    want = {
+        t: (n, min(cells[(d, buckets[(t, d)])] for d in range(d_rows)))
+        for t, n in top
+    }
+    got = {
+        r.tok: (r.exact_n, r.cms_est)
+        for r in corpus_prep.countmin_topterms(docs).collect()
+    }
+    assert got == want
