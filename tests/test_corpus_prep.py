@@ -412,3 +412,69 @@ def test_countmin_matches_hashlib_bruteforce(spark):
         for r in corpus_prep.countmin_topterms(docs).collect()
     }
     assert got == want
+
+
+def test_projection_preserves_similarity_structure(spark):
+    """Johnson-Lindenstrauss sanity for the 64->16 sign projection: cosine
+    is preserved in EXPECTATION (mean over the LSH near-dup pairs within
+    0.05 of the original mean) and pairwise cosines correlate positively
+    over random pairs. Individual pairs scatter ~1/sqrt(16) — that's
+    inherent to 16 dims, not a defect. Deterministic: fixed matrix, fixed
+    rng seed."""
+    import numpy as np
+
+    from bigtwine_streamprocessor_spark.operators import similarity
+
+    emb = _emb(spark)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r.vec_id: np.array([float(x) for x in r.proj.split(",")])
+            for r in corpus_prep.embedding_random_projection(emb).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    pairs = [(r.doc_a, r.doc_b)
+             for r in similarity.embedding_neardup_pairs(emb, 0.2, n_bits=8)
+             .collect()]
+    orig = [cos(vecs[a], vecs[b]) for a, b in pairs]
+    pj = [cos(proj[a], proj[b]) for a, b in pairs]
+    assert abs(sum(orig) / len(orig) - sum(pj) / len(pj)) < 0.05
+
+    rng = np.random.default_rng(0)
+    ids = list(vecs)
+    rand = [(ids[i], ids[j])
+            for i, j in rng.integers(0, len(ids), (300, 2)) if i != j]
+    ro = np.array([cos(vecs[a], vecs[b]) for a, b in rand])
+    rp = np.array([cos(proj[a], proj[b]) for a, b in rand])
+    assert float(np.corrcoef(ro, rp)[0, 1]) > 0.3
+
+
+def test_chunker_linear_on_long_docs(spark):
+    """A 10k-token document chunks in linear time with the expected count —
+    no quadratic cliff in the sliding-window explode (bounded fan-out
+    ceil((n-W)/S)+1)."""
+    import time
+
+
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i % 97}" for i in range(10_000)))],
+        "doc_id long, text string",
+    )
+    t0 = time.perf_counter()
+    from bigtwine_streamprocessor_spark.registry import CHUNK_S, CHUNK_W
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - CHUNK_W) / F.lit(float(CHUNK_S))).cast("bigint")
+        + 1,
+        F.lit(1).cast("bigint"),
+    )
+    got = long_doc.select(n_chunks.alias("n")).collect()[0].n
+    import math
+    assert got == math.ceil((10_000 - CHUNK_W) / CHUNK_S) + 1
+    # paragraph dedup on the same doc stays fast (linear chunking)
+    out = corpus_prep.paragraph_dedup(
+        long_doc.withColumn("text", F.col("text"))
+    ).collect()
+    assert out[0].n_chunks == math.ceil(10_000 / corpus_prep.CHUNK_WORDS)
+    assert time.perf_counter() - t0 < 30
