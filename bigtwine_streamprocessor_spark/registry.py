@@ -2547,3 +2547,83 @@ BENCH_EXTRA.extend(
         "embedding_norm_stats",
     ]
 )
+
+
+@register(
+    "scd2_user_history",
+    """
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM events
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """SCD-type-2 history build: each event's value holds from its timestamp
+    until the user's next event (NULL = current) — the validity-interval
+    derivation a warehouse runs to make point-in-time joins possible. One
+    lead() window per user, deterministic (ts, event_id) order."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "agg_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           floor((n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM counts
+    """,
+)
+def agg_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    (from_type, to_type, count, probability) — the session-flow analysis
+    behind funnel and next-action models. Probabilities are exact-integer
+    ratios rounded with the explicit floor-half-up form, so both engines
+    emit identical doubles."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_tot = W.partitionBy("from_type")
+    p = (
+        F.floor(
+            (F.col("n") / F.sum("n").over(w_tot).cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return counts.select("from_type", "to_type", "n", p.alias("p"))
+
+
+BENCH_EXTRA.extend(["scd2_user_history", "agg_event_transitions"])
