@@ -36,10 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
 _GATE_FIRST = [
-    # -- newest green driver row is r3 (the 28 queries outside r4's
-    #    50-sample); lead the r5 sample so no evidence ages past 2 rounds --
-    "neel_parsed",
-    "neel_ner",
+    # -- newest green driver row is r3 (queries outside r4's 50-sample);
+    #    lead the r5 sample so no evidence ages past 2 rounds. neel_parsed/
+    #    neel_ner (green r1-r3, subsumed by r4-green neel_assembled) moved
+    #    to the tail to make room for the 24 queries NEW in r5 — new queries
+    #    outrank refreshing triple-green ones --
     "neel_export_challenge",
     "neel_export_extended",
     "group_collect_entities",
@@ -67,8 +68,10 @@ _GATE_FIRST = [
     "join_salted_skew",
     "agg_moments",
 ]
-_GATE_LAST = [  # all green in r4; head = queries whose operator modules see
-    # r5 collateral edits, so the head still lands inside the 50-sample
+_GATE_LAST = [  # green in r4 (or triple-green r1-r3 for the first two);
+    # head = most recently exercised modules
+    "neel_parsed",
+    "neel_ner",
     "index_inverted",
     "embedding_label_centroids",
     "text_lexical_diversity",
