@@ -39,9 +39,9 @@ _GATE_FIRST = [
     # -- newest green driver row is r3 (queries outside r4's 50-sample);
     #    lead the r5 sample so no evidence ages past 2 rounds. neel_parsed/
     #    neel_ner (green r1-r3, subsumed by r4-green neel_assembled) moved
-    #    to the tail to make room for the 24 queries NEW in r5 — new queries
-    #    outrank refreshing triple-green ones --
-    "neel_export_challenge",
+    #    to the tail (with neel_export_challenge, same rationale: covered by
+    #    r4-green family queries) to make room for the 25 queries NEW in r5
+    #    — new queries outrank refreshing triple-green ones --
     "neel_export_extended",
     "group_collect_entities",
     "similarity_bruteforce_topk",
@@ -72,6 +72,7 @@ _GATE_LAST = [  # green in r4 (or triple-green r1-r3 for the first two);
     # head = most recently exercised modules
     "neel_parsed",
     "neel_ner",
+    "neel_export_challenge",
     "index_inverted",
     "embedding_label_centroids",
     "text_lexical_diversity",

@@ -2627,3 +2627,54 @@ def agg_event_transitions(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["scd2_user_history", "agg_event_transitions"])
+
+
+@register(
+    "agg_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor(date_diff('day', f.cohort_week,
+                                    CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                          / 7.0)
+                    AS BIGINT) AS week_n
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-event week, counted
+    per week-since-cohort they were active — the canonical product-analytics
+    rollup. Two shuffles (per-user min, then distinct cohort-cell), both
+    map-side-combinable; week arithmetic is exact integer day-diffs."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7.0)
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+BENCH_EXTRA.extend(["agg_retention_cohorts"])
