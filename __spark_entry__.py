@@ -42,7 +42,6 @@ _GATE_FIRST = [
     #    to the tail (with neel_export_challenge, same rationale: covered by
     #    r4-green family queries) to make room for the 25 queries NEW in r5
     #    — new queries outrank refreshing triple-green ones --
-    "neel_export_extended",
     "group_collect_entities",
     "similarity_bruteforce_topk",
     "similarity_ann_lsh",
@@ -73,6 +72,7 @@ _GATE_LAST = [  # green in r4 (or triple-green r1-r3 for the first two);
     "neel_parsed",
     "neel_ner",
     "neel_export_challenge",
+    "neel_export_extended",
     "index_inverted",
     "embedding_label_centroids",
     "text_lexical_diversity",

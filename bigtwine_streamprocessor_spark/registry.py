@@ -2678,3 +2678,73 @@ def agg_retention_cohorts(spark, sf_dir):
 
 
 BENCH_EXTRA.extend(["agg_retention_cohorts"])
+
+
+@register(
+    "agg_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def agg_funnel_steps(spark, sf_dir):
+    """Ordered funnel conversion (view -> click after the view -> purchase
+    after the click): each stage anchors on the min timestamp of the prior
+    stage, so out-of-order events don't count — the sequence-pattern rollup
+    behind conversion dashboards. Three user-keyed aggregates, each
+    map-side-combinable; stage joins stay on the shrinking user set."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("view").alias("step"), "users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("view>click").alias("step"), "users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("view>click>purchase").alias("step"), "users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+BENCH_EXTRA.extend(["agg_funnel_steps"])
