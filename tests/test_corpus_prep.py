@@ -478,3 +478,47 @@ def test_chunker_linear_on_long_docs(spark):
     ).collect()
     assert out[0].n_chunks == math.ceil(10_000 / corpus_prep.CHUNK_WORDS)
     assert time.perf_counter() - t0 < 30
+
+
+def test_event_analytics_invariants(spark):
+    """Invariants the oracle compare can't express for the event-analytics
+    closers: funnel counts are monotone non-increasing, SCD2 intervals are
+    well-ordered and non-overlapping per user, transition probabilities sum
+    to ~1 per source state, and retention week-0 counts every cohort
+    member."""
+    from bigtwine_streamprocessor_spark import registry
+
+    sf = SF
+    funnel = {
+        r.step: r.users
+        for r in registry.QUERIES["agg_funnel_steps"](spark, sf).collect()
+    }
+    assert funnel["view"] >= funnel["view>click"] >= funnel["view>click>purchase"]
+    assert funnel["view>click>purchase"] >= 0
+
+    hist = registry.QUERIES["scd2_user_history"](spark, sf).collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append((r.valid_from, r.valid_to))
+    for user, iv in by_user.items():
+        iv.sort()
+        opens = [a for a, b in iv if b is None]
+        assert len(opens) == 1, f"user {user}: exactly one current row"
+        for (a1, b1), (a2, _) in zip(iv, iv[1:]):
+            assert b1 is not None, f"user {user}: open interval not last"
+            assert a1 <= b1 and b1 == a2  # contiguous, non-overlapping
+
+    trans = registry.QUERIES["agg_event_transitions"](spark, sf).collect()
+    from collections import defaultdict
+    psum = defaultdict(float)
+    for r in trans:
+        assert 0.0 <= r.p <= 1.0
+        psum[r.from_type] += r.p
+    for ft, s in psum.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+
+    ret = registry.QUERIES["agg_retention_cohorts"](spark, sf).collect()
+    week0 = {r.cohort_week: r.active_users for r in ret if r.week_n == 0}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(week0.values()) == n_users  # every user is in their cohort's week 0
