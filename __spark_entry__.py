@@ -35,13 +35,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules saw collateral edits. New queries register outside both lists and
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
+# r6 rotation. The registry was trimmed to exactly 100 entries (four pure
+# serialization twins merged into their surviving twin — see COVERAGE.md
+# "Gate rotation arithmetic"), so the 50-slot sample now covers the whole
+# registry in exactly 2 rounds: each round, _GATE_FIRST = the 50 queries NOT
+# sampled last round, _GATE_LAST = the 50 that were. No query's newest green
+# driver row can age past 2 rounds. Any NEW query registers outside both
+# lists, sorts mid (position 51+, outside the sample), and must be promoted
+# into _GATE_FIRST explicitly — test_gate_rotation.py fails loudly if the
+# head overflows 50 so overflow can't silently push a query out.
 _GATE_FIRST = [
-    # -- newest green driver row is r3 (queries outside r4's 50-sample);
-    #    lead the r5 sample so no evidence ages past 2 rounds. neel_parsed/
-    #    neel_ner (green r1-r3, subsumed by r4-green neel_assembled) moved
-    #    to the tail (with neel_export_challenge, same rationale: covered by
-    #    r4-green family queries) to make room for the 25 queries NEW in r5
-    #    — new queries outrank refreshing triple-green ones --
+    # -- newest green row r3 (aged 3 rounds; the freshness boundary) --
+    "neel_parsed",
+    "neel_ner",
+    "neel_export_challenge",
+    "neel_export_extended",
+    # -- newest green row r4 (the 46 remaining after the twin trim) --
+    "neel_nel",
+    "neel_resources",
+    "neel_geo",
+    "neel_assembled",
+    "neel_export_dataset",
+    "neel_export_json",
+    "agg_pricing_summary",
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "window_topk_per_group",
+    "window_tumbling_events",
+    "union_tagged_streams",
+    "chunked_requests",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_minhash_estimate",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_tfidf_topterms",
+    "text_fingerprint_overlap",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_repetition_ratio",
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "text_lexical_diversity",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "project_nested_json",
+    "project_dump_rows",
+    "filter_has_links",
+    "sampling_deterministic",
+    "agg_rollup",
+    "sessionize_events",
+    "pivot_event_types",
+    "join_bloom_pruned",
+    "decontaminate_benchmark",
+    "pack_sequences",
+    "shuffle_global",
+    "index_inverted",
+    "embedding_label_centroids",
+]
+_GATE_LAST = [  # all green in r5 (CORRECTNESS_r05.json, 50/50)
     "group_collect_entities",
     "similarity_bruteforce_topk",
     "similarity_ann_lsh",
@@ -66,63 +123,32 @@ _GATE_FIRST = [
     "agg_cube_events",
     "join_salted_skew",
     "agg_moments",
-]
-_GATE_LAST = [  # green in r4 (or triple-green r1-r3 for the first two);
-    # head = most recently exercised modules
-    "neel_parsed",
-    "neel_ner",
-    "neel_export_challenge",
-    "neel_export_extended",
-    "index_inverted",
-    "embedding_label_centroids",
-    "text_lexical_diversity",
-    "shuffle_global",
-    "pack_sequences",
-    "text_pii_redaction",
-    "text_gopher_rules",
-    "decontaminate_benchmark",
-    "decontaminate_keep",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_repetition_ratio",
-    "text_tfidf_topterms",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_minhash_estimate",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "join_bloom_pruned",
-    "neel_assembled",
-    "neel_export_json",
-    "project_nested_json",
-    "project_dump_rows",
-    "text_token_counts",
-    "union_tagged_streams",
-    "chunked_requests",
-    "window_topk_per_group",
-    "sampling_deterministic",
-    "text_language_id",
-    "agg_rollup",
-    "neel_resources",
-    "neel_nel",
-    "filter_has_links",
-    "agg_pricing_summary",
-    "join_broadcast_dims",
-    "window_tumbling_events",
-    "neel_geo",
-    "neel_export_dataset",
-    "dedup_minhash_signatures",
-    "text_quality_scores",
-    "join_fact_fact",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "text_fingerprints",
-    "text_fingerprint_overlap",
-    "sessionize_events",
-    "pivot_event_types",
+    "sketch_kmv_distinct",
+    "dedup_paragraphs",
+    "mix_weighted_sources",
+    "bucket_by_length",
+    "filter_url_domains",
+    "embedding_random_projection",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "dedup_incremental",
+    "quality_sigmoid_score",
+    "sketch_countmin_terms",
+    "curriculum_token_budget",
+    "join_returned_items",
+    "join_nation_trade_volume",
+    "window_rank_features",
+    "dedup_edit_distance",
+    "events_gap_fill",
+    "join_full_outer_balance",
+    "agg_promo_revenue",
+    "agg_small_quantity_revenue",
+    "chunk_sliding_windows",
+    "embedding_norm_stats",
+    "scd2_user_history",
+    "agg_event_transitions",
+    "agg_retention_cohorts",
+    "agg_funnel_steps",
 ]
 
 

@@ -60,16 +60,17 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         base = parse_tweets(
             corpus.tweets_df(spark, stream_sf_dir), skip_retweets=True
         )
-        # replay amplification: x40 copies under distinct ids — batches must
+        # replay amplification: x80 copies under distinct ids — batches must
         # carry enough rows that the steady rate measures per-batch CAPACITY
         # of the hops, not the feed's drip latency (470-row total corpus ->
         # ~60-row batches -> a number dominated by 1 s trigger waits). x40
-        # (r5, was x20) stretches the steady region to ~40 s so each of the
-        # 5 sub-windows averages ~8 trigger spurts — the x20 run's ~4 s
-        # sub-windows quantized on 1-2 spurts and the median swung 2x
-        # between runs (436-836 tweets/s).
+        # (r5, was x20) stretched the steady region to ~40 s; x80 (r6)
+        # doubles it to ~80 s so each of the 5 sub-windows averages ~16
+        # trigger spurts — at x40 the fan-in completion bursts still swung
+        # sub-window rates 376-910 tweets/s (band_frac 0.91), too wide to
+        # detect a real round-over-round regression.
         parsed = base
-        for i in range(1, 40):
+        for i in range(1, 80):
             parsed = parsed.unionByName(
                 base.withColumn(
                     "id", F.concat(F.col("id"), F.lit(f"_r{i}"))
@@ -79,8 +80,9 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         n = parsed.count()
         indir = os.path.join(root, "in")
         # many small files -> a continuous stream of micro-batches rather
-        # than one giant batch followed by idle triggers
-        parsed.repartition(128).write.json(indir)
+        # than one giant batch followed by idle triggers (x80 corpus -> 256
+        # files keeps ~1175 rows/trigger, same per-trigger load as r5)
+        parsed.repartition(256).write.json(indir)
         stream = (
             spark.readStream.schema(parsed.schema)
             .option("maxFilesPerTrigger", 8)
@@ -140,7 +142,12 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             if t_b > t_a and c_b > c_a:
                 steady_window = t_b - t_a
                 steady_rate = (c_b - c_a) / steady_window
-                n_sub = 5
+                # 3 sub-windows (~18 s each at x80): fan-in completions land
+                # in multi-second bursts, and 5 windows still caught single
+                # stall/burst cells (r6 probe: [548, 506, 545, 337, 624]);
+                # ~18 s averages enough burst cycles that each sub-window
+                # estimates the same slope the headline uses.
+                n_sub = 3
                 bounds = [t_a + steady_window * i / n_sub for i in range(n_sub + 1)]
                 for lo, hi in zip(bounds, bounds[1:]):
                     win = [(t, c) for t, c in warm if lo <= t <= hi]
@@ -153,6 +160,23 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             if sub_rates and steady_rate > 0
             else None
         )
+        # steady_consistency: fraction of sub-window rates within +/-20% of
+        # the slope rate — 1.0 means every sub-window agrees with the
+        # headline number, so a real regression (slope shift > 20%) is
+        # distinguishable from burst noise. Round-over-round target >= 0.8.
+        consistency = (
+            round(
+                sum(
+                    1
+                    for r in sub_rates
+                    if abs(r - steady_rate) <= 0.2 * steady_rate
+                )
+                / len(sub_rates),
+                2,
+            )
+            if sub_rates and steady_rate > 0
+            else None
+        )
         return {
             "tweets": n,
             "completed": got,
@@ -162,9 +186,10 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "steady_window_s": round(steady_window, 3),
             "steady_subwindow_rates": [round(r, 1) for r in sub_rates],
             "steady_band_frac": band,
+            "steady_consistency": consistency,
             "method": "slope over the full 25%-complete..last-result region"
             " (sub-window rates kept as variance diagnostic), continuous"
-            " feed (x40 replay-amplified corpus, 128 files,"
+            " feed (x80 replay-amplified corpus, 256 files,"
             " maxFilesPerTrigger=8, ~1175 rows/trigger)",
         }
     finally:
@@ -273,17 +298,65 @@ def main() -> None:
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "steady": steady,
-            "streaming": streaming,
-            "sf": sf,
-        }
+
+    # Full per-query detail goes to a separate artifact (and an EARLIER
+    # stdout line): the driver captures only the last ~2000 chars of output,
+    # and r5's 3.5 kB all-inclusive final line truncated mid-JSON and failed
+    # to parse (BENCH_r05.json parsed: null). The final line itself stays
+    # compact (headline subset + steady + streaming headline, ~1 kB).
+    detail = {
+        "metric": "headline_queries_total_wall_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "steady": steady,
+        "streaming": streaming,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=2, sort_keys=True)
+    print(json.dumps(detail), flush=True)
+
+    streaming_compact = {
+        k: streaming[k]
+        for k in (
+            "tweets",
+            "completed",
+            "elapsed_s",
+            "tweets_per_s",
+            "steady_tweets_per_s",
+            "steady_window_s",
+            "steady_consistency",
+            "error",
+        )
+        if k in streaming
+    }
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: timings[k]
+            for k in HEADLINE + ["topology_stream"]
+            if k in timings
+        },
+        "steady": steady,
+        "streaming": streaming_compact,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    # hard guard on the driver's ~2000-char output-tail capture: drop keys
+    # until the line fits with margin (never expected to trigger at ~1 kB)
+    for drop in ("queries", "streaming", "steady"):
+        if len(line) <= 1500:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+
     # The driver parses the LAST line of combined output. Spark's JVM logs to
     # stderr asynchronously (executor-thread stack traces on streaming stop
     # landed AFTER the JSON line in r4 and broke the parse), so: stop Spark

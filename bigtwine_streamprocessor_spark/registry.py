@@ -436,19 +436,12 @@ def dedup_exact_keep(spark, sf_dir):
     return dedup.dedup_exact(dedup.with_seeded_duplicates(_docs(spark, sf_dir)))
 
 
-@register(
-    "dedup_minhash_signatures",
-    "WITH " + dedup.minhash_sql().strip()
-    + "\nSELECT doc_id, array_to_string(sig, ',') AS sig FROM signatures",
-)
-def dedup_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (md5-chunk permutations over word 3-gram shingles);
-    emitted as a canonical comma-joined string so the compare is list-free."""
-    return dedup.minhash_signatures(_docs(spark, sf_dir)).select(
-        "doc_id", F.array_join("sig", ",").alias("sig")
-    )
-
-
+# r6 twin-trim: `dedup_minhash_signatures` (the signature stage alone) was
+# removed from the registry — `dedup_lsh_pairs` computes the identical
+# signature chain en route and `dedup_minhash_estimate` oracle-gates the
+# signature VALUES; the stage stays unit-tested in tests/test_dedup.py.
+# (Registry held at 100 entries so the 50-slot gate rotation closes in
+# exactly 2 rounds — see COVERAGE.md "Gate rotation arithmetic".)
 @register(
     "dedup_lsh_pairs",
     "WITH " + dedup.lsh_pairs_sql().strip() + "\nSELECT doc_a, doc_b FROM lsh_pairs",
@@ -478,15 +471,9 @@ def dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_docs(spark, sf_dir), 0.5)
 
 
-@register(
-    "dedup_simhash",
-    "WITH " + dedup.simhash_sql().strip() + "\nSELECT doc_id, simhash FROM simhash",
-)
-def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signatures (md5-bit majority, 16-hex-char display)."""
-    return dedup.simhash_signatures(_docs(spark, sf_dir))
-
-
+# r6 twin-trim: `dedup_simhash` (signatures alone) removed — subsumed by
+# `dedup_simhash_pairs`, which recomputes the same signatures and
+# oracle-gates them through the band self-join; unit coverage unchanged.
 @register("similarity_bruteforce_topk", similarity.cosine_topk_sql())
 def similarity_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-5 for the first 20 query vectors (broadcast + HOF dot)."""
@@ -530,12 +517,10 @@ def text_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
-@register("text_fingerprints", textstats.FINGERPRINTS_SQL)
-def text_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints (rolling-min md5 shingle hashes, distinct set)."""
-    return textstats.fingerprints(_docs(spark, sf_dir))
-
-
+# r6 twin-trim: `text_fingerprints` removed — `text_fingerprint_overlap`
+# recomputes the identical winnowing chain on both engines and oracle-gates
+# the fingerprint VALUES through the overlap join; the distinct's map-side
+# partial-agg plan shape stays pinned by test_plans.py.
 @register("text_tfidf_topterms", textstats.tfidf_sql())
 def text_tfidf_topterms(spark, sf_dir):
     """Per-doc top-5 TF-IDF terms (smoothed idf, deterministic tie-break) —
@@ -598,11 +583,11 @@ BENCH_EXTRA.extend(
         "dedup_lsh_pairs",
         "dedup_ngram_jaccard",
         "dedup_clusters",
-        "dedup_simhash",
+        "dedup_simhash_pairs",
         "similarity_bruteforce_topk",
         "similarity_ann_lsh",
         "text_quality_scores",
-        "text_fingerprints",
+        "text_fingerprint_overlap",
         "text_tfidf_topterms",
         "join_asof_last_purchase",
         "join_interval_nearby_events",
@@ -1621,27 +1606,10 @@ def agg_cube_events(spark, sf_dir):
 BENCH_EXTRA.extend(["agg_percentiles_exact", "compact_latest_events"])
 
 
-@register(
-    "decontaminate_keep",
-    f"""
-    WITH flagged AS (
-        {{}}
-    )
-    SELECT d.doc_id FROM documents d
-    WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
-    """.format(
-        curation.decontaminate_sql("documents", _BENCHMARK_SQL).strip()
-    ),
-)
-def decontaminate_keep(spark, sf_dir):
-    """The ACTION step of decontamination: the clean corpus (docs with NO
-    benchmark n-gram overlap) via left-anti join against the flagged set —
-    what the training run actually reads."""
-    docs = _docs(spark, sf_dir)
-    flagged = curation.decontaminate(docs, _benchmark_docs(spark, sf_dir))
-    return docs.join(flagged, "doc_id", "left_anti").select("doc_id")
-
-
+# r6 twin-trim: `decontaminate_keep` removed — it is the exact complement of
+# `decontaminate_benchmark` over the same broadcast 8-gram semijoin (keep =
+# docs minus flagged); the left-anti ACTION path stays covered in
+# tests/test_curation.py.
 @register(
     "embedding_label_centroids",
     """
