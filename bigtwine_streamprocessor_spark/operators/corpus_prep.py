@@ -41,6 +41,23 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _rd(col, d: int):
+    """d-dp half-up rounding as the explicit floor(x*10^d + 0.5)/10^d IEEE
+    sequence — identical on every engine, so tie-breaking is defined by the
+    arithmetic, not by engine round() (Spark BigDecimal HALF_UP vs DuckDB
+    nearbyint HALF_EVEN diverge exactly at half ties). Mirrored by _rd_sql;
+    same policy as textstats._r6. Also kills -0.0: floor yields an exact
+    integer and 0/10^d is always +0.0."""
+    m = F.lit(float(10 ** d))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def _rd_sql(expr: str, d: int) -> str:
+    m = repr(float(10 ** d))
+    return f"(floor(({expr}) * {m} + 0.5) / {m})"
+
+
 # --- KMV (k-minimum-values) distinct sketch -------------------------------
 KMV_K = 128
 KMV_HEX = 12  # 48-bit hash prefix: exact in doubles, negligible collisions
@@ -127,14 +144,14 @@ def kmv_distinct_by_source(docs: DataFrame, k: int = KMV_K) -> DataFrame:
         F.count(F.lit(1)).alias("exact_distinct")
     )
     est = F.when(F.col("_m") < k, F.col("_m").cast("double")).otherwise(
-        F.expr(f"round(({k - 1} * {KMV_SPACE}.0) / _hk, 2)")
+        F.expr(_rd_sql(f"({k - 1} * {KMV_SPACE}.0) / _hk", 2))
     )
     return (
         sketch.join(F.broadcast(exact), "source")
         .withColumn("kmv_est", est)
         .withColumn(
             "rel_err",
-            F.round(
+            _rd(
                 F.abs(F.col("kmv_est") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 4,
@@ -169,13 +186,13 @@ ex AS (
 est AS (
     SELECT sk.source,
            CASE WHEN sk.m < {k} THEN CAST(sk.m AS DOUBLE)
-                ELSE round(({k - 1} * {16**KMV_HEX}.0) / sk.hk, 2)
+                ELSE {_rd_sql(f"({k - 1} * {16**KMV_HEX}.0) / sk.hk", 2)}
            END AS kmv_est,
            ex.exact_distinct
     FROM sk JOIN ex USING (source)
 )
 SELECT source, kmv_est, exact_distinct,
-       round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
+       {_rd_sql("abs(kmv_est - exact_distinct) / exact_distinct", 4)} AS rel_err
 FROM est
 """
 
@@ -265,7 +282,18 @@ def mix_weighted_quota(docs: DataFrame, total: int = MIX_TOTAL) -> DataFrame:
 
     Output: (doc_id, source, mix_rank).
     """
-    wt = 1 + F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 3
+    # try_cast + coalesce: a digit-free source name extracts '' — plain cast
+    # would THROW under Spark ANSI and error in DuckDB, and the two engines
+    # disagree on the failure mode; coalescing to id 0 (weight 1) on BOTH
+    # engines makes digit-free sources behave identically.
+    wt = (
+        1
+        + F.coalesce(
+            F.regexp_extract(F.col("source"), "([0-9]+)", 1).try_cast("int"),
+            F.lit(0),
+        )
+        % 3
+    )
     dims = docs.select("source").distinct().withColumn("_w", wt)
     total_w = dims.agg(F.sum("_w").alias("_tw"))
     quota = (
@@ -296,7 +324,7 @@ def mix_weighted_sql(total: int = MIX_TOTAL, source: str = "documents") -> str:
 WITH dims AS (SELECT DISTINCT source FROM {source}),
 w AS (
     SELECT source,
-           1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) AS wt
+           1 + (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 3) AS wt
     FROM dims
 ),
 q AS (
@@ -459,10 +487,9 @@ def embedding_random_projection(
         ]
     )
     def _nz(v):
-        # -0.0 normalization: Spark's round() drops the sign of -0.0 while
-        # DuckDB keeps it, so printf renders "0.0000" vs "-0.0000" (caught
-        # by the sf0.1 sweep). SQL `= 0` is true for both zeros; map both
-        # to literal +0.0 before formatting (twin does the same).
+        # -0.0 normalization belt-and-braces: _rd's floor form already
+        # yields +0.0 (0 / 10^d), but keep the explicit map so the contract
+        # doesn't depend on that detail (twin does the same).
         return F.when(v == 0, F.lit(0.0)).otherwise(v)
 
     comps = F.transform(
@@ -470,7 +497,7 @@ def embedding_random_projection(
         lambda j: F.format_string(
             "%.4f",
             _nz(
-                F.round(
+                _rd(
                     F.aggregate(
                         F.sequence(F.lit(1), F.lit(in_dim)),
                         F.lit(0.0),
@@ -499,9 +526,10 @@ def embedding_projection_sql(
         )
         # CASE maps -0.0 (equal to 0 in SQL) to +0.0 before printf — see
         # the _nz note in embedding_random_projection
+        r4 = _rd_sql(terms, 4)
         comps.append(
-            f"printf('%.4f', CASE WHEN round({terms}, 4) = 0 THEN 0.0"
-            f" ELSE round({terms}, 4) END)"
+            f"printf('%.4f', CASE WHEN {r4} = 0 THEN 0.0"
+            f" ELSE {r4} END)"
         )
     joined = ", ".join(comps)
     return f"""
@@ -615,7 +643,7 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
         .join(ex_sizes, "ex_id")
         .withColumn(
             "score",
-            F.round(
+            _rd(
                 F.col("shared")
                 / (F.col("n_in") + F.col("n_ex") - F.col("shared")),
                 6,
@@ -680,11 +708,11 @@ shared AS (
 ),
 jacc AS (
     SELECT s.doc_id, s.ex_id,
-           round(s.shared / (i.n_in + e.n_ex - s.shared), 6) AS score
+           {_rd_sql("s.shared / (i.n_in + e.n_ex - s.shared)", 6)} AS score
     FROM shared s
     JOIN in_sizes i USING (doc_id)
     JOIN ex_sizes e USING (ex_id)
-    WHERE round(s.shared / (i.n_in + e.n_ex - s.shared), 6) >= {INC_JACCARD_MIN}
+    WHERE {_rd_sql("s.shared / (i.n_in + e.n_ex - s.shared)", 6)} >= {INC_JACCARD_MIN}
 ),
 near AS (
     SELECT doc_id, 'near' AS dup_kind, ex_id AS match_id, score
@@ -903,19 +931,27 @@ def curriculum_token_budget(
     """
     # score and size come from ONE scan — no self-join of two frames
     # derived from the same documents read. The tiny (doc_id, score,
-    # n_tokens) projection materializes once (localCheckpoint): both the
-    # histogram branch and the data branch read it, instead of each
-    # re-evaluating the n-gram-heavy score expression over the full corpus
-    # (2-3x the query cost at any scale; the projection is O(rows), not
-    # O(text bytes)).
+    # n_tokens) projection persists lazily: both the histogram branch and
+    # the data branch read it, instead of each re-evaluating the
+    # n-gram-heavy score expression over the full corpus (2-3x the query
+    # cost at any scale; the projection is O(rows), not O(text bytes)).
+    # persist() rather than localCheckpoint(eager=True): the eager variant
+    # ran a job per invocation and pinned un-evictable RDD blocks forever
+    # (checkpoint blocks truncate lineage, so the store can't drop them);
+    # persisted blocks keep lineage, so the LRU store can evict and
+    # recompute them — repeated calls in one session stay bounded by
+    # executor storage, at worst re-running the deterministic score scan.
+    # (_b is engine-internal: any monotone bucketing yields the same final
+    # order, but use the explicit floor form anyway per the repo-wide
+    # no-engine-round policy.)
     base = (
         docs.select(
             "doc_id",
             _quality_score_col().alias("score"),
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         )
-        .withColumn("_b", F.round(F.col("score"), CURR_SCORE_DP))
-        .localCheckpoint(eager=True)
+        .withColumn("_b", _rd(F.col("score"), CURR_SCORE_DP))
+        .persist()
     )
     htotals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bn"))
     w_off = Window.orderBy(F.col("_b").desc()).rowsBetween(

@@ -54,7 +54,26 @@ def interval_join_bucketed(
     much smaller) interval side only.
     """
     # cast tolerates TIMESTAMP_NTZ parquet columns (session tz is pinned UTC,
-    # so NTZ->TIMESTAMP is value-stable and a no-op for TIMESTAMP inputs)
+    # so NTZ->TIMESTAMP is value-stable and a no-op for TIMESTAMP inputs).
+    # ENFORCE the precondition instead of assuming it: a caller-provided
+    # session with a non-UTC timezone would silently shift every NTZ value
+    # during the cast, so fail loudly — but only when an NTZ column is
+    # actually involved (TIMESTAMP inputs are timezone-independent here).
+    ntz_cols = [
+        (name, c)
+        for df, cols in ((points, [point_ts]), (intervals, [start_col, end_col]))
+        for name, c in ((dict(df.dtypes).get(c), c) for c in cols)
+        if name == "timestamp_ntz"
+    ]
+    if ntz_cols:
+        tz = points.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz != "UTC":
+            raise ValueError(
+                f"interval_join_bucketed: TIMESTAMP_NTZ column(s) "
+                f"{[c for _, c in ntz_cols]} require session timezone UTC "
+                f"for a value-stable cast, but spark.sql.session.timeZone="
+                f"{tz!r}; set it to 'UTC' (get_spark pins it)"
+            )
     cell = lambda c: F.floor(
         F.unix_micros(F.col(c).cast("timestamp")) / (granularity_s * 1_000_000)
     )

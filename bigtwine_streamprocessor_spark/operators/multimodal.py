@@ -2,10 +2,12 @@
 
 A 100 TB training-data pipeline carries image/audio/video as opaque ``binary``
 columns beside typed metadata, decoding only inside Arrow-batched Python
-(`mapInPandas`) at the last moment. The image/audio codec libraries are not in
-this container, so the decode kernels are STUBS (clearly marked); everything
-Spark-side — schema, batching, partition behavior, UDF signatures — is real
-and tested.
+(`mapInPandas`) at the last moment. Codec access is import-gated per
+modality: images decode via Pillow when installed, audio via soundfile when
+installed with a stdlib ``wave`` PCM fallback that works everywhere; video
+decode remains a clearly-marked stub (ffmpeg seam). Everything Spark-side —
+schema, batching, partition behavior, UDF signatures — is real and tested in
+every branch.
 
 ``synthesize_assets`` manufactures a deterministic binary corpus from the
 documents table so the plumbing has data to flow through (utf-8 payload +
@@ -148,9 +150,123 @@ def extract_image_features(assets: DataFrame) -> DataFrame:
     )
 
 
-def decode_audio(payload: bytes) -> object:
-    """STUB: real deployments plug soundfile/ffmpeg here."""
-    raise NotImplementedError("audio codec not available in this environment")
+def _soundfile_module():
+    """Import-gated soundfile handle (None when the codec lib is absent)."""
+    try:
+        import soundfile  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    return soundfile
+
+
+def _wave_info(payload: bytes):
+    """Stdlib-wave fallback decoder: PCM WAV only, zero dependencies.
+    Returns (sample_rate, n_channels, n_samples) or None."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            return w.getframerate(), w.getnchannels(), w.getnframes()
+    except Exception:
+        return None
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Audio header decode, import-gated like the image path: soundfile when
+    installed (any libsndfile format), stdlib ``wave`` as the PCM-WAV
+    fallback (always available), NotImplementedError only when neither can
+    read the payload — real deployments plug ffmpeg at this seam."""
+    sf = _soundfile_module()
+    if sf is not None:
+        import io
+
+        try:
+            info = sf.info(io.BytesIO(bytes(payload)))
+            return {
+                "codec": "soundfile",
+                "sample_rate": int(info.samplerate),
+                "n_channels": int(info.channels),
+                "n_samples": int(info.frames),
+            }
+        except Exception:
+            pass
+    w = _wave_info(payload)
+    if w is not None:
+        return {
+            "codec": "wave",
+            "sample_rate": w[0],
+            "n_channels": w[1],
+            "n_samples": w[2],
+        }
+    raise NotImplementedError(
+        "audio codec not available for this payload in this environment"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Real-codec audio feature extraction over binary payloads, Arrow-batched
+    (`mapInPandas`), same ``decoded``-flag contract as
+    ``extract_image_features``: soundfile decodes any libsndfile format when
+    installed; the stdlib ``wave`` fallback decodes PCM WAV everywhere (so
+    this path genuinely exercises decode even in this sandbox); undecodable
+    rows come back ``decoded=false`` with null fields. The Spark-side
+    plumbing (schema, batching, per-asset row contract) is identical in
+    every branch, so widening codec support is a pure library install.
+    """
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "decoded": [],
+                "codec": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_samples": [],
+                "duration_s": [],
+                "n_bytes": pdf["payload"].str.len().astype("int32"),
+            }
+            for p in pdf["payload"]:
+                try:
+                    info = decode_audio(p)
+                except NotImplementedError:
+                    out["decoded"].append(False)
+                    out["codec"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_channels"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(None)
+                    continue
+                out["decoded"].append(True)
+                out["codec"].append(info["codec"])
+                out["sample_rate"].append(info["sample_rate"])
+                out["n_channels"].append(info["n_channels"])
+                out["n_samples"].append(info["n_samples"])
+                out["duration_s"].append(
+                    info["n_samples"] / info["sample_rate"]
+                    if info["sample_rate"]
+                    else None
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _kernel, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -260,7 +376,13 @@ def sample_frame_indices(videos: DataFrame) -> DataFrame:
             (
                 (F.col("sample_no") * SAMPLE_EVERY_S) * F.col("fps")
             ).cast("bigint").alias("frame_idx"),
-            F.round(F.col("sample_no") * SAMPLE_EVERY_S, 3).alias("t_offset_s"),
+            # explicit half-up floor form (repo policy: no engine round() on
+            # output surfaces; values here are exact multiples of 2.0 so this
+            # is belt-and-braces, mirrored in frame_sample_sql)
+            (
+                F.floor(F.col("sample_no") * SAMPLE_EVERY_S * 1000.0 + 0.5)
+                / 1000.0
+            ).alias("t_offset_s"),
         )
     )
 
@@ -286,6 +408,6 @@ samples AS (
 )
 SELECT asset_id,
        CAST(sample_no * {SAMPLE_EVERY_S} * fps AS BIGINT) AS frame_idx,
-       round(sample_no * {SAMPLE_EVERY_S}, 3) AS t_offset_s
+       (floor(sample_no * {SAMPLE_EVERY_S} * 1000.0 + 0.5) / 1000.0) AS t_offset_s
 FROM samples
 """

@@ -30,6 +30,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # extension queries bench.py should also time (appended by later modules)
+def _rd(col, d: int):
+    """d-dp half-up rounding as the explicit floor(x*10^d + 0.5)/10^d IEEE
+    sequence — identical on every engine, so tie-breaking is defined by the
+    arithmetic, not by engine round() (Spark BigDecimal HALF_UP vs DuckDB
+    nearbyint HALF_EVEN diverge exactly at half ties). Mirrored literally in
+    every oracle SQL string; same policy as textstats._r6."""
+    m = F.lit(float(10 ** d))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
 BENCH_EXTRA: list[str] = []
 
 
@@ -169,10 +179,10 @@ def neel_export_json(spark, sf_dir):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+           (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+           (floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -186,12 +196,12 @@ def agg_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            _rd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _rd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _rd(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -201,7 +211,7 @@ def agg_pricing_summary(spark, sf_dir):
     "join_broadcast_dims",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+           count(*) AS n_customers, (floor((sum(c.c_acctbal)) * 100.0 + 0.5) / 100.0) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -220,7 +230,7 @@ def join_broadcast_dims(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _rd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -230,7 +240,7 @@ def join_broadcast_dims(spark, sf_dir):
     """
     SELECT o.o_orderpriority,
            count(DISTINCT o.o_orderkey) AS n_orders,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
     GROUP BY o.o_orderpriority
@@ -247,7 +257,7 @@ def join_fact_fact(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
@@ -292,7 +302,7 @@ def window_topk_per_group(spark, sf_dir):
              AT TIME ZONE 'UTC' AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -305,7 +315,7 @@ def window_tumbling_events(spark, sf_dir):
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _rd(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -703,8 +713,8 @@ PROGRESS_CAP = 2000  # bounded input: the global window is a small-data analog
     )
     SELECT event_id, ts,
            CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS processed,
-           round(CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
-                 / (SELECT count(*) FROM capped), 6) AS progress
+           (floor((CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
+                 / (SELECT count(*) FROM capped)) * 1000000.0 + 0.5) / 1000000.0) AS progress
     FROM capped
     """,
 )
@@ -728,7 +738,7 @@ def progress_running_totals(spark, sf_dir):
         "event_id",
         "ts",
         rn.alias("processed"),
-        F.round(rn.cast("double") / F.lit(float(total)), 6).alias("progress"),
+        _rd(rn.cast("double") / F.lit(float(total)), 6).alias("progress"),
     )
 
 
@@ -851,7 +861,7 @@ def sampling_deterministic(spark, sf_dir):
     """
     WITH purchases AS (
         SELECT user_id, ts, max(event_id) AS purchase_event_id,
-               round(max_by(value, event_id), 2) AS purchase_value
+               (floor((max_by(value, event_id)) * 100.0 + 0.5) / 100.0) AS purchase_value
         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
     )
     SELECT e.user_id, e.event_id, e.ts, e.event_type,
@@ -875,7 +885,7 @@ def join_asof_last_purchase(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(
             F.max("event_id").alias("purchase_event_id"),
-            F.round(F.max_by("value", "event_id"), 2).alias("purchase_value"),
+            _rd(F.max_by("value", "event_id"), 2).alias("purchase_value"),
         )
     )
     return asof_join(
@@ -970,7 +980,7 @@ def sampling_stratified(spark, sf_dir):
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -994,7 +1004,7 @@ def agg_salted_heavy_hitters(spark, sf_dir):
     )
     return partial.groupBy("event_type").agg(
         F.sum("_n").alias("n"),
-        F.round(F.sum("_sum"), 2).alias("total"),
+        _rd(F.sum("_sum"), 2).alias("total"),
     )
 
 
@@ -1004,7 +1014,7 @@ def agg_salted_heavy_hitters(spark, sf_dir):
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_quantity), 2) AS qty
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -1016,7 +1026,7 @@ def agg_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            _rd(F.sum("l_quantity"), 2).alias("qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1192,7 +1202,7 @@ BENCH_EXTRA.append("neel_fanin_batch")
     """
     SELECT o_orderpriority,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+           (floor((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.5) / 100.0) AS median_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -1204,7 +1214,7 @@ def agg_approx_distinct(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custs"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        _rd(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
     )
 
 
@@ -1257,7 +1267,7 @@ def dedup_embedding_clusters(spark, sf_dir):
     """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY o.o_orderpriority
@@ -1287,7 +1297,7 @@ def join_bloom_pruned(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
@@ -1461,9 +1471,9 @@ BENCH_EXTRA.extend(
     "agg_percentiles_exact",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+           (floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0) AS p50,
+           (floor((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90,
+           (floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0) AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1480,9 +1490,9 @@ def agg_percentiles_exact(spark, sf_dir):
         .agg(pct.alias("_p"))
         .select(
             "l_returnflag",
-            F.round(F.col("_p")[0], 4).alias("p50"),
-            F.round(F.col("_p")[1], 4).alias("p90"),
-            F.round(F.col("_p")[2], 4).alias("p99"),
+            _rd(F.col("_p")[0], 4).alias("p50"),
+            _rd(F.col("_p")[1], 4).alias("p90"),
+            _rd(F.col("_p")[2], 4).alias("p99"),
         )
     )
 
@@ -1576,7 +1586,7 @@ def join_anti_customers_no_orders(spark, sf_dir):
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
     GROUP BY CUBE (event_type, hr)
     """,
@@ -1592,7 +1602,7 @@ def agg_cube_events(spark, sf_dir):
         ev.cube("event_type", "hr")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _rd(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -1620,7 +1630,7 @@ BENCH_EXTRA.extend(["agg_percentiles_exact", "compact_latest_events"])
         FROM embeddings
     ),
     means AS (
-        SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+        SELECT label, pos, (floor((avg(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) AS m
         FROM comp GROUP BY label, pos
     ),
     sizes AS (
@@ -1648,7 +1658,7 @@ def embedding_label_centroids(spark, sf_dir):
         "label", F.posexplode("embedding").alias("pos", "v")
     )
     means = comp.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+        _rd(F.avg(F.col("v").cast("double")), 6).alias("m")
     )
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (
@@ -1683,7 +1693,7 @@ SALT_FACTOR = 8
         FROM events
     )
     SELECT d.category, CAST(count(*) AS BIGINT) AS n,
-           round(sum(e.value), 2) AS total_value
+           (floor((sum(e.value)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM events e JOIN dim d USING (event_type)
     GROUP BY d.category
     """,
@@ -1718,7 +1728,7 @@ def join_salted_skew(spark, sf_dir):
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _rd(F.sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -1727,10 +1737,10 @@ def join_salted_skew(spark, sf_dir):
     "agg_moments",
     """
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-           round(var_samp(l_discount), 6) AS discount_var,
-           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-           round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_cov
+           (floor((stddev_samp(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_stddev,
+           (floor((var_samp(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS discount_var,
+           (floor((corr(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS price_qty_corr,
+           (floor((covar_samp(l_extendedprice, l_discount)) * 10000.0 + 0.5) / 10000.0) AS price_disc_cov
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1740,12 +1750,12 @@ def agg_moments(spark, sf_dir):
     merge states), one exchange on the group key."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+        _rd(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        _rd(F.var_samp("l_discount"), 6).alias("discount_var"),
+        _rd(F.corr("l_extendedprice", "l_quantity"), 6).alias(
             "price_qty_corr"
         ),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+        _rd(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
             "price_disc_cov"
         ),
     )
@@ -1865,7 +1875,7 @@ BENCH_EXTRA.extend(
     "join_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -1899,7 +1909,7 @@ def join_shipping_priority(spark, sf_dir):
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1918,7 +1928,7 @@ def join_shipping_priority(spark, sf_dir):
     "join_local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1963,7 +1973,7 @@ def join_local_supplier_volume(spark, sf_dir):
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -2019,7 +2029,7 @@ BENCH_EXTRA.extend(["sketch_countmin_terms", "curriculum_token_budget"])
     "join_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2051,7 +2061,7 @@ def join_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -2065,7 +2075,7 @@ def join_returned_items(spark, sf_dir):
     """
     SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2108,7 +2118,7 @@ def join_nation_trade_volume(spark, sf_dir):
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
+            _rd(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -2122,8 +2132,8 @@ def join_nation_trade_volume(spark, sf_dir):
            rank() OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS prank,
-           round(cume_dist() OVER w, 6) AS cdist
+           (floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS prank,
+           (floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cdist
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -2143,8 +2153,8 @@ def window_rank_features(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        _rd(F.percent_rank().over(w), 6).alias("prank"),
+        _rd(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
@@ -2155,8 +2165,8 @@ def window_rank_features(spark, sf_dir):
     + """
 SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-       round(levenshtein(a.text, b.text)
-             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6)
+       (floor((levenshtein(a.text, b.text)
+             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
          AS edit_ratio
 FROM lsh_pairs p
 JOIN documents a ON p.doc_a = a.doc_id
@@ -2180,7 +2190,7 @@ def dedup_edit_distance(spark, sf_dir):
             "doc_a",
             "doc_b",
             lev.cast("bigint").alias("edit_dist"),
-            F.round(
+            _rd(
                 lev
                 / F.greatest(F.length("_ta"), F.length("_tb")).cast("double"),
                 6,
@@ -2286,7 +2296,7 @@ def events_gap_fill(spark, sf_dir):
                 WHEN c.c_custkey IS NULL THEN 'order_only'
                 ELSE 'both' END AS side,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(coalesce(o.o_totalprice, 0)), 2) AS total_price
+           (floor((sum(coalesce(o.o_totalprice, 0))) * 100.0 + 0.5) / 100.0) AS total_price
     FROM customer c
     FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1
@@ -2308,7 +2318,7 @@ def join_full_outer_balance(spark, sf_dir):
         j.groupBy(side.alias("side"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2)
+            _rd(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2)
               .alias("total_price"),
         )
     )
@@ -2317,10 +2327,9 @@ def join_full_outer_balance(spark, sf_dir):
 @register(
     "agg_promo_revenue",
     """
-    SELECT round(
-             100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
-             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6)
+    SELECT (floor((100.0 * (floor((sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)) * 100.0 + 0.5) / 100.0)
+             / (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0)) * 1000000.0 + 0.5) / 1000000.0)
            AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2341,13 +2350,13 @@ def agg_promo_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
+            _rd(
                 F.lit(100.0)
-                * F.round(
+                * _rd(
                     F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
                     2,
                 )
-                / F.round(F.sum(rev), 2),
+                / _rd(F.sum(rev), 2),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -2362,7 +2371,7 @@ def agg_promo_revenue(spark, sf_dir):
         FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
-           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+           (floor((sum(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN thresh t ON t.l_partkey = l.l_partkey
@@ -2388,7 +2397,7 @@ def agg_small_quantity_revenue(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+            _rd(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
                 "avg_yearly"
             ),
         )

@@ -213,7 +213,16 @@ def test_curate_corpus_job_funnel(spark, sf_dir, tmp_path, monkeypatch):
     # packing + shuffle + bucket columns present and sane
     row = survivors.limit(1).collect()[0]
     assert row.block_offset < 512 and row.shuffle_pos >= 1
-    assert row.n_tokens <= row.bucket and row.batch_id >= 0
+    # bucket is the length-bucket LABEL, capped at LEN_OVERFLOW: docs longer
+    # than the overflow threshold keep their true n_tokens but share the
+    # overflow bucket, so n_tokens <= bucket only holds below the cap
+    from bigtwine_streamprocessor_spark.operators.corpus_prep import LEN_OVERFLOW
+
+    if row.bucket < LEN_OVERFLOW:
+        assert row.n_tokens <= row.bucket
+    else:
+        assert row.bucket == LEN_OVERFLOW
+    assert row.batch_id >= 0
     report = json.loads((out / "_funnel.json").read_text())
     assert report == funnel
 

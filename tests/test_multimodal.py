@@ -71,3 +71,108 @@ def test_decode_image_stub_raises_cleanly():
         pytest.skip("codec present; stub branch unreachable")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89IMGpayload")
+
+
+# --- audio seam (r6): soundfile import-gated + stdlib-wave PCM fallback ----
+
+
+def _wav_bytes(sample_rate=8000, n_channels=1, n_samples=1600, seed=7):
+    """Synthesize a deterministic PCM16 WAV entirely from the stdlib."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * n_channels,
+                *[((seed * 2654435761 * (i + 1 + c)) % 20000) - 10000
+                  for c in range(n_channels)],
+            )
+            for i in range(n_samples)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_feature_kernel_decodes_wav_everywhere(spark):
+    """The stdlib-wave fallback means real decode runs even with no codec
+    lib installed: true sample_rate/channels/frames/duration come back
+    through the same Arrow-batched kernel a soundfile deployment uses."""
+    cases = [
+        (0, 8000, 1, 1600),
+        (1, 16000, 2, 800),
+        (2, 44100, 1, 441),
+    ]
+    assets = spark.createDataFrame(
+        [
+            (i, bytearray(_wav_bytes(sr, ch, ns)))
+            for i, sr, ch, ns in cases
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {
+        r.asset_id: r
+        for r in multimodal.extract_audio_features(assets).collect()
+    }
+    assert len(got) == len(cases)
+    for i, sr, ch, ns in cases:
+        r = got[i]
+        assert r.decoded
+        assert r.codec in ("wave", "soundfile")
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (sr, ch, ns)
+        assert abs(r.duration_s - ns / sr) < 1e-9
+
+
+def test_audio_feature_kernel_contract_on_undecodable_payloads(spark, sf_dir):
+    """Synthesized magic+utf8 payloads are NOT audio: every asset still comes
+    back exactly once, decoded=false, null fields, true byte length — the
+    same honest-degradation contract as the image path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    assets = multimodal.synthesize_assets(docs)
+    out = multimodal.extract_audio_features(assets).collect()
+    assert len(out) == 30
+    by_id = {r.asset_id: r for r in out}
+    for r in assets.select("asset_id", "n_bytes").collect():
+        assert by_id[r.asset_id].n_bytes == r.n_bytes
+    assert all(
+        (not r.decoded)
+        and r.codec is None
+        and r.sample_rate is None
+        and r.duration_s is None
+        for r in out
+    )
+
+
+def test_decode_audio_mixed_payload_batch(spark):
+    """A batch mixing decodable WAVs and garbage must decode row-by-row, not
+    fail the whole Arrow batch."""
+    rows = [
+        (0, bytearray(_wav_bytes())),
+        (1, bytearray(b"AUD0 not really audio")),
+        (2, bytearray(_wav_bytes(16000, 1, 320))),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.extract_audio_features(assets).collect()
+    }
+    assert got[0].decoded and got[2].decoded and not got[1].decoded
+    assert got[2].sample_rate == 16000
+
+
+@pytest.mark.skipif(
+    multimodal._soundfile_module() is None, reason="soundfile not installed"
+)
+def test_audio_feature_kernel_uses_soundfile_when_present(spark):
+    """With soundfile installed the same WAV decodes via the soundfile
+    branch (it takes priority over the stdlib fallback)."""
+    assets = spark.createDataFrame(
+        [(0, bytearray(_wav_bytes()))], "asset_id long, payload binary"
+    )
+    [r] = multimodal.extract_audio_features(assets).collect()
+    assert r.decoded and r.codec == "soundfile"
