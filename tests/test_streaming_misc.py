@@ -2,6 +2,7 @@
 (A1), replay source filters, RocksDB state store provider, nest/flatten
 round-trip."""
 
+import os
 import json
 
 import pytest
@@ -608,3 +609,124 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
         for r in curation.gopher_rules(docs).filter("passes").collect()
     }
     assert got == expected and len(expected) > 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_BIG_SOAK"),
+    reason="big soak is opt-in: SPARK_GRAFT_BIG_SOAK=<n_keys> (e.g. 500000)",
+)
+def test_fanin_rocksdb_big_soak_with_timeout_churn(spark, tmp_path):
+    """Opt-in scale probe (r6): N keys (default 500k) through the stateful
+    fan-in on RocksDB where 40% of keys NEVER complete — they must leave the
+    store via the one-shot first-arrival deadline (timeout-purge, partial
+    emit), not linger. Pins that the store is bounded by the in-flight
+    window under partial-emit churn, not just under the all-complete happy
+    path of test_fanin_rocksdb_soak_bounded_state. The r6 probe run at 500k
+    keys is recorded in PERF.md ("fan-in state probe").
+    """
+    import time as _t
+
+    from bigtwine_streamprocessor_spark.streaming import fanin
+
+    n = int(os.environ["SPARK_GRAFT_BIG_SOAK"])
+    complete_frac = 0.6
+    timeout_ms = 45_000
+    d = tmp_path / "frags"
+    d.mkdir()
+    base = spark.range(n).select(F.col("id").cast("string").alias("tag"))
+    half1 = base.select(
+        "tag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("status").alias("stream_type"),
+                    F.to_json(F.struct(F.col("tag").alias("id"))).alias(
+                        "payload_json"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linkedTweet").alias("stream_type"),
+                    F.lit("[]").alias("payload_json"),
+                ),
+            )
+        ).alias("f"),
+    ).select("tag", "f.stream_type", "f.payload_json")
+    completing = base.filter(F.col("tag").cast("long") < int(n * complete_frac))
+    half2 = completing.select(
+        "tag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("resource").alias("stream_type"),
+                    F.lit("[]").alias("payload_json"),
+                ),
+                F.struct(
+                    F.lit("decodedLocation").alias("stream_type"),
+                    F.to_json(F.struct(F.col("tag"))).alias("payload_json"),
+                ),
+            )
+        ).alias("f"),
+    ).select("tag", "f.stream_type", "f.payload_json")
+    half1.coalesce(4).write.mode("overwrite").json(str(d / "b1"))
+    half2.coalesce(4).write.mode("overwrite").json(str(d / "b2"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(fanin.FRAGMENT_IN)
+            .option("maxFilesPerTrigger", 4)
+            .json(str(d / "b*"))
+        )
+        out = fanin.fanin_stream(stream, timeout_ms=timeout_ms)
+        q = (
+            out.groupBy("is_partial")
+            .count()
+            .writeStream.format("memory")
+            .queryName("big_soak_out")
+            .outputMode("complete")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        want_complete = int(n * complete_frac)
+        want_partial = n - want_complete
+        deadline = _t.time() + 600
+        done = partial = 0
+        while _t.time() < deadline and done + partial < n:
+            rows = spark.sql("SELECT * FROM big_soak_out").collect()
+            done = sum(r["count"] for r in rows if r["is_partial"] is False)
+            partial = sum(r["count"] for r in rows if r["is_partial"] is True)
+            _t.sleep(2.0)
+        assert done == want_complete, (done, want_complete)
+        assert partial == want_partial, (partial, want_partial)
+
+        def _series():
+            s = []
+            for lp in q.recentProgress:
+                for op in (lp or {}).get("stateOperators") or []:
+                    if "applyInPandasWithState" in op.get("operatorName", ""):
+                        s.append(op.get("numRowsTotal", 0))
+            return s
+
+        state_rows, peak = None, 0
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            series = _series()
+            if series:
+                peak = max(peak, max(series))
+                state_rows = series[-1]
+            if state_rows == 0 and peak >= want_partial:
+                break
+            _t.sleep(2.0)
+        q.stop()
+        assert peak >= want_partial, f"state never held in-flight keys (peak={peak})"
+        assert state_rows == 0, f"purge left {state_rows} state rows"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
