@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
+
 # n-gram size for benchmark decontamination (WMDP/benchmark-leak style scans
 # use 8-13 word grams; 8 keeps hits meaningful on short docs).
 DECONTAM_NGRAM = 8
@@ -148,7 +150,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(mean_wl, 5).alias("mean_word_len"),
+        _rd(mean_wl, 5).alias("mean_word_len"),
         has_stop.alias("has_stopword"),
         passes.alias("passes"),
     )
@@ -159,7 +161,7 @@ def gopher_rules_sql(source: str = "documents") -> str:
     return f"""
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       round(mean_wl, 5) AS mean_word_len,
+       (floor((mean_wl) * 100000.0 + 0.5) / 100000.0) AS mean_word_len,
        has_stop AS has_stopword,
        (n_words >= {MIN_WORDS}
         AND mean_wl >= {MIN_MEAN_WORD_LEN}

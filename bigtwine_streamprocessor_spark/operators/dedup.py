@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
+
 # MinHash configuration: K permutations, B bands x R rows per band (K = B*R).
 # Permutations come from MD5_ROUNDS md5 digests per shingle, each split into
 # CHUNKS_PER_MD5 independent 32-bit (8-hex-char) chunks — 4x fewer digest
@@ -715,9 +717,9 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round("exact_jaccard", 6).alias("exact_jaccard"),
-            F.round(est, 6).alias("est_jaccard"),
-            F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"),
+            _rd("exact_jaccard", 6).alias("exact_jaccard"),
+            _rd(est, 6).alias("est_jaccard"),
+            _rd(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"),
         )
     )
 
@@ -734,8 +736,8 @@ calib AS (
     JOIN signatures sa ON sa.doc_id = j.doc_a
     JOIN signatures sb ON sb.doc_id = j.doc_b
 )
-SELECT doc_a, doc_b, round(exact_jaccard, 6) AS exact_jaccard,
-       round(est_jaccard, 6) AS est_jaccard,
-       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+SELECT doc_a, doc_b, (floor((exact_jaccard) * 1000000.0 + 0.5) / 1000000.0) AS exact_jaccard,
+       (floor((est_jaccard) * 1000000.0 + 0.5) / 1000000.0) AS est_jaccard,
+       (floor((abs(est_jaccard - exact_jaccard)) * 1000000.0 + 0.5) / 1000000.0) AS abs_err
 FROM calib
 """

@@ -39,6 +39,8 @@ from operator import add
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
+
 N_BITS = 16  # sign-LSH hyperplanes (2^16 buckets) — scale default
 PROBE_RADIUS = 1  # multiprobe Hamming radius (0 = exact bucket only)
 COS_ROUND = 6
@@ -99,7 +101,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
     )
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = F.round(
+    cos = _rd(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
         COS_ROUND,
     )
@@ -121,8 +123,8 @@ WITH norms AS (
 ),
 pairs AS (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           round({_DOT_SQL.format(a="q.embedding", b="n.embedding")}
-                 / (q.nrm * n.nrm), {COS_ROUND}) AS cos
+           (floor(({_DOT_SQL.format(a="q.embedding", b="n.embedding")}
+                 / (q.nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM norms q JOIN norms n ON n.vec_id <> q.vec_id
     WHERE q.vec_id < {n_queries}
 ),
@@ -162,7 +164,7 @@ def _plane_dot(i: int) -> Column:
     """Projection of ``embedding`` onto hyperplane i, rounded so an
     ulp-of-summation can't flip the sign differently engine vs oracle."""
     term = _plane_term(i)
-    return F.round(
+    return _rd(
         F.aggregate(
             F.transform(F.col("embedding"), term), F.lit(0.0), lambda a, x: a + x
         ),
@@ -183,10 +185,10 @@ def _plane_dot_sql(i: int, emb: str = "embedding") -> str:
     # DuckDB's generate_series index is 1-based; Spark's transform index is
     # 0-based -> (j-1) aligns them.
     return (
-        f"round(list_sum(list_transform(generate_series(1, len({emb})), "
+        f"(floor((list_sum(list_transform(generate_series(1, len({emb})), "
         f"j -> CAST({emb}[j] AS DOUBLE) * "
         f"(CASE WHEN ((((j - 1) + {i * _PLANE_STRIDE}) * {_LCG_A} + {_LCG_C}) "
-        f"% {_LCG_M}) // 65536 % 2 = 1 THEN 1.0 ELSE -1.0 END))), {COS_ROUND})"
+        f"% {_LCG_M}) // 65536 % 2 = 1 THEN 1.0 ELSE -1.0 END)))) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND}))"
     )
 
 
@@ -248,7 +250,7 @@ def ann_lsh_topk(
         F.broadcast(q),
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = F.round(
+    cos = _rd(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
         COS_ROUND,
     )
@@ -282,8 +284,8 @@ q_probes AS (
 ),
 pairs AS (
     SELECT q.query_id, n.vec_id AS neighbor_id,
-           round({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
-                 / (q.q_nrm * n.nrm), {COS_ROUND}) AS cos
+           (floor(({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
+                 / (q.q_nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM bucketed n JOIN q_probes q
       ON n.bucket = q.probe AND n.vec_id <> q.query_id
 ),
@@ -317,7 +319,7 @@ def embedding_neardup_pairs(
         a,
         (F.col("bucket") == F.col("probe")) & (F.col("id_a") < F.col("vec_id")),
     )
-    cos = F.round(
+    cos = _rd(
         _dot(F.col("emb_a"), F.col("embedding")) / (F.col("nrm_a") * F.col("nrm")),
         COS_ROUND,
     )
@@ -342,8 +344,8 @@ a_probes AS (
 ),
 pairs AS (
     SELECT a.id_a AS doc_a, b.vec_id AS doc_b,
-           round({_DOT_SQL.format(a="a.emb_a", b="b.embedding")}
-                 / (a.nrm_a * b.nrm), {COS_ROUND}) AS cos
+           (floor(({_DOT_SQL.format(a="a.emb_a", b="b.embedding")}
+                 / (a.nrm_a * b.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM bucketed b JOIN a_probes a
       ON b.bucket = a.probe AND a.id_a < b.vec_id
 )"""
@@ -384,7 +386,7 @@ def _scored(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         "cid",
-        F.round(
+        _rd(
             _dot(F.col("embedding"), F.col("c_emb"))
             / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
             COS_ROUND,
@@ -431,7 +433,7 @@ def kmeans_centroids(
         assign = _best_cells(_scored(emb, cents), 1)
         exploded = assign.select("cid", F.posexplode("embedding").alias("j", "x"))
         means = exploded.groupBy("cid", "j").agg(
-            F.round(F.avg(F.col("x").cast("double")), COS_ROUND).alias("m")
+            _rd(F.avg(F.col("x").cast("double")), COS_ROUND).alias("m")
         )
         cents = means.groupBy("cid").agg(
             F.transform(
@@ -479,7 +481,7 @@ def ivf_topk(
     pairs = corpus.join(queries, ["cell"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
+    cos = _rd(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
         COS_ROUND,
     )
@@ -510,9 +512,9 @@ cent0 AS (
         ctes.append(
             f"""scored{t} AS (
     SELECT e.vec_id, e.embedding, c.cid,
-           round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+           (floor(({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
                  / ({_NORM_SQL.format(a="e.embedding")}
-                    * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) AS c_cos
+                    * {_NORM_SQL.format(a="c.c_emb")})) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS c_cos
     FROM embeddings e, cent{t} c
 ),
 assign{t} AS (
@@ -524,7 +526,7 @@ assign{t} AS (
 ),
 cent{t + 1} AS (
     SELECT cid, list(m ORDER BY j) AS c_emb FROM (
-        SELECT cid, j, round(avg(CAST(x AS DOUBLE)), {COS_ROUND}) AS m FROM (
+        SELECT cid, j, (floor((avg(CAST(x AS DOUBLE))) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS m FROM (
             SELECT cid, unnest(embedding) AS x,
                    unnest(generate_series(1, len(embedding))) AS j
             FROM assign{t}
@@ -546,13 +548,13 @@ def ivf_topk_sql(
 WITH {_kmeans_sql(n_cells, n_iters)},
 scored_final AS (
     SELECT e.vec_id, e.embedding, c.cid,
-           round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+           (floor(({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
                  / ({_NORM_SQL.format(a="e.embedding")}
-                    * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) AS c_cos,
+                    * {_NORM_SQL.format(a="c.c_emb")})) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS c_cos,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+                              ORDER BY (floor(({_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
                                              / ({_NORM_SQL.format(a="e.embedding")}
-                                                * {_NORM_SQL.format(a="c.c_emb")}), {COS_ROUND}) DESC,
+                                                * {_NORM_SQL.format(a="c.c_emb")})) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) DESC,
                                        c.cid) AS c_rank
     FROM embeddings e, cent{n_iters} c
 ),
@@ -568,8 +570,8 @@ queries AS (
 ),
 pairs AS (
     SELECT q.query_id, n.vec_id AS neighbor_id,
-           round({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
-                 / (q.q_nrm * n.nrm), {COS_ROUND}) AS cos
+           (floor(({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
+                 / (q.q_nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM corpus n JOIN queries q ON n.cell = q.cell AND n.vec_id <> q.query_id
 ),
 ranked AS (

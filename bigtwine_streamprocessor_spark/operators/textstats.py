@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
+
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 LANG_MARKERS = {
     "en": ("the", "a", "of", "and", "is"),
@@ -248,7 +250,7 @@ def tfidf_topterms(docs: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         "term",
         "tf",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        _rd(F.col("tf") * idf, 6).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -271,8 +273,8 @@ df AS (
 ),
 scored AS (
     SELECT t.doc_id, t.term, t.tf,
-           round(t.tf * (ln((((SELECT count(*) FROM {source}) + 1))
-                            / (d.df + 1)) + 1), 6) AS tfidf
+           (floor((t.tf * (ln((((SELECT count(*) FROM {source}) + 1))
+                            / (d.df + 1)) + 1)) * 1000000.0 + 0.5) / 1000000.0) AS tfidf
     FROM tf t JOIN df d USING (term)
 ),
 ranked AS (
@@ -312,7 +314,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(logp), 5).alias("avg_logprob"),
+            _rd(F.avg(logp), 5).alias("avg_logprob"),
         )
     )
 
@@ -331,7 +333,7 @@ tot AS (
     SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM freq
 )
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(CAST(f.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))), 5)
+       (floor((avg(ln(CAST(f.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))) * 100000.0 + 0.5) / 100000.0)
          AS avg_logprob
 FROM tok t JOIN freq f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
@@ -359,7 +361,7 @@ def repetition_ratio(docs: DataFrame) -> DataFrame:
             "doc_id",
             n.cast("bigint").alias("n_grams"),
             d.cast("bigint").alias("n_distinct_grams"),
-            F.round((n - d).cast("double") / n.cast("double"), 5).alias(
+            _rd((n - d).cast("double") / n.cast("double"), 5).alias(
                 "rep_ratio"
             ),
         )
@@ -371,7 +373,7 @@ def repetition_ratio_sql(source: str = "documents") -> str:
 SELECT doc_id,
        CAST(len(g) AS BIGINT) AS n_grams,
        CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
-       round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g), 5)
+       (floor((CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)) * 100000.0 + 0.5) / 100000.0)
          AS rep_ratio
 FROM (
     SELECT doc_id, list_transform(
@@ -433,7 +435,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 5).alias("avg_logprob"),
+            _rd(F.avg(F.log(p)), 5).alias("avg_logprob"),
         )
     )
 
@@ -465,11 +467,11 @@ bfreq AS (
     SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg
 )
 SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln(
+       (floor((avg(ln(
            {BIGRAM_LAMBDA} * CAST(f.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
            + {1 - BIGRAM_LAMBDA} * CAST(u2.cu + 1 AS DOUBLE)
              / CAST(tot.n + tot.v AS DOUBLE)
-       )), 5) AS avg_logprob
+       ))) * 100000.0 + 0.5) / 100000.0) AS avg_logprob
 FROM bg b
 JOIN bfreq f USING (bg)
 JOIN uni u1 ON u1.term = string_split(b.bg, ' ')[1]
@@ -510,8 +512,8 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
             "doc_id",
             n.cast("bigint").alias("n_tokens"),
             d.cast("bigint").alias("n_types"),
-            F.round(d.cast("double") / n.cast("double"), 5).alias("ttr"),
-            F.round(F.col("_h").cast("double") / n.cast("double"), 5).alias(
+            _rd(d.cast("double") / n.cast("double"), 5).alias("ttr"),
+            _rd(F.col("_h").cast("double") / n.cast("double"), 5).alias(
                 "hapax_frac"
             ),
         )
@@ -525,11 +527,11 @@ def lexical_diversity_sql(source: str = "documents") -> str:
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
-       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 5) AS ttr,
-       round(CAST(len([i FOR i IN generate_series(1, len(s))
+       (floor((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 100000.0 + 0.5) / 100000.0) AS ttr,
+       (floor((CAST(len([i FOR i IN generate_series(1, len(s))
                        IF s[i - 1] IS DISTINCT FROM s[i]
                           AND s[i + 1] IS DISTINCT FROM s[i]])
-                  AS DOUBLE) / len(t), 5) AS hapax_frac
+                  AS DOUBLE) / len(t)) * 100000.0 + 0.5) / 100000.0) AS hapax_frac
 FROM (
     SELECT doc_id, t, list_sort(t) AS s
     FROM (
