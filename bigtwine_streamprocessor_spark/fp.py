@@ -36,3 +36,40 @@ def rd_sql(expr: str, d) -> str:
     except (TypeError, ValueError):
         m = f"power(10.0, {d})"
     return f"(floor(({expr}) * {m} + 0.5) / {m})"
+
+
+# --- order-independent money sums ------------------------------------------
+#
+# round(SUM(double), 2) is NOT cross-engine stable at scale: the unrounded
+# double sums differ by summation order (Spark partial aggs vs DuckDB), and
+# once the true value sits within an ulp of a .xx5 boundary the two engines
+# round to different cents. The r6 sf1 sweep caught exactly this on
+# join_fact_fact (sum(o_totalprice): ...970.32 vs ...970.33 at ~2e10).
+#
+# Fix: fixed-point accounting. Integerize each addend at scale_dp (every
+# money column in the corpus is exact at 4 dp — prices/balances/values are
+# 2 dp, o_totalprice is 4 dp, and products of two 2-dp values are exact
+# 4-dp), sum the integers EXACTLY in 38-digit decimal (HUGEINT on DuckDB),
+# and convert once at the end. Integer addition is order-independent, and
+# both engines cast the SAME exact integer to double, so the result is
+# bit-identical under any partitioning at any scale.
+
+FSUM_SCALE_DP = 4  # basis points: exact for every money column in testdata
+
+
+def fsum(col, out_dp: int = 2, scale_dp: int = FSUM_SCALE_DP) -> Column:
+    """Deterministic SUM of fixed-point data, rounded to out_dp (double)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    s = F.lit(float(10 ** scale_dp))
+    tot = F.sum(F.floor(col * s + F.lit(0.5)).cast("decimal(38,0)"))
+    return rd(tot.cast("double") / s, out_dp)
+
+
+def fsum_sql(expr: str, out_dp: int = 2, scale_dp: int = FSUM_SCALE_DP) -> str:
+    s = repr(float(10 ** scale_dp))
+    inner = (
+        f"(CAST(sum(CAST(floor(({expr}) * {s} + 0.5) AS HUGEINT)) AS DOUBLE)"
+        f" / {s})"
+    )
+    return rd_sql(inner, out_dp)

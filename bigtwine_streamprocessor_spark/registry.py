@@ -30,6 +30,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # extension queries bench.py should also time (appended by later modules)
+from bigtwine_streamprocessor_spark.fp import (  # noqa: E402
+    fsum as _fsum,
+    fsum_sql as _fsum_sql,
+)
+
+
 def _rd(col, d: int):
     """d-dp half-up rounding as the explicit floor(x*10^d + 0.5)/10^d IEEE
     sequence — identical on every engine, so tie-breaking is defined by the
@@ -179,9 +185,9 @@ def neel_export_json(spark, sf_dir):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-           (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
-           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+           (floor(((CAST(sum(CAST(floor((l_quantity) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+           (floor(((CAST(sum(CAST(floor((l_extendedprice) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+           (floor(((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
            (floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -196,11 +202,9 @@ def agg_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _rd(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _rd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            _fsum("l_quantity").alias("sum_qty"),
+            _fsum("l_extendedprice").alias("sum_base_price"),
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
             _rd(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -211,7 +215,7 @@ def agg_pricing_summary(spark, sf_dir):
     "join_broadcast_dims",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           count(*) AS n_customers, (floor((sum(c.c_acctbal)) * 100.0 + 0.5) / 100.0) AS total_acctbal
+           count(*) AS n_customers, (floor(((CAST(sum(CAST(floor((c.c_acctbal) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -230,7 +234,7 @@ def join_broadcast_dims(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            _rd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _fsum("c_acctbal").alias("total_acctbal"),
         )
     )
 
@@ -240,7 +244,7 @@ def join_broadcast_dims(spark, sf_dir):
     """
     SELECT o.o_orderpriority,
            count(DISTINCT o.o_orderkey) AS n_orders,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
     GROUP BY o.o_orderpriority
@@ -257,9 +261,7 @@ def join_fact_fact(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -302,7 +304,7 @@ def window_topk_per_group(spark, sf_dir):
              AT TIME ZONE 'UTC' AS window_start,
            event_type,
            count(*) AS n_events,
-           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total_value
+           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -315,7 +317,7 @@ def window_tumbling_events(spark, sf_dir):
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _rd(F.sum("value"), 2).alias("total_value"),
+            _fsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -980,7 +982,7 @@ def sampling_stratified(spark, sf_dir):
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total
+           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -999,12 +1001,23 @@ def agg_salted_heavy_hitters(spark, sf_dir):
     salted = ev.withColumn(
         "_salt", F.pmod(F.col("event_id"), F.lit(SALTS))
     )
+    # both phases accumulate exact basis-point integers (fp.fsum's scheme,
+    # spelled out because the sum spans two groupBys): integer partials make
+    # the merge order-independent at any scale — a float partial would need
+    # re-snapping and drifts past the snap window around ~1e12 magnitudes
     partial = salted.groupBy("event_type", "_salt").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sum_bp"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("_n").alias("n"),
-        _rd(F.sum("_sum"), 2).alias("total"),
+        _rd(
+            F.sum("_sum_bp").cast("double") / F.lit(10000.0), 2
+        ).alias("total"),
     )
 
 
@@ -1014,7 +1027,7 @@ def agg_salted_heavy_hitters(spark, sf_dir):
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty
+           (floor(((CAST(sum(CAST(floor((l_quantity) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -1026,7 +1039,7 @@ def agg_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _rd(F.sum("l_quantity"), 2).alias("qty"),
+            _fsum("l_quantity").alias("qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1267,7 +1280,7 @@ def dedup_embedding_clusters(spark, sf_dir):
     """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY o.o_orderpriority
@@ -1297,9 +1310,7 @@ def join_bloom_pruned(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -1586,7 +1597,7 @@ def join_anti_customers_no_orders(spark, sf_dir):
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour,
            CAST(count(*) AS BIGINT) AS n,
-           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total_value
+           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
     GROUP BY CUBE (event_type, hr)
     """,
@@ -1602,7 +1613,7 @@ def agg_cube_events(spark, sf_dir):
         ev.cube("event_type", "hr")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _rd(F.sum("value"), 2).alias("total_value"),
+            _fsum("value").alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -1693,7 +1704,7 @@ SALT_FACTOR = 8
         FROM events
     )
     SELECT d.category, CAST(count(*) AS BIGINT) AS n,
-           (floor((sum(e.value)) * 100.0 + 0.5) / 100.0) AS total_value
+           (floor(((CAST(sum(CAST(floor((e.value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
     FROM events e JOIN dim d USING (event_type)
     GROUP BY d.category
     """,
@@ -1728,7 +1739,7 @@ def join_salted_skew(spark, sf_dir):
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _rd(F.sum("value"), 2).alias("total_value"),
+            _fsum("value").alias("total_value"),
         )
     )
 
@@ -1875,7 +1886,7 @@ BENCH_EXTRA.extend(
     "join_shipping_priority",
     """
     SELECT l.l_orderkey,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue,
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -1909,9 +1920,7 @@ def join_shipping_priority(spark, sf_dir):
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -1928,7 +1937,7 @@ def join_shipping_priority(spark, sf_dir):
     "join_local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1973,9 +1982,7 @@ def join_local_supplier_volume(spark, sf_dir):
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -2029,7 +2036,7 @@ BENCH_EXTRA.extend(["sketch_countmin_terms", "curriculum_token_budget"])
     "join_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2061,9 +2068,7 @@ def join_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -2075,7 +2080,7 @@ def join_returned_items(spark, sf_dir):
     """
     SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2118,9 +2123,7 @@ def join_nation_trade_volume(spark, sf_dir):
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            _rd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -2296,7 +2299,7 @@ def events_gap_fill(spark, sf_dir):
                 WHEN c.c_custkey IS NULL THEN 'order_only'
                 ELSE 'both' END AS side,
            CAST(count(*) AS BIGINT) AS n,
-           (floor((sum(coalesce(o.o_totalprice, 0))) * 100.0 + 0.5) / 100.0) AS total_price
+           (floor(((CAST(sum(CAST(floor((coalesce(o.o_totalprice, 0)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_price
     FROM customer c
     FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1
@@ -2318,7 +2321,7 @@ def join_full_outer_balance(spark, sf_dir):
         j.groupBy(side.alias("side"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _rd(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2)
+            _fsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))
               .alias("total_price"),
         )
     )
@@ -2327,9 +2330,9 @@ def join_full_outer_balance(spark, sf_dir):
 @register(
     "agg_promo_revenue",
     """
-    SELECT (floor((100.0 * (floor((sum(CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)) * 100.0 + 0.5) / 100.0)
-             / (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0)) * 1000000.0 + 0.5) / 1000000.0)
+    SELECT (floor((100.0 * (floor(((CAST(sum(CAST(floor((CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0)
+             / (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0)) * 1000000.0 + 0.5) / 1000000.0)
            AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2352,11 +2355,8 @@ def agg_promo_revenue(spark, sf_dir):
         .agg(
             _rd(
                 F.lit(100.0)
-                * _rd(
-                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
-                    2,
-                )
-                / _rd(F.sum(rev), 2),
+                * _fsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / _fsum(rev),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -2371,7 +2371,7 @@ def agg_promo_revenue(spark, sf_dir):
         FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
-           (floor((sum(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
+           (floor(((floor(((CAST(sum(CAST(floor((l.l_extendedprice) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN thresh t ON t.l_partkey = l.l_partkey
@@ -2397,9 +2397,7 @@ def agg_small_quantity_revenue(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            _rd(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
-                "avg_yearly"
-            ),
+            _rd(_fsum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
         )
     )
 
