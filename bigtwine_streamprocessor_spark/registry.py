@@ -1747,28 +1747,104 @@ def join_salted_skew(spark, sf_dir):
 @register(
     "agg_moments",
     """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)) AS sp,
+               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
+                   * CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)) AS spp,
+               sum(CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS sd,
+               sum(CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)
+                   * CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS sdd,
+               sum(CAST(l_quantity AS HUGEINT)) AS sq,
+               sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sqq,
+               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
+                   * CAST(l_quantity AS HUGEINT)) AS spq,
+               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
+                   * CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS spd
+        FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           (floor((stddev_samp(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_stddev,
-           (floor((var_samp(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS discount_var,
-           (floor((corr(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS price_qty_corr,
-           (floor((covar_samp(l_extendedprice, l_discount)) * 10000.0 + 0.5) / 10000.0) AS price_disc_cov
-    FROM lineitem GROUP BY l_returnflag
+           (floor((sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / 10000.0) * 10000.0 + 0.5) / 10000.0) AS price_stddev,
+           (floor((((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / 100000000.0) * 1000000.0 + 0.5) / 1000000.0) AS discount_var,
+           (floor(((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))))
+                  * 1000000.0 + 0.5) / 1000000.0) AS price_qty_corr,
+           (floor((((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / 100000000.0) * 10000.0 + 0.5) / 10000.0) AS price_disc_cov
+    FROM s
     """,
 )
 def agg_moments(spark, sf_dir):
     """Second-moment statistics per group (stddev/variance/correlation/
-    covariance) — single-pass map-side-combinable aggregates (Welford-style
-    merge states), one exchange on the group key."""
+    covariance) from EXACT integer power sums: each column integerizes at
+    4 dp (exact for this data), Σx/Σx²/Σxy accumulate in decimal(38,0)
+    (HUGEINT on DuckDB) — order-independent — and the classic power-sum
+    formulas evaluate in double over the identical exact integers on both
+    engines, so the output is bit-stable under any partitioning. Engine
+    stddev/corr (Welford merges) are order-DEPENDENT in their low bits and
+    straddle the output rounding at scale (same class as the r6 fsum fix).
+    No cancellation hazard here: group means and deviations are the same
+    order of magnitude for every column. Still one exchange on the group
+    key; the power sums are map-side combinable. Exactness bound: decimal38
+    holds Σx² through ~1e37 — about 1e19 rows of price data — far past any
+    real shard.
+    """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.groupBy("l_returnflag").agg(
-        _rd(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        _rd(F.var_samp("l_discount"), 6).alias("discount_var"),
-        _rd(F.corr("l_extendedprice", "l_quantity"), 6).alias(
-            "price_qty_corr"
-        ),
-        _rd(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
-            "price_disc_cov"
-        ),
+    bp = lambda c: F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    qi = F.col("l_quantity").cast("decimal(38,0)")
+    d = lambda c: F.col(c).cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bp("l_extendedprice")).alias("sp"),
+        F.sum(bp("l_extendedprice") * bp("l_extendedprice")).alias("spp"),
+        F.sum(bp("l_discount")).alias("sd"),
+        F.sum(bp("l_discount") * bp("l_discount")).alias("sdd"),
+        F.sum(qi).alias("sq"),
+        F.sum(qi * qi).alias("sqq"),
+        F.sum(bp("l_extendedprice") * qi).alias("spq"),
+        F.sum(bp("l_extendedprice") * bp("l_discount")).alias("spd"),
+    )
+    n = d("n")
+    return s.select(
+        "l_returnflag",
+        _rd(
+            F.sqrt((n * d("spp") - d("sp") * d("sp")) / (n * (n - 1)))
+            / F.lit(10000.0),
+            4,
+        ).alias("price_stddev"),
+        _rd(
+            ((n * d("sdd") - d("sd") * d("sd")) / (n * (n - 1)))
+            / F.lit(100000000.0),
+            6,
+        ).alias("discount_var"),
+        _rd(
+            (n * d("spq") - d("sp") * d("sq"))
+            / (
+                F.sqrt(n * d("spp") - d("sp") * d("sp"))
+                * F.sqrt(n * d("sqq") - d("sq") * d("sq"))
+            ),
+            6,
+        ).alias("price_qty_corr"),
+        _rd(
+            ((n * d("spd") - d("sp") * d("sd")) / (n * (n - 1)))
+            / F.lit(100000000.0),
+            4,
+        ).alias("price_disc_cov"),
     )
 
 
