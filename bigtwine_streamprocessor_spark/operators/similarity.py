@@ -307,14 +307,29 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs within multiprobed LSH buckets
     (scale path: candidate generation is bucket-local, never O(n^2)). The
     probe expansion runs on ONE side of the self-join, so each candidate pair
-    appears exactly once."""
-    base = _bucketed(emb, n_bits)
+    appears exactly once.
+
+    The bucket join's parallelism is PINNED with an explicit keyed
+    repartition on both sides: AQE sizes the join's shuffle from the
+    map-side bytes (two small bucketed vector frames) and coalesces it to a
+    couple of partitions, but the join FANS OUT to every intra-bucket
+    candidate pair and each output row pays a dim-length dot-product fold —
+    the r6 sf1 sweep measured a single straggler task grinding ~all of a
+    2M-pair graph for minutes while 31 cores idled. An explicit
+    numPartitions repartition is exempt from AQE coalescing, so the
+    candidate generation and the cos() folds spread across the full
+    cluster; bucket keys are uniform by construction (sign-LSH), at
+    n_bits=8 there are 256 keys to balance over."""
+    n_part = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    base = _bucketed(emb, n_bits).repartition(n_part, F.col("bucket"))
     a = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
         F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
-    )
+    ).repartition(n_part, F.col("probe"))
     pairs = base.join(
         a,
         (F.col("bucket") == F.col("probe")) & (F.col("id_a") < F.col("vec_id")),
