@@ -621,7 +621,12 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
     ex_sh = existing.select(
         F.col("doc_id").alias("ex_id"), F.explode(grams).alias("g")
     )
-    ex_sizes = ex_sh.groupBy("ex_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    # grams is already array_distinct, so per-doc shingle-set sizes are just
+    # size(grams) — map-only, instead of a third/second full explode+shuffle
+    # (groupBy ex_id / doc_id over the exploded shingles)
+    ex_sizes = existing.select(
+        F.col("doc_id").alias("ex_id"), F.size(grams).alias("n_ex")
+    )
     # DF cap computed over the EXISTING side (the big, growing one)
     rare = (
         ex_sh.groupBy("g")
@@ -631,7 +636,7 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
     )
     in_near = incoming.join(exact.select("doc_id"), "doc_id", "left_anti")
     in_sh = in_near.select("doc_id", F.explode(grams).alias("g"))
-    in_sizes = in_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
+    in_sizes = in_near.select("doc_id", F.size(grams).alias("n_in"))
     shared = (
         in_sh.join(rare, "g")
         .join(ex_sh, "g")
