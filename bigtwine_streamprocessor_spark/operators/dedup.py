@@ -346,6 +346,10 @@ jaccard_pairs AS (
 # ---------------------------------------------------------------------------
 
 CLUSTER_MAX_ITERS = 50
+# Loop-side partition sizing for connected_components: ~250k edge rows (two
+# bigints) per map task keeps tasks in the hundreds-of-ms band; small graphs
+# collapse to one task, billion-edge graphs keep thousands.
+EDGES_PER_PARTITION = 250_000
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
@@ -370,6 +374,20 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # can't even compile (observed heap OOM on the embedding edge source).
     # Checkpoint once, then both union branches read the truncated frame.
     edges = edges.localCheckpoint(eager=True)
+    # Right-size the loop's map-side task count to the GRAPH, not to the
+    # candidate-generation stage: upstream pins its join parallelism high
+    # (the cos-fold fan-out needs it), but every propagation round then
+    # rescans the checkpointed frames with that many map tasks — on a small
+    # graph that is hundreds of near-empty tasks per round of pure scheduling
+    # overhead (measured 2x the whole query at bench scale). The count is a
+    # cheap job over the just-materialized checkpoint; coalesce merges
+    # partitions without a shuffle. Scale-proportional by construction: a
+    # billion-edge graph keeps thousands of partitions.
+    n_edges = edges.count()
+    cur_parts = edges.rdd.getNumPartitions()
+    target = max(1, min(cur_parts, -(-n_edges // EDGES_PER_PARTITION)))
+    if target < cur_parts:
+        edges = edges.coalesce(target)
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
