@@ -142,12 +142,17 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             if t_b > t_a and c_b > c_a:
                 steady_window = t_b - t_a
                 steady_rate = (c_b - c_a) / steady_window
-                # 3 sub-windows (~18 s each at x80): fan-in completions land
-                # in multi-second bursts, and 5 windows still caught single
-                # stall/burst cells (r6 probe: [548, 506, 545, 337, 624]);
-                # ~18 s averages enough burst cycles that each sub-window
-                # estimates the same slope the headline uses.
-                n_sub = 3
+                # 2 sub-windows (first half vs second half, ~25 s each at
+                # x80): fan-in completions land in multi-second bursts, so a
+                # sub-window's rate is quantized by how many ~3 s trigger
+                # bursts it catches — at ~17 s thirds that is ~6 bursts and
+                # ONE extra burst is +/-17% on its own (observed flapping
+                # 1.0 -> 0.67 between identical-code runs; 5 windows caught
+                # single stall/burst cells: [548, 506, 545, 337, 624]).
+                # Halves hold ~8+ bursts each, so the +/-20% consistency
+                # check detects real first-vs-second-half drift instead of
+                # burst quantization.
+                n_sub = 2
                 bounds = [t_a + steady_window * i / n_sub for i in range(n_sub + 1)]
                 for lo, hi in zip(bounds, bounds[1:]):
                     win = [(t, c) for t, c in warm if lo <= t <= hi]
