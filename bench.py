@@ -204,6 +204,7 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    load1 = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
@@ -313,6 +314,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall_detail",
         "value": total,
         "unit": "sec",
+        "load1": load1,
         "queries": timings,
         "steady": steady,
         "streaming": streaming,
@@ -343,6 +345,10 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # 1-min load average at the START of the run (captured in main()
+        # before Spark spins up): a load-skewed official run is
+        # self-identifying in the permanent BENCH_r{N}.json record.
+        "load1": load1,
         "queries": {
             k: timings[k]
             for k in HEADLINE + ["topology_stream"]

@@ -624,8 +624,12 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
     # grams is already array_distinct, so per-doc shingle-set sizes are just
     # size(grams) — map-only, instead of a third/second full explode+shuffle
     # (groupBy ex_id / doc_id over the exploded shingles)
+    # size(NULL array) is -1: coalesce to 0 so null-text docs carry a sane
+    # set size even though today's inner joins (keyed off exploded shingles,
+    # which null text never emits) can't reach those rows
     ex_sizes = existing.select(
-        F.col("doc_id").alias("ex_id"), F.size(grams).alias("n_ex")
+        F.col("doc_id").alias("ex_id"),
+        F.coalesce(F.size(grams), F.lit(0)).alias("n_ex"),
     )
     # DF cap computed over the EXISTING side (the big, growing one)
     rare = (
@@ -636,7 +640,9 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
     )
     in_near = incoming.join(exact.select("doc_id"), "doc_id", "left_anti")
     in_sh = in_near.select("doc_id", F.explode(grams).alias("g"))
-    in_sizes = in_near.select("doc_id", F.size(grams).alias("n_in"))
+    in_sizes = in_near.select(
+        "doc_id", F.coalesce(F.size(grams), F.lit(0)).alias("n_in")
+    )
     shared = (
         in_sh.join(rare, "g")
         .join(ex_sh, "g")

@@ -20,12 +20,31 @@ round-6 sweep used (PERF.md "Round-6: sf1 oracle sweep"):
   for the same reason as the text tag (identical vectors would add
   C(N,2) cos=1.0 pairs per original vector to every near-dup query).
 
-Runs on DuckDB (no Spark session), so it can build data while a bench run
-owns the Spark machine. Deterministic: no RNG anywhere.
+``--dup-profile`` replaces the suffix-tag document treatment with a
+REALISTIC duplication profile. The suffix tag makes documents distinct but
+keeps every original's N copies colliding in the same LSH bands (nearly all
+3-token shingles shared), which quadratically inflates candidate-pair
+queries (``dedup_edit_distance``, ``text_fingerprint_overlap``) — a
+synthesis artifact, not engine scaling. Under the profile (mirroring real
+corpora, where a few percent of documents have a handful of near-copies):
+
+* 2% of originals (``doc_id % 50 == 7``) get 1–3 NEAR-copies (replicas
+  ``1 .. 1 + doc_id % 3``): a single token substituted at a per-(doc,
+  replica) position — ~97% of shingles still shared, so LSH/fingerprints
+  correctly surface them, in linear numbers;
+* every other replica copy is FAR: every token is suffixed with a 2-char
+  per-replica code, so it shares NO 3-token shingle with its original,
+  its siblings, or any other replica — zero spurious band collisions.
+
+Deterministic: positions and copy counts derive from ``doc_id`` arithmetic,
+no RNG anywhere. Runs on DuckDB (no Spark session), so it can build data
+while a bench run owns the Spark machine.
 
 Usage:
     python scripts/make_scale_replica.py                 # /tmp/sf1, 10x sf0.1
     python scripts/make_scale_replica.py --out /tmp/sf10 --replicas 100
+    python scripts/make_scale_replica.py --out /tmp/sf10dup --replicas 100 \\
+        --dup-profile                                    # controlled dups
 """
 
 from __future__ import annotations
@@ -51,16 +70,49 @@ KEYED = {
 DIMS = ["region", "nation"]
 
 
-def replica_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
+DUP_RATE_DEN = 50  # 1-in-50 originals (2%) get near-copies
+DUP_PICK = 7  # which residue class is duplicated
+MAX_COPIES = 3  # 1..3 near-copies per duplicated original
+
+
+def _dup_text_expr(i: int) -> str:
+    """Per-replica document text under the controlled duplication profile."""
+    code = chr(97 + i // 26) + chr(97 + i % 26)  # unique 2-char replica tag
+    toks = "string_split(text, ' ')"
+    n = f"len({toks})"
+    # near-copy: substitute ONE token at a per-(doc, replica) position
+    pos = f"(1 + (doc_id + {i}) % greatest({n} - 1, 1))"
+    near = (
+        f"array_to_string({toks}[1:{pos} - 1] || ['q{code}x'] "
+        f"|| {toks}[{pos} + 1:{n}], ' ')"
+    )
+    # far copy: every token tagged -> no 3-token shingle survives
+    far = f"array_to_string(list_transform({toks}, t -> t || '~{code}'), ' ')"
+    is_near = (
+        f"doc_id % {DUP_RATE_DEN} = {DUP_PICK} "
+        f"AND {i} <= 1 + doc_id % {MAX_COPIES}"
+    )
+    return f"CASE WHEN {is_near} THEN {near} ELSE {far} END"
+
+
+def replica_select(
+    table: str, cols: list[tuple[str, str]], i: int, dup_profile: bool = False
+) -> str:
     keyed = set(KEYED[table])
     parts = []
     for name, _typ in cols:
         if name in keyed:
             parts.append(f"{name} + {i * KEY_STRIDE} AS {name}")
         elif table == "documents" and name == "text" and i > 0:
-            parts.append(f"text || ' xr{i}tag' AS text")
+            expr = _dup_text_expr(i) if dup_profile else f"text || ' xr{i}tag'"
+            parts.append(f"{expr} AS text")
         elif table == "documents" and name == "n_chars" and i > 0:
-            parts.append(f"n_chars + {len(f' xr{i}tag')} AS n_chars")
+            expr = (
+                f"length({_dup_text_expr(i)})"
+                if dup_profile
+                else f"n_chars + {len(f' xr{i}tag')}"
+            )
+            parts.append(f"{expr} AS n_chars")
         elif table == "embeddings" and name == "embedding" and i > 0:
             # circular shift by i: deterministic, norm-preserving, distinct
             s = i % 64
@@ -77,7 +129,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--dup-profile",
+        action="store_true",
+        help="controlled near-dup rate for documents (see module docstring)",
+    )
     args = ap.parse_args()
+    if args.replicas > 26 * 26:
+        ap.error("--replicas exceeds the 2-char replica-tag space (676)")
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
@@ -95,7 +154,8 @@ def main() -> None:
             ).fetchall()
         ]
         selects = " UNION ALL ".join(
-            f"SELECT {replica_select(t, cols, i)} FROM '{args.src}/{t}.parquet'"
+            f"SELECT {replica_select(t, cols, i, args.dup_profile)} "
+            f"FROM '{args.src}/{t}.parquet'"
             for i in range(args.replicas)
         )
         con.execute(

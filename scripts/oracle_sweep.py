@@ -102,21 +102,30 @@ def compare(spark_df, con, sql) -> tuple[bool, str, float, float]:
 # stronger check than re-running the same recursion. Lines using these are
 # tagged [alt-oracle union-find] in the output.
 
-_PAIR_CACHE: dict[str, list] = {}
+# keyed by (connection id, sql) so two connections / scale dirs in one
+# process can't silently reuse each other's pair list; _PAIR_HIT records
+# whether the last lookup was served from cache so the per-query duckdb=
+# timing (which then excludes the ~4-min pair computation amortized into
+# the first query) is self-identifying in the sweep output
+_PAIR_CACHE: dict[tuple[int, str], list] = {}
+_PAIR_HIT: bool = False
 
 
 def _neardup_components(con) -> dict[int, int]:
     """Min-label connected components of the cos>=0.2 neardup pair graph."""
     from bigtwine_streamprocessor_spark.operators import similarity
 
+    global _PAIR_HIT
     sql = (
         f"WITH {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()} "
         "SELECT doc_a, doc_b FROM neardup_pairs"
     )
-    if sql not in _PAIR_CACHE:
+    key = (id(con), sql)
+    _PAIR_HIT = key in _PAIR_CACHE
+    if not _PAIR_HIT:
         _PAIR_CACHE.clear()  # at most one pair list held at a time
-        _PAIR_CACHE[sql] = con.execute(sql).fetchall()
-    pairs = _PAIR_CACHE[sql]
+        _PAIR_CACHE[key] = con.execute(sql).fetchall()
+    pairs = _PAIR_CACHE[key]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -158,6 +167,167 @@ SCALE_ORACLES = {
 }
 
 
+# --- engine-side hash compare (--hash-compare) ------------------------------
+#
+# At sf10 some result sets are themselves huge (events_gap_fill: a 10.5M-row
+# time grid; dedup_paragraphs: 500k rows), so the full compare's
+# collect-into-Python transfer dominates and blocks verification — the
+# bottleneck is the COMPARATOR, not either engine. This mode never moves a
+# result set: each engine computes two scalars over its own result —
+# count(*) and an order-independent row hash (sum of the first 60 bits of
+# md5 over a canonical per-row string, exact integer sum) — and only the
+# scalars are compared, mirroring the driver's rows/schema/hash_match
+# semantics. Doubles are quantized at 6 dp with the identical
+# floor(x*1e6+0.5) expression on both engines (the driver's full compare at
+# 9 dp already gates sf0.01; the engine-side twin trades 3 dp for zero
+# transfer at any scale — values must still agree to half a millionth).
+# Magnitude bound: |x| < ~9e12 or the 1e6 scaling overflows BIGINT; every
+# registry result is orders of magnitude below this at sf10.
+
+_HEXD = "0123456789abcdef"
+_NULL = "\x02"  # canonical NULL sentinel (never appears in real strings)
+_SEP = "\x1f"
+
+
+def _type_class(spark_type: str, duck_type: str) -> str:
+    """Joint canonicalization class for one output column across engines."""
+    def cls(t: str) -> str:
+        t = t.upper()
+        if t in ("DOUBLE", "FLOAT", "REAL") or (
+            t.startswith("DECIMAL") and not t.endswith(",0)")
+        ):
+            return "float"
+        if t in ("BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT",
+                 "HUGEINT", "UBIGINT", "UINTEGER") or t.startswith("DECIMAL"):
+            return "int"
+        if t in ("STRING", "VARCHAR", "JSON"):  # DuckDB types json_* as JSON
+            return "str"
+        if t == "BOOLEAN":
+            return "bool"
+        if t.startswith("TIMESTAMP"):
+            return "ts"
+        raise ValueError(f"unsupported result type {t!r}")
+
+    a, b = cls(spark_type), cls(duck_type)
+    if a == b:
+        return a
+    if {a, b} == {"float", "int"}:  # e.g. Spark double vs DuckDB DECIMAL sum
+        return "float"
+    raise ValueError(f"incompatible classes {spark_type} vs {duck_type}")
+
+
+def _canon_expr(col: str, cls: str, engine: str) -> str:
+    """SQL expression canonicalizing one column to an identical string."""
+    q = f"`{col}`" if engine == "spark" else f'"{col}"'
+    if cls == "float":
+        x = f"CAST({q} AS DOUBLE)"
+        if engine == "spark":
+            inf = f"{x} = double('Infinity')"
+            ninf = f"{x} = double('-Infinity')"
+        else:
+            inf = f"(isinf({x}) AND {x} > 0)"
+            ninf = f"isinf({x})"
+        return (
+            f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
+            f"WHEN isnan({x}) THEN 'NaN' "
+            f"WHEN {inf} THEN 'Inf' WHEN {ninf} THEN '-Inf' "
+            f"ELSE CAST(CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+            f" AS {'STRING' if engine == 'spark' else 'VARCHAR'}) END"
+        )
+    if cls == "int":
+        s = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
+        return f"COALESCE({s}, '{_NULL}')"
+    if cls == "bool":
+        body = f"CAST(CAST({q} AS INT) AS STRING)" if engine == "spark" \
+            else f"CAST(CAST({q} AS INTEGER) AS VARCHAR)"
+        return f"COALESCE({body}, '{_NULL}')"
+    if cls == "ts":
+        us = f"unix_micros({q})" if engine == "spark" else f"epoch_us({q})"
+        cast = "STRING" if engine == "spark" else "VARCHAR"
+        return f"COALESCE(CAST({us} AS {cast}), '{_NULL}')"
+    if engine == "duck":  # JSON-typed columns need the explicit text cast
+        return f"COALESCE(CAST({q} AS VARCHAR), '{_NULL}')"
+    return f"COALESCE({q}, '{_NULL}')"  # str
+
+
+def _duck_hex60(expr: str) -> str:
+    """DuckDB lacks hex->int cast: 15-digit polynomial over md5 chars."""
+    terms = [
+        f"(strpos('{_HEXD}', substring({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
+    """Count + order-independent row-hash on each engine; compare scalars."""
+    s_cols = spark_df.columns
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+
+    pre_dur = 0.0
+    if callable(sql):  # scale-oracle rows already live in Python
+        t0 = time.perf_counter()
+        o_cols, o_rows = sql(con)
+        pre_dur = time.perf_counter() - t0
+        d_types = {c: "BIGINT" for c in o_cols}
+    else:
+        con.execute(f"CREATE OR REPLACE TEMP VIEW _hc AS ({sql})")
+        d_types = {
+            r[0]: r[1] for r in con.execute("DESCRIBE _hc").fetchall()
+        }
+        o_cols = list(d_types)
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"cols {sorted(s_cols)} != {sorted(o_cols)}", 0.0, 0.0
+
+    classes = {
+        c: _type_class(s_types[c], d_types[c]) for c in sorted(s_cols)
+    }
+
+    t0 = time.perf_counter()
+    s_canon = ", ".join(
+        _canon_expr(c, classes[c], "spark") for c in sorted(s_cols)
+    )
+    s_row = spark_df.selectExpr(
+        f"concat_ws('{_SEP}', {s_canon}) AS _s"
+    ).selectExpr(
+        "count(*) AS n",
+        "COALESCE(sum(CAST(conv(substring(md5(_s), 1, 15), 16, 10)"
+        " AS DECIMAL(38, 0))), 0) AS h",
+    ).collect()[0]
+    s_n, s_h = s_row["n"], int(s_row["h"])
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if callable(sql):
+        import hashlib
+
+        o_n, o_h = len(o_rows), 0
+        for r in o_rows:
+            s = _SEP.join(
+                _NULL if v is None else str(int(v))
+                for v in (r[o_cols.index(c)] for c in sorted(o_cols))
+            )
+            o_h += int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    else:
+        d_canon = ", ".join(
+            _canon_expr(c, classes[c], "duck") for c in sorted(o_cols)
+        )
+        row = con.execute(
+            f"WITH _r AS (SELECT concat_ws('{_SEP}', {d_canon}) AS _s"
+            f" FROM _hc) SELECT count(*), COALESCE(sum("
+            f"{_duck_hex60('md5(_s)')}), 0) FROM _r"
+        ).fetchone()
+        o_n, o_h = row[0], int(row[1])
+    t_ddb = pre_dur + (time.perf_counter() - t0)
+
+    if s_n != o_n:
+        return False, f"rows spark={s_n} oracle={o_n}", t_spark, t_ddb
+    if s_h != o_h:
+        return False, f"hash spark={s_h} oracle={o_h} (n={s_n})", t_spark, t_ddb
+    return True, f"{s_n} rows, hash ok", t_spark, t_ddb
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf1")
@@ -167,6 +337,12 @@ def main() -> None:
         "--registered-oracles",
         action="store_true",
         help="use the registered recursive SQL even where a scale oracle exists",
+    )
+    ap.add_argument(
+        "--hash-compare",
+        action="store_true",
+        help="engine-side count + order-independent row-hash; no result-set "
+        "transfer (for SFs where the collect comparator dominates)",
     )
     args = ap.parse_args()
 
@@ -186,11 +362,18 @@ def main() -> None:
         oracle = SCALE_ORACLES[name] if alt else registry.ORACLES[name]
         try:
             df = registry.QUERIES[name](spark, args.sf_dir)
-            match, msg, ts, td = compare(df, con, oracle)
+            if args.hash_compare:
+                match, msg, ts, td = compare_hash(df, con, oracle, name)
+            else:
+                match, msg, ts, td = compare(df, con, oracle)
         except Exception as exc:  # a crash is a failure, keep sweeping
             match, msg, ts, td = False, f"{type(exc).__name__}: {exc}"[:300], 0, 0
         status = "MATCH" if match else "FAIL "
-        tag = " [alt-oracle union-find]" if alt else ""
+        tag = ""
+        if alt:
+            tag = " [alt-oracle union-find%s]" % (
+                ", pairs cached" if _PAIR_HIT else ""
+            )
         print(f"{status} {name:40s} spark={ts:7.2f}s duckdb={td:7.2f}s  {msg}{tag}",
               flush=True)
         ok += match
