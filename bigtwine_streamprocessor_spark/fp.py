@@ -73,3 +73,39 @@ def fsum_sql(expr: str, out_dp: int = 2, scale_dp: int = FSUM_SCALE_DP) -> str:
         f" / {s})"
     )
     return rd_sql(inner, out_dp)
+
+
+# --- decimal-exact central moments ------------------------------------------
+#
+# The power-sum moment formulas (variance/covariance/correlation) subtract
+# two near-equal products: n*Σx² − (Σx)² cancels ~2*log10(|mean|/stddev)
+# leading digits. Casting the EXACT decimal power sums to double BEFORE the
+# subtraction throws those digits away at the cast (double holds ~15.9);
+# with mean ~1e6 and stddev ~1e-2 the entire result is cast noise
+# (pinned by tests/test_moments.py). Doing the multiply-subtract in
+# decimal(38,0)/HUGEINT keeps the difference exact — it is the SMALL number
+# n²·var, so the one double cast afterwards is safe — and identical on both
+# engines under any partitioning.
+#
+# Exactness bound: the intermediate products must fit the accumulator
+# (decimal38 ≈ 1e38, HUGEINT = int128 ≈ 1.7e38). With 4-dp integerized
+# money (|x_int| ≤ ~1e10), (Σx)² ≤ 1e38 holds through ~1e9 rows per group;
+# beyond that, pre-shift each column by a per-group anchor (first value)
+# before integerizing — same formulas, deviations instead of magnitudes.
+
+
+def ccp(n: Column, sx: Column, sy: Column, sxy: Column) -> Column:
+    """Exact corrected cross-product n*Σxy − Σx·Σy as double.
+
+    ``n`` is a bigint count column; ``sx``/``sy``/``sxy`` are decimal(38,0)
+    power sums. Variance/css is the x==y case: ``ccp(n, sx, sx, sxx)``.
+    """
+    nd = n.cast("decimal(38,0)")
+    return (nd * sxy - sx * sy).cast("double")
+
+
+def ccp_sql(n: str, sx: str, sy: str, sxy: str) -> str:
+    """SQL twin of ``ccp`` (HUGEINT arithmetic, one cast at the end)."""
+    return (
+        f"CAST(CAST({n} AS HUGEINT) * ({sxy}) - ({sx}) * ({sy}) AS DOUBLE)"
+    )

@@ -30,6 +30,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # extension queries bench.py should also time (appended by later modules)
+from bigtwine_streamprocessor_spark import fp  # noqa: E402
 from bigtwine_streamprocessor_spark.fp import (  # noqa: E402
     fsum as _fsum,
     fsum_sql as _fsum_sql,
@@ -1765,23 +1766,17 @@ def join_salted_skew(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (floor((sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+           (floor((sqrt(CAST(CAST(n AS HUGEINT) * spp - sp * sp AS DOUBLE)
                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    / 10000.0) * 10000.0 + 0.5) / 10000.0) AS price_stddev,
-           (floor((((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
-                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+           (floor(((CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)
                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    / 100000000.0) * 1000000.0 + 0.5) / 1000000.0) AS discount_var,
-           (floor(((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
-                    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
-                   / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
-                      * sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
-                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))))
+           (floor((CAST(CAST(n AS HUGEINT) * spq - sp * sq AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS HUGEINT) * spp - sp * sp AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS DOUBLE))))
                   * 1000000.0 + 0.5) / 1000000.0) AS price_qty_corr,
-           (floor((((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
-                     - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+           (floor(((CAST(CAST(n AS HUGEINT) * spd - sp * sd AS DOUBLE)
                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    / 100000000.0) * 10000.0 + 0.5) / 10000.0) AS price_disc_cov
     FROM s
@@ -1791,16 +1786,19 @@ def agg_moments(spark, sf_dir):
     """Second-moment statistics per group (stddev/variance/correlation/
     covariance) from EXACT integer power sums: each column integerizes at
     4 dp (exact for this data), Σx/Σx²/Σxy accumulate in decimal(38,0)
-    (HUGEINT on DuckDB) — order-independent — and the classic power-sum
-    formulas evaluate in double over the identical exact integers on both
-    engines, so the output is bit-stable under any partitioning. Engine
-    stddev/corr (Welford merges) are order-DEPENDENT in their low bits and
-    straddle the output rounding at scale (same class as the r6 fsum fix).
-    No cancellation hazard here: group means and deviations are the same
-    order of magnitude for every column. Still one exchange on the group
-    key; the power sums are map-side combinable. Exactness bound: decimal38
-    holds Σx² through ~1e37 — about 1e19 rows of price data — far past any
-    real shard.
+    (HUGEINT on DuckDB) — order-independent — and the corrected cross-
+    products n·Σxy − Σx·Σy evaluate in DECIMAL (``fp.ccp``), so the
+    power-sum cancellation (which destroys ~2·log10(|mean|/stddev) leading
+    digits if the sums are cast to double first) happens exactly; only the
+    already-small difference crosses to double. Bit-stable under any
+    partitioning, and safe even when mean ≫ stddev — pinned by
+    tests/test_moments.py with a mean≈1e6 / stddev≈6e-3 column where the
+    double-first formula loses every significant digit. Engine stddev/corr
+    (Welford merges) are order-DEPENDENT in their low bits and straddle the
+    output rounding at scale (same class as the r6 fsum fix). Still one
+    exchange on the group key; the power sums are map-side combinable.
+    Exactness bound: see fp.py — (Σx)² fits decimal38 through ~1e9 rows
+    per group of 4-dp money; past that, anchor-shift first.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     bp = lambda c: F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast(
@@ -1820,29 +1818,27 @@ def agg_moments(spark, sf_dir):
         F.sum(bp("l_extendedprice") * bp("l_discount")).alias("spd"),
     )
     n = d("n")
+    cc = lambda x, y, xy: fp.ccp(F.col("n"), F.col(x), F.col(y), F.col(xy))
     return s.select(
         "l_returnflag",
         _rd(
-            F.sqrt((n * d("spp") - d("sp") * d("sp")) / (n * (n - 1)))
-            / F.lit(10000.0),
+            F.sqrt(cc("sp", "sp", "spp") / (n * (n - 1))) / F.lit(10000.0),
             4,
         ).alias("price_stddev"),
         _rd(
-            ((n * d("sdd") - d("sd") * d("sd")) / (n * (n - 1)))
-            / F.lit(100000000.0),
+            (cc("sd", "sd", "sdd") / (n * (n - 1))) / F.lit(100000000.0),
             6,
         ).alias("discount_var"),
         _rd(
-            (n * d("spq") - d("sp") * d("sq"))
+            cc("sp", "sq", "spq")
             / (
-                F.sqrt(n * d("spp") - d("sp") * d("sp"))
-                * F.sqrt(n * d("sqq") - d("sq") * d("sq"))
+                F.sqrt(cc("sp", "sp", "spp"))
+                * F.sqrt(cc("sq", "sq", "sqq"))
             ),
             6,
         ).alias("price_qty_corr"),
         _rd(
-            ((n * d("spd") - d("sp") * d("sd")) / (n * (n - 1)))
-            / F.lit(100000000.0),
+            (cc("sp", "sd", "spd") / (n * (n - 1))) / F.lit(100000000.0),
             4,
         ).alias("price_disc_cov"),
     )
