@@ -925,7 +925,7 @@ CURR_SCORE_DP = 2  # histogram granularity (score rounded to 2 decimals)
 
 
 def curriculum_token_budget(
-    docs: DataFrame, budget: int = CURR_BUDGET
+    docs: DataFrame, budget: int = CURR_BUDGET, tokenizer: str = "whitespace"
 ) -> DataFrame:
     """Select the highest-quality docs until a token budget is exhausted —
      'train on the best N tokens', the curriculum/selection step after
@@ -955,11 +955,16 @@ def curriculum_token_budget(
     # (_b is engine-internal: any monotone bucketing yields the same final
     # order, but use the explicit floor form anyway per the repo-wide
     # no-engine-round policy.)
+    # tokenizer seam: whitespace stays a Column in the same single scan;
+    # subword kernels add one Arrow-batched map stage before the projection
+    from .tokenize import with_n_tokens
+
     base = (
-        docs.select(
+        with_n_tokens(docs, tokenizer)
+        .select(
             "doc_id",
             _quality_score_col().alias("score"),
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
         .withColumn("_b", _rd(F.col("score"), CURR_SCORE_DP))
         .persist()

@@ -181,24 +181,32 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
-def pack_sequences(docs: DataFrame, window: int = PACK_WINDOW) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, window: int = PACK_WINDOW, tokenizer: str = "whitespace"
+) -> DataFrame:
     """Assign docs to fixed-size training-sequence blocks by running token
     offset: within each source shard (deterministic doc_id order), a doc's
     block is ``floor(start_offset / window)`` — the streaming-concatenation
     packing an LLM data loader applies before tokenization. Output:
     (doc_id, source, n_tokens, block_id, block_offset).
 
-    The window partition is per-source — at 100 TB each shard packs
+    ``tokenizer`` routes through the :mod:`..operators.tokenize` seam:
+    the default whitespace count is a pure Column (codegen, oracle-gated);
+    real subword kernels (import-gated tiktoken / HF tokenizers, or any
+    ``register_tokenizer`` kernel) swap in without changing the packing
+    shape. The window partition is per-source — at 100 TB each shard packs
     independently in parallel (one shuffle on source; no global sort).
     """
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    from . import tokenize
+
     w = Window.partitionBy("source").orderBy("doc_id")
     start = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     return (
-        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        tokenize.with_n_tokens(docs, tokenizer)
+        .select("doc_id", "source", "n_tokens")
         .withColumn("block_id", F.floor(start / window))
         .withColumn("block_offset", start - F.col("block_id") * window)
     )
