@@ -33,7 +33,13 @@ HEADLINE = [
 ]
 
 
-def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
+def bench_topology(
+    spark,
+    stream_sf_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int = 8,
+    shuffle_partitions: int | None = None,
+) -> dict:
     """End-to-end async topology throughput, measured two ways:
 
     * ``elapsed_s`` / ``tweets_per_s`` — one-shot wall clock from start to the
@@ -83,9 +89,15 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
         # than one giant batch followed by idle triggers (x80 corpus -> 256
         # files keeps ~1175 rows/trigger, same per-trigger load as r5)
         parsed.repartition(256).write.json(indir)
+        if shuffle_partitions is not None:
+            # fresh checkpoints per run, so the stateful-op partition count
+            # is free to change between bench points
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
         stream = (
             spark.readStream.schema(parsed.schema)
-            .option("maxFilesPerTrigger", 8)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .json(indir)
         )
 
@@ -192,10 +204,12 @@ def bench_topology(spark, stream_sf_dir: str, timeout_s: int = 300) -> dict:
             "steady_subwindow_rates": [round(r, 1) for r in sub_rates],
             "steady_band_frac": band,
             "steady_consistency": consistency,
+            "max_files_per_trigger": max_files_per_trigger,
+            "rows_per_trigger": round(n / 256 * max_files_per_trigger),
             "method": "slope over the full 25%-complete..last-result region"
             " (sub-window rates kept as variance diagnostic), continuous"
             " feed (x80 replay-amplified corpus, 256 files,"
-            " maxFilesPerTrigger=8, ~1175 rows/trigger)",
+            f" maxFilesPerTrigger={max_files_per_trigger})",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

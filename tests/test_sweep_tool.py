@@ -61,3 +61,54 @@ def test_semantic_keep_scale_oracle_matches(sf_dir):
     ref_rows = sorted(cur.fetchall())
     assert cols == ref_cols
     assert sorted(rows) == ref_rows
+
+
+def test_duck_hex60_equals_python_hex_parse():
+    """The generated strpos polynomial must parse 60-bit md5 prefixes
+    exactly like Python's int(hex, 16) — the Spark side uses conv()."""
+    sweep = _load_sweep()
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT s, " + sweep._duck_hex60("md5(s)") + ", md5(s) "
+        "FROM (SELECT CAST(range AS VARCHAR) AS s FROM range(200))"
+    ).fetchall()
+    for s, got, h in rows:
+        assert int(got) == int(h[:15], 16), s
+
+
+def test_canon_expr_cross_engine_string_parity():
+    """Each type class canonicalizes to the IDENTICAL string on both
+    engines for representative values incl. NULL/NaN/inf and negatives."""
+    sweep = _load_sweep()
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE t AS SELECT * FROM (VALUES
+          (1::BIGINT, 1.25::DOUBLE, TRUE,  'a',
+           TIMESTAMP '2020-01-02 03:04:05.123456'),
+          (-7, -0.0000005, FALSE, NULL, NULL),
+          (NULL, CAST('nan' AS DOUBLE), NULL, 'x y', NULL),
+          (0, CAST('inf' AS DOUBLE), TRUE, '', NULL),
+          (42, CAST('-inf' AS DOUBLE), FALSE, 'z', NULL)
+        ) v(i, d, b, s, ts)
+        """
+    )
+    duck_exprs = {
+        "i": sweep._canon_expr("i", "int", "duck"),
+        "d": sweep._canon_expr("d", "float", "duck"),
+        "b": sweep._canon_expr("b", "bool", "duck"),
+        "s": sweep._canon_expr("s", "str", "duck"),
+        "ts": sweep._canon_expr("ts", "ts", "duck"),
+    }
+    duck = con.execute(
+        "SELECT " + ", ".join(duck_exprs.values()) + " FROM t"
+    ).fetchall()
+    # expected canonical strings, hand-derived from the contract
+    NULL = sweep._NULL
+    assert duck[0] == ("1", "1250000", "1", "a", "1577934245123456")
+    # -5e-7 * 1e6 = -0.5; +0.5 -> 0.0; floor -> 0 (half-toward-+inf, the
+    # repo-wide fp.rd convention — same expression on the Spark side)
+    assert duck[1] == ("-7", "0", "0", NULL, NULL)
+    assert duck[2] == (NULL, "NaN", NULL, "x y", NULL)
+    assert duck[3] == ("0", "Inf", "1", "", NULL)
+    assert duck[4] == ("42", "-Inf", "0", "z", NULL)
