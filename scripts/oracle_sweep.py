@@ -347,6 +347,14 @@ def main() -> None:
     args = ap.parse_args()
 
     con = duckdb.connect()
+    # Bound the in-process oracle: DuckDB defaults to ~80% of RAM and ALL
+    # cores, but it shares this process with a multi-GB Spark driver JVM —
+    # unbounded, a big hash build dies with a bad-allocation OOM instead of
+    # spilling (bit the sf10 sweep at 48g JVM heap). An explicit limit +
+    # temp dir makes it spill to disk; fewer threads leaves Spark its cores.
+    con.execute(f"SET memory_limit = '{os.environ.get('SWEEP_DDB_MEM', '24GB')}'")
+    con.execute("SET threads = 16")
+    con.execute("SET temp_directory = '/tmp/duckdb_sweep_spill'")
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
