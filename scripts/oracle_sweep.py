@@ -111,15 +111,9 @@ _PAIR_CACHE: dict[tuple[int, str], list] = {}
 _PAIR_HIT: bool = False
 
 
-def _neardup_components(con) -> dict[int, int]:
-    """Min-label connected components of the cos>=0.2 neardup pair graph."""
-    from bigtwine_streamprocessor_spark.operators import similarity
-
+def _components(con, sql: str) -> dict[int, int]:
+    """Min-label connected components of the pair graph ``sql`` yields."""
     global _PAIR_HIT
-    sql = (
-        f"WITH {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()} "
-        "SELECT doc_a, doc_b FROM neardup_pairs"
-    )
     key = (id(con), sql)
     _PAIR_HIT = key in _PAIR_CACHE
     if not _PAIR_HIT:
@@ -148,6 +142,17 @@ def _neardup_components(con) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _neardup_components(con) -> dict[int, int]:
+    """Components of the cos>=0.2 embedding neardup pair graph."""
+    from bigtwine_streamprocessor_spark.operators import similarity
+
+    return _components(
+        con,
+        f"WITH {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()} "
+        "SELECT doc_a, doc_b FROM neardup_pairs",
+    )
+
+
 def _clusters_scale_oracle(con):
     comp = _neardup_components(con)
     return ["doc_id", "cluster_id"], sorted(comp.items())
@@ -161,9 +166,24 @@ def _semantic_keep_scale_oracle(con):
     ]
 
 
+def _text_clusters_scale_oracle(con):
+    """dedup_clusters twin: same min-label components, over the text
+    jaccard>=0.5 pair graph (the registered WITH RECURSIVE closure is
+    O(component^2) and spill-exhausted the disk at sf10)."""
+    from bigtwine_streamprocessor_spark.operators import dedup
+
+    comp = _components(
+        con,
+        f"WITH {dedup.ngram_jaccard_sql().strip().rstrip(',')} "
+        "SELECT doc_a, doc_b FROM jaccard_pairs",
+    )
+    return ["doc_id", "cluster_id"], sorted(comp.items())
+
+
 SCALE_ORACLES = {
     "dedup_embedding_clusters": _clusters_scale_oracle,
     "dedup_semantic_keep": _semantic_keep_scale_oracle,
+    "dedup_clusters": _text_clusters_scale_oracle,
 }
 
 

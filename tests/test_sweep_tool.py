@@ -63,6 +63,24 @@ def test_semantic_keep_scale_oracle_matches(sf_dir):
     assert sorted(rows) == ref_rows
 
 
+def test_text_clusters_scale_oracle_matches(sf_dir):
+    """dedup_clusters' union-find twin == the recursive-CTE oracle where
+    the recursion is tractable (gate scale)."""
+    sweep = _load_sweep()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    cols, rows = sweep.SCALE_ORACLES["dedup_clusters"](con)
+    cur = con.execute(registry.ORACLES["dedup_clusters"])
+    ref_cols = [d[0] for d in cur.description]
+    ref_rows = sorted(cur.fetchall())
+    assert cols == ref_cols
+    assert sorted(rows) == ref_rows
+    assert len(rows) > 0
+
+
 def test_duck_hex60_equals_python_hex_parse():
     """The generated strpos polynomial must parse 60-bit md5 prefixes
     exactly like Python's int(hex, 16) — the Spark side uses conv()."""
