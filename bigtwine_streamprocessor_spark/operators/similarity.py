@@ -33,7 +33,8 @@ order can't flip a comparison; ties break on id.
 
 from __future__ import annotations
 
-from functools import reduce
+import hashlib
+from functools import lru_cache, reduce
 from operator import add
 
 from pyspark.sql import Column, DataFrame
@@ -43,18 +44,35 @@ from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
 
 N_BITS = 16  # sign-LSH hyperplanes (2^16 buckets) — scale default
 PROBE_RADIUS = 1  # multiprobe Hamming radius (0 = exact bucket only)
+SALT_CAP = 256  # bucket rows per salt slice in the near-dup self-join
 COS_ROUND = 6
 IVF_CELLS = 16
 IVF_PROBE = 4
 IVF_ITERS = 2
 
-# Portable LCG for the +-1 hyperplane components: both engines compute
-# sign(i, j) = +1 iff (((i*1024 + j) * 1103515245 + 12345) mod 2^31) div 2^16
-# is odd — pure 64-bit-safe integer arithmetic, identical in Spark and DuckDB.
-_LCG_A = 1103515245
-_LCG_C = 12345
-_LCG_M = 2147483648  # 2^31
-_PLANE_STRIDE = 1024  # > any embedding dim we handle
+# ±1 hyperplane components. r1-r6 derived these in-SQL from a truncated
+# LCG — a structural mistake found by the r7 14-bit occupancy probe: LCG
+# composition is AFFINE, so planes generated at constant strides stay
+# mutually correlated no matter how many rounds, and the correlated family
+# concentrated ~2.8% of RANDOM-direction vectors into single buckets (450x
+# the uniform 2^-14; measured max bucket 5,543 of 200k). The signs are
+# data-independent CONSTANTS, so no in-SQL PRNG is needed at all: they are
+# precomputed here from md5 (crypto-grade mixing) and embedded as literal
+# arrays into both engines' expressions — identical by construction, and
+# cheaper per row than re-deriving an LCG per component. Re-measured on the
+# same corpus: max 14-bit bucket 134, 15,924 of 16,384 buckets occupied.
+_MAX_PLANE_DIM = 256  # sign vectors cover embeddings up to this many dims
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(i: int) -> tuple[float, ...]:
+    """Rademacher components of hyperplane i (md5 of "plane:i:j", LSB of
+    the first digest byte), length _MAX_PLANE_DIM — sliced to the embedding
+    dimension at use sites."""
+    return tuple(
+        1.0 if hashlib.md5(f"plane:{i}:{j}".encode()).digest()[0] % 2 else -1.0
+        for j in range(_MAX_PLANE_DIM)
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -142,31 +160,19 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 
-def _sign_col(i: int, j: Column) -> Column:
-    """+-1.0 component j of hyperplane i (the portable LCG, Spark side)."""
-    v = (
-        (j.cast("bigint") + F.lit(i * _PLANE_STRIDE)) * F.lit(_LCG_A)
-        + F.lit(_LCG_C)
-    ) % F.lit(_LCG_M)
-    bit = F.floor(v / F.lit(65536)).cast("bigint") % 2
-    return F.when(bit == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
-def _plane_term(i: int):
-    # closure (NOT a default arg: extra params change the HOF's lambda arity)
-    def term(x, j):
-        return x.cast("double") * _sign_col(i, j)
-
-    return term
-
-
 def _plane_dot(i: int) -> Column:
     """Projection of ``embedding`` onto hyperplane i, rounded so an
     ulp-of-summation can't flip the sign differently engine vs oracle."""
-    term = _plane_term(i)
+    signs = F.array(*[F.lit(s) for s in _plane_signs(i)])
     return _rd(
         F.aggregate(
-            F.transform(F.col("embedding"), term), F.lit(0.0), lambda a, x: a + x
+            F.zip_with(
+                F.col("embedding"),
+                F.slice(signs, F.lit(1), F.size(F.col("embedding"))),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         ),
         COS_ROUND,
     )
@@ -182,13 +188,21 @@ def bucket_col(n_bits: int) -> Column:
 
 
 def _plane_dot_sql(i: int, emb: str = "embedding") -> str:
-    # DuckDB's generate_series index is 1-based; Spark's transform index is
-    # 0-based -> (j-1) aligns them.
+    # Same literal sign vector as the Spark side, via native
+    # list_dot_product (a list literal inside a DuckDB LAMBDA is rebuilt
+    # per ELEMENT — measured ~3 ms per plane dot, 500x the arithmetic —
+    # and an unrolled `+` chain trips the binder's 128-deep nesting cap;
+    # the native kernel builds the literal once per row and loops in C).
+    # Its summation order may differ from the Spark aggregate's sequential
+    # fold by an ulp; both sides round at COS_ROUND before the sign
+    # decision, so a flip needs the true value within ~1e-11 of a rounding
+    # boundary — negligible against the corpus spread, and the oracle gate
+    # would surface it loudly if it ever landed.
+    lits = ", ".join("1.0" if s > 0 else "-1.0" for s in _plane_signs(i))
     return (
-        f"(floor((list_sum(list_transform(generate_series(1, len({emb})), "
-        f"j -> CAST({emb}[j] AS DOUBLE) * "
-        f"(CASE WHEN ((((j - 1) + {i * _PLANE_STRIDE}) * {_LCG_A} + {_LCG_C}) "
-        f"% {_LCG_M}) // 65536 % 2 = 1 THEN 1.0 ELSE -1.0 END)))) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND}))"
+        f"(floor(list_dot_product(CAST({emb} AS DOUBLE[]), "
+        f"([{lits}])[1:len({emb})]) * power(10.0, {COS_ROUND}) + 0.5) "
+        f"/ power(10.0, {COS_ROUND}))"
     )
 
 
@@ -303,6 +317,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
+    salt_cap: int = SALT_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within multiprobed LSH buckets
     (scale path: candidate generation is bucket-local, never O(n^2)). The
@@ -318,21 +333,59 @@ def embedding_neardup_pairs(
     2M-pair graph for minutes while 31 cores idled. An explicit
     numPartitions repartition is exempt from AQE coalescing, so the
     candidate generation and the cos() folds spread across the full
-    cluster; bucket keys are uniform by construction (sign-LSH), at
-    n_bits=8 there are 256 keys to balance over."""
+    cluster.
+
+    Pinning alone assumes near-uniform bucket sizes — true for sign-LSH
+    over well-spread vectors, FALSE for real corpora, where boilerplate /
+    template embeddings pile thousands of near-identical vectors into a few
+    mega-buckets (the r7 sf10 replica measured a 5,543-vector bucket
+    against a median of 3; one task then owns that bucket's ~C(k,2)
+    candidate volume and grinds for hours while 31 cores idle — AQE's skew
+    splitter can't help, because the skew EXPLODES AT THE JOIN, downstream
+    of the shuffle it rebalances). The join is therefore SALTED adaptively:
+    a broadcast bucket histogram assigns each bucket ceil(count/salt_cap)
+    slices; the vector side hashes into a slice, the probe side replicates
+    each probe across the target bucket's slice range. Per-task candidate
+    work is bounded by ~salt_cap * |bucket| regardless of skew, normal
+    buckets keep exactly one slice (zero replication), and — because the
+    probe side inner-joins the histogram — probes into EMPTY buckets drop
+    before the shuffle (at 16 bits most single-bit flips land nowhere).
+    Output rows are identical to the unsalted join: each (a, b) pair
+    carries exactly one b-side slice."""
     n_part = int(
         emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    base = _bucketed(emb, n_bits).repartition(n_part, F.col("bucket"))
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
-    ).repartition(n_part, F.col("probe"))
-    pairs = base.join(
+    base = _bucketed(emb, n_bits)
+    slices = base.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(salt_cap)).cast("int").alias("n_slices")
+    )
+    b = (
+        base.join(F.broadcast(slices), "bucket")
+        .withColumn("slice", F.pmod(F.hash("vec_id"), F.col("n_slices")))
+        .drop("n_slices")
+        .repartition(n_part, F.col("bucket"), F.col("slice"))
+    )
+    a = (
+        base.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+            F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
+        )
+        .join(
+            F.broadcast(slices.withColumnRenamed("bucket", "probe")), "probe"
+        )
+        .withColumn(
+            "a_slice", F.explode(F.sequence(F.lit(0), F.col("n_slices") - 1))
+        )
+        .drop("n_slices")
+        .repartition(n_part, F.col("probe"), F.col("a_slice"))
+    )
+    pairs = b.join(
         a,
-        (F.col("bucket") == F.col("probe")) & (F.col("id_a") < F.col("vec_id")),
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("slice") == F.col("a_slice"))
+        & (F.col("id_a") < F.col("vec_id")),
     )
     cos = _rd(
         _dot(F.col("emb_a"), F.col("embedding")) / (F.col("nrm_a") * F.col("nrm")),

@@ -36,6 +36,11 @@ corpora, where a few percent of documents have a handful of near-copies):
   per-replica code, so it shares NO 3-token shingle with its original,
   its siblings, or any other replica — zero spurious band collisions.
 
+The same profile applies to ``embeddings`` (r7): the same 2% of vec_ids
+get near copies (one nudged component, cos ~0.999); every other copy is
+decorrelated by a per-(vec_id, replica) ±1 sign mask — see
+``_dup_emb_expr`` for why the default circular shift is not enough.
+
 Deterministic: positions and copy counts derive from ``doc_id`` arithmetic,
 no RNG anywhere. Runs on DuckDB (no Spark session), so it can build data
 while a bench run owns the Spark machine.
@@ -95,6 +100,44 @@ def _dup_text_expr(i: int) -> str:
     return f"CASE WHEN {is_near} THEN {near} ELSE {far} END"
 
 
+def _dup_emb_expr(i: int) -> str:
+    """Per-replica embedding under the controlled duplication profile.
+
+    Mirrors the document treatment: the SAME 2% of originals
+    (``vec_id % 50 == 7``, replicas ``1 .. 1 + vec_id % 3``) get NEAR
+    copies — one component nudged, cos vs the original ~0.999, so the
+    sign-LSH correctly surfaces them in linear numbers. Every other copy is
+    FAR: a deterministic per-(vec_id, replica) ±1 sign mask multiplies the
+    vector component-wise (norm-preserving), which decorrelates it from
+    every hyperplane projection — unlike the default circular shift, which
+    the r7 sf10 probe showed PRESERVES bucket membership for the corpus's
+    clustered vectors (top 14-bit bucket: 5,543 vectors = the sf0.1 clumps
+    x100 replicas; candidate volume quadratic in clump size — a synthesis
+    artifact, the embedding analog of the text suffix-tag artifact)."""
+    # DuckDB's 64-bit hash() as the mixer: the replica builder only needs
+    # BUILD-time determinism (the parquet it writes is the contract), not a
+    # cross-engine expression — and a truncated-LCG bit here is a trap: bit
+    # 16 of an LCG depends only on the argument mod 2^17, so any replica
+    # stride that is a multiple of 2^17 gives every replica the SAME mask
+    # (measured: 100-copy mega-families, median 14-bit bucket size 99).
+    mask = (
+        f"(CASE WHEN hash(j * 1000003 + vec_id * 64 + {i}) % 2 = 1 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+    far = (
+        f"list_transform(generate_series(1, 64), "
+        f"j -> CAST(embedding[j] * {mask} AS FLOAT))"
+    )
+    near = (
+        f"list_transform(generate_series(1, 64), "
+        f"j -> CASE WHEN j = 1 + (vec_id + {i}) % 64 "
+        f"THEN CAST(embedding[j] * 1.05 + 0.01 AS FLOAT) "
+        f"ELSE embedding[j] END)"
+    )
+    is_near = f"vec_id % {DUP_RATE_DEN} = {DUP_PICK} AND {i} <= 1 + vec_id % {MAX_COPIES}"
+    return f"CASE WHEN {is_near} THEN {near} ELSE {far} END"
+
+
 def replica_select(
     table: str, cols: list[tuple[str, str]], i: int, dup_profile: bool = False
 ) -> str:
@@ -114,11 +157,16 @@ def replica_select(
             )
             parts.append(f"{expr} AS n_chars")
         elif table == "embeddings" and name == "embedding" and i > 0:
-            # circular shift by i: deterministic, norm-preserving, distinct
-            s = i % 64
-            parts.append(
-                f"embedding[{s + 1}:64] || embedding[1:{s}] AS embedding"
-            )
+            if dup_profile:
+                parts.append(f"{_dup_emb_expr(i)} AS embedding")
+            else:
+                # circular shift by i: deterministic, norm-preserving,
+                # distinct — but NOT bucket-decorrelated for clustered
+                # vectors (see _dup_emb_expr)
+                s = i % 64
+                parts.append(
+                    f"embedding[{s + 1}:64] || embedding[1:{s}] AS embedding"
+                )
         else:
             parts.append(name)
     return ", ".join(parts)
@@ -134,19 +182,27 @@ def main() -> None:
         action="store_true",
         help="controlled near-dup rate for documents (see module docstring)",
     )
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="rebuild only these tables (default: all)",
+    )
     args = ap.parse_args()
     if args.replicas > 26 * 26:
         ap.error("--replicas exceeds the 2-char replica-tag space (676)")
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
-    for t in DIMS:
+    dims = [t for t in DIMS if args.tables is None or t in args.tables]
+    keyed = [t for t in KEYED if args.tables is None or t in args.tables]
+    for t in dims:
         con.execute(
             f"COPY (SELECT * FROM '{args.src}/{t}.parquet') "
             f"TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied unchanged")
-    for t in KEYED:
+    for t in keyed:
         cols = [
             (r[0], r[1])
             for r in con.execute(

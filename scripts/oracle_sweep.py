@@ -375,6 +375,12 @@ def main() -> None:
     con.execute(f"SET memory_limit = '{os.environ.get('SWEEP_DDB_MEM', '24GB')}'")
     con.execute("SET threads = 16")
     con.execute("SET temp_directory = '/tmp/duckdb_sweep_spill'")
+    # Both compare paths are order-independent (the full compare sorts, the
+    # hash compare is a commutative sum), so DuckDB's insertion-order
+    # guarantee buys nothing here — dropping it lets wide aggregations and
+    # joins stream instead of buffering (big spill reduction on the
+    # signature/shingle oracles at sf10).
+    con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
