@@ -89,3 +89,38 @@ def test_multiprobe_improves_candidate_recall(spark, clustered_emb):
         ),
     )
     assert r1 >= r0
+
+
+def test_plane_family_decorrelated():
+    """Pairwise sign agreement between hyperplanes must hover near 1/2.
+
+    The r1-r6 truncated-LCG family failed this badly (LCG composition is
+    affine, so constant-stride planes stay correlated; measured 450x bucket
+    over-occupancy for random directions at 14 bits). md5-derived signs are
+    pinned here: over the 256-dim sign vectors, every plane pair among the
+    first 16 agrees on 0.35..0.65 of components (binomial 3-sigma ~ 0.59;
+    a correlated family shows pairs near 0 or 1)."""
+    signs = [similarity._plane_signs(i) for i in range(16)]
+    for i in range(16):
+        for j in range(i + 1, 16):
+            agree = sum(a == b for a, b in zip(signs[i], signs[j])) / 256.0
+            assert 0.35 <= agree <= 0.65, (i, j, agree)
+
+
+def test_salted_join_matches_unsalted(spark, clustered_emb):
+    """Adaptive salting must not change the pair set — only spread it.
+
+    salt_cap=2 forces every 10-member cluster bucket into >=5 slices (the
+    mega-bucket path); the result must equal the effectively-unsalted
+    salt_cap=10**6 run row-for-row."""
+    def pairs(cap):
+        return {
+            (r["doc_a"], r["doc_b"], r["cos"])
+            for r in similarity.embedding_neardup_pairs(
+                clustered_emb, 0.9, n_bits=8, salt_cap=cap
+            ).collect()
+        }
+
+    salted, plain = pairs(2), pairs(10**6)
+    assert salted == plain
+    assert len(plain) > 0  # the clusters guarantee real near-dup pairs
