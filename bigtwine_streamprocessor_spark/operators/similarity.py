@@ -61,7 +61,13 @@ IVF_ITERS = 2
 # arrays into both engines' expressions — identical by construction, and
 # cheaper per row than re-deriving an LCG per component. Re-measured on the
 # same corpus: max 14-bit bucket 134, 15,924 of 16,384 buckets occupied.
-_MAX_PLANE_DIM = 256  # sign vectors cover embeddings up to this many dims
+# Sign vectors cover embeddings up to this many dims. Kept at the corpus
+# dimension on purpose: every literal is a codegen'd constant, and the
+# plane family's FIXED cost scales with n_bits * _MAX_PLANE_DIM (measured
+# on the warm 16-bit ANN query: 4.4 s at 256 literals/plane vs 2.0 s at
+# 64). A wider corpus fails LOUDLY (ANSI element_at / DuckDB
+# list_dot_product length mismatch) — bump the constant, don't pad it.
+_MAX_PLANE_DIM = 64
 
 
 @lru_cache(maxsize=None)
@@ -162,14 +168,15 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 
 def _plane_dot(i: int) -> Column:
     """Projection of ``embedding`` onto hyperplane i, rounded so an
-    ulp-of-summation can't flip the sign differently engine vs oracle."""
+    ulp-of-summation can't flip the sign differently engine vs oracle.
+    element_at on the literal array beats slice+zip_with (no per-row
+    array copy); the fold stays sequential left-to-right."""
     signs = F.array(*[F.lit(s) for s in _plane_signs(i)])
     return _rd(
         F.aggregate(
-            F.zip_with(
+            F.transform(
                 F.col("embedding"),
-                F.slice(signs, F.lit(1), F.size(F.col("embedding"))),
-                lambda x, s: x.cast("double") * s,
+                lambda x, j: x.cast("double") * F.element_at(signs, j + 1),
             ),
             F.lit(0.0),
             lambda a, x: a + x,

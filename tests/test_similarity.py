@@ -97,14 +97,16 @@ def test_plane_family_decorrelated():
     The r1-r6 truncated-LCG family failed this badly (LCG composition is
     affine, so constant-stride planes stay correlated; measured 450x bucket
     over-occupancy for random directions at 14 bits). md5-derived signs are
-    pinned here: over the 256-dim sign vectors, every plane pair among the
-    first 16 agrees on 0.35..0.65 of components (binomial 3-sigma ~ 0.59;
+    pinned here: over the _MAX_PLANE_DIM sign vectors, every plane pair
+    among the first 16 agrees on 0.3..0.7 of components (binomial 3-sigma
+    at 64 dims ~ 0.5 +- 0.19;
     a correlated family shows pairs near 0 or 1)."""
     signs = [similarity._plane_signs(i) for i in range(16)]
+    n = float(len(signs[0]))
     for i in range(16):
         for j in range(i + 1, 16):
-            agree = sum(a == b for a, b in zip(signs[i], signs[j])) / 256.0
-            assert 0.35 <= agree <= 0.65, (i, j, agree)
+            agree = sum(a == b for a, b in zip(signs[i], signs[j])) / n
+            assert 0.3 <= agree <= 0.7, (i, j, agree)
 
 
 def test_salted_join_matches_unsalted(spark, clustered_emb):
