@@ -624,12 +624,14 @@ def incremental_dedup(corpus: DataFrame) -> DataFrame:
     # grams is already array_distinct, so per-doc shingle-set sizes are just
     # size(grams) — map-only, instead of a third/second full explode+shuffle
     # (groupBy ex_id / doc_id over the exploded shingles)
-    # size(NULL array) is -1: coalesce to 0 so null-text docs carry a sane
-    # set size even though today's inner joins (keyed off exploded shingles,
-    # which null text never emits) can't reach those rows
+    # size(NULL array) is NULL under Spark 4 defaults (legacy.sizeOfNull
+    # false; -1 only under the legacy flag): greatest(coalesce(...), 0)
+    # covers BOTH configs, so null-text docs carry a sane set size even
+    # though today's inner joins (keyed off exploded shingles, which null
+    # text never emits) can't reach those rows
     ex_sizes = existing.select(
         F.col("doc_id").alias("ex_id"),
-        F.coalesce(F.size(grams), F.lit(0)).alias("n_ex"),
+        F.greatest(F.coalesce(F.size(grams), F.lit(0)), F.lit(0)).alias("n_ex"),
     )
     # DF cap computed over the EXISTING side (the big, growing one)
     rare = (

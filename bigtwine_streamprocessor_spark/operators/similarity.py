@@ -241,12 +241,68 @@ def _probes_sql(n_bits: int, probe_radius: int, bucket: str = "bucket") -> str:
 
 
 def _bucketed(emb: DataFrame, n_bits: int) -> DataFrame:
+    # Width guard, config-proof: under ANSI (pinned by session.get_spark,
+    # and the Spark 4 default) an over-wide embedding already errors inside
+    # element_at, but a non-ANSI caller-provided session (the external
+    # driver builds its own) would get NULL plane components — every vector
+    # silently collapses into bucket 0 (O(n^2) candidates) while the DuckDB
+    # twin errors. raise_error sits in the otherwise-branch, so conforming
+    # rows pay one size() comparison.
+    bucket = F.when(
+        F.size(F.col("embedding")) <= F.lit(_MAX_PLANE_DIM), bucket_col(n_bits)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding wider than _MAX_PLANE_DIM="
+                    f"{_MAX_PLANE_DIM}: dim="
+                ),
+                F.size(F.col("embedding")).cast("string"),
+                F.lit(" — bump similarity._MAX_PLANE_DIM, don't pad"),
+            )
+        ).cast("int")
+    )
     return emb.select(
         "vec_id",
         "embedding",
-        bucket_col(n_bits).alias("bucket"),
+        bucket.alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
+
+
+def bucketize_corpus(
+    emb: DataFrame,
+    path: str,
+    n_bits: int = N_BITS,
+    n_files: int | None = None,
+) -> None:
+    """Ingest-time LSH bucket materialization — the 100 TB-correct layout.
+
+    The plane family is a data-independent constant, so bucket ids never
+    change: compute them ONCE at write time instead of re-hashing the whole
+    corpus on every query (the query-time fixed cost the r7 decorrelated
+    plane family added to ``ann_lsh_topk``). Writes ``(vec_id, embedding,
+    bucket, nrm)`` parquet clustered by bucket: hash-repartitioned on
+    ``bucket`` so each bucket's rows co-locate in one file, and sorted
+    within files so parquet row-group min/max stats prune bucket probes at
+    scan time. On a cluster, pass ``n_files`` to size output files
+    explicitly (default: session shuffle partitions).
+    """
+    out = _bucketed(emb, n_bits)
+    out = (
+        out.repartition(n_files, F.col("bucket"))
+        if n_files is not None
+        else out.repartition(F.col("bucket"))
+    )
+    out.sortWithinPartitions("bucket").write.mode("overwrite").parquet(path)
+
+
+def read_bucketized(spark, path: str) -> DataFrame:
+    """Read a ``bucketize_corpus`` output; schema-identical to ``_bucketed``,
+    accepted by ``ann_lsh_topk``/``embedding_neardup_pairs`` via
+    ``bucketed=`` so the query plan starts from the materialized buckets
+    (zero plane-dot work at query time)."""
+    return spark.read.parquet(path)
 
 
 def ann_lsh_topk(
@@ -255,12 +311,18 @@ def ann_lsh_topk(
     n_queries: int = 20,
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to multiprobed sign-LSH
-    bucket candidates. The bucket join shuffles on 2^n_bits uniform keys."""
+    bucket candidates. The bucket join shuffles on 2^n_bits uniform keys.
+
+    Pass ``bucketed=read_bucketized(...)`` to start from an ingest-time
+    materialized corpus (``bucketize_corpus``): the plan then does ZERO
+    plane-dot work — buckets and norms come straight off the parquet scan.
+    On-the-fly (default) stays the oracle-gated shape."""
     from pyspark.sql import Window as W
 
-    base = _bucketed(emb, n_bits)
+    base = bucketed if bucketed is not None else _bucketed(emb, n_bits)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -325,6 +387,7 @@ def embedding_neardup_pairs(
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
     salt_cap: int = SALT_CAP,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within multiprobed LSH buckets
     (scale path: candidate generation is bucket-local, never O(n^2)). The
@@ -358,11 +421,19 @@ def embedding_neardup_pairs(
     probe side inner-joins the histogram — probes into EMPTY buckets drop
     before the shuffle (at 16 bits most single-bit flips land nowhere).
     Output rows are identical to the unsalted join: each (a, b) pair
-    carries exactly one b-side slice."""
+    carries exactly one b-side slice.
+
+    ``base`` feeds THREE plans (the bucket histogram, the b side, the a
+    side); computed on the fly, the n_bits plane-dot folds would run over
+    the full corpus three times, so the frame is persisted — first
+    materialization fills the cache, the other two scans reuse it (Spark's
+    CacheManager keys on the logical plan). With ``bucketed=`` (an
+    ingest-time ``bucketize_corpus`` read) there is no plane-dot work to
+    amortize and the parquet scan stays uncached."""
+    base = bucketed if bucketed is not None else _bucketed(emb, n_bits).persist()
     n_part = int(
-        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    base = _bucketed(emb, n_bits)
     slices = base.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(salt_cap)).cast("int").alias("n_slices")
     )

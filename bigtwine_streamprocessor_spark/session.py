@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 default, pinned EXPLICITLY: the LSH plane dots index a
+        # literal sign array with element_at and rely on ANSI to fail loudly
+        # on out-of-range dims; with ANSI off, element_at returns NULL and
+        # every vector silently collapses into bucket 0 (O(n^2) candidate
+        # blowup + silent engine/oracle divergence). similarity._bucketed
+        # carries its own config-proof width guard for sessions built
+        # outside this factory (e.g. the external driver's).
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects
         # by default; read as long and convert in load_events().

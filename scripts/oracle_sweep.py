@@ -22,6 +22,7 @@ import math
 import os
 import sys
 import time
+from datetime import datetime, timedelta, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -270,6 +271,58 @@ def _canon_expr(col: str, cls: str, engine: str) -> str:
     return f"COALESCE({q}, '{_NULL}')"  # str
 
 
+def _py_duck_type(rows: list, idx: int, fallback: str) -> str:
+    """DuckDB-equivalent type name for column idx of a callable-oracle result,
+    inferred from the first non-None Python value (bool before int — bool is
+    an int subclass). All-None columns fall back to the Spark type so
+    _type_class resolves to a single class."""
+    for r in rows:
+        v = r[idx]
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "BIGINT"
+        if isinstance(v, float):
+            return "DOUBLE"
+        if isinstance(v, str):
+            return "VARCHAR"
+        if isinstance(v, datetime):
+            return "TIMESTAMP"
+        raise ValueError(f"unsupported oracle value type {type(v)!r}")
+    return fallback
+
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _canon_py(v, cls: str) -> str:
+    """Python-side canonicalization for callable scale oracles: must emit
+    byte-identical strings to _canon_expr's SQL for the same class (floats
+    quantized floor(x*1e6+0.5), bools as 0/1, timestamps as epoch micros)."""
+    if v is None:
+        return _NULL
+    if cls == "float":
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"
+        return str(int(math.floor(f * 1000000.0 + 0.5)))
+    if cls == "int":
+        return str(int(v))
+    if cls == "bool":
+        return str(int(bool(v)))
+    if cls == "ts":
+        if not isinstance(v, datetime):
+            raise ValueError(f"ts class expects datetime, got {type(v)!r}")
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return str((v - _EPOCH) // timedelta(microseconds=1))
+    return str(v)  # str
+
+
 def _duck_hex60(expr: str) -> str:
     """DuckDB lacks hex->int cast: 15-digit polynomial over md5 chars."""
     terms = [
@@ -290,7 +343,10 @@ def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
         t0 = time.perf_counter()
         o_cols, o_rows = sql(con)
         pre_dur = time.perf_counter() - t0
-        d_types = {c: "BIGINT" for c in o_cols}
+        d_types = {
+            c: _py_duck_type(o_rows, i, s_types.get(c, "BIGINT"))
+            for i, c in enumerate(o_cols)
+        }
     else:
         con.execute(f"CREATE OR REPLACE TEMP VIEW _hc AS ({sql})")
         d_types = {
@@ -323,11 +379,9 @@ def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
         import hashlib
 
         o_n, o_h = len(o_rows), 0
+        idx_cls = [(o_cols.index(c), classes[c]) for c in sorted(o_cols)]
         for r in o_rows:
-            s = _SEP.join(
-                _NULL if v is None else str(int(v))
-                for v in (r[o_cols.index(c)] for c in sorted(o_cols))
-            )
+            s = _SEP.join(_canon_py(r[i], cls) for i, cls in idx_cls)
             o_h += int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     else:
         d_canon = ", ".join(

@@ -37,9 +37,10 @@ def main() -> None:
     ap.add_argument("--points", type=int, nargs="*", default=[8, 16, 32])
     ap.add_argument(
         "--double-shuffle-at-max",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=True,
-        help="add a 4th point: largest trigger with 2x shuffle partitions",
+        help="add a 4th point: largest trigger with 2x shuffle partitions "
+        "(disable with --no-double-shuffle-at-max)",
     )
     args = ap.parse_args()
 

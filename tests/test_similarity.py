@@ -109,6 +109,51 @@ def test_plane_family_decorrelated():
             assert 0.3 <= agree <= 0.7, (i, j, agree)
 
 
+def test_bucketize_corpus_materialized_matches_onthefly(
+    spark, clustered_emb, tmp_path
+):
+    """Ingest-time bucket materialization (VERDICT r7 task 2): querying a
+    bucketize_corpus() parquet must return byte-identical results to the
+    on-the-fly path, with ZERO plane-dot work in the materialized plan."""
+    path = str(tmp_path / "bucketized")
+    similarity.bucketize_corpus(clustered_emb, path, n_bits=8)
+    mat = similarity.read_bucketized(spark, path)
+    assert sorted(mat.columns) == ["bucket", "embedding", "nrm", "vec_id"]
+
+    fly_topk = similarity.ann_lsh_topk(clustered_emb, K, N_QUERIES, n_bits=8)
+    mat_topk = similarity.ann_lsh_topk(
+        None, K, N_QUERIES, n_bits=8, bucketed=mat
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(mat_topk) == as_set(fly_topk)
+
+    fly_nd = similarity.embedding_neardup_pairs(clustered_emb, 0.9, n_bits=8)
+    mat_nd = similarity.embedding_neardup_pairs(
+        None, 0.9, n_bits=8, bucketed=mat
+    )
+    assert as_set(mat_nd) == as_set(fly_nd)
+    assert len(as_set(fly_nd)) > 0
+
+    # plane dots are the only element_at user: present on the fly, absent
+    # (computed once at ingest) in the materialized plan
+    plan = lambda df: df._jdf.queryExecution().optimizedPlan().toString()  # noqa: E731
+    assert "element_at" in plan(fly_topk)
+    assert "element_at" not in plan(mat_topk)
+    assert "element_at" not in plan(mat_nd)
+
+
+def test_bucketed_width_guard(spark):
+    """Embeddings wider than _MAX_PLANE_DIM must fail LOUDLY (not silently
+    collapse into bucket 0) in every ANSI config: the when()-guard in
+    _bucketed raises before any element_at can go NULL."""
+    wide = spark.createDataFrame(
+        [(0, [1.0] * (similarity._MAX_PLANE_DIM + 1))],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="_MAX_PLANE_DIM"):
+        similarity._bucketed(wide, n_bits=4).collect()
+
+
 def test_salted_join_matches_unsalted(spark, clustered_emb):
     """Adaptive salting must not change the pair set — only spread it.
 
