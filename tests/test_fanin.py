@@ -132,6 +132,68 @@ def test_fanin_timeout_is_one_shot_not_rolling():
     assert out == [] and not st.exists
 
 
+def test_fanin_duplicate_status_last_write_wins_no_double_emit():
+    """Duplicate STATUS fragments: the accumulator keeps the LAST status
+    (single-slot overwrite, `NeelProcessedTweetWindowFunction.java:57-61`)
+    and completion still fires exactly once — the duplicate must not
+    double-emit or resurrect state. Entities concat (the already-tested
+    duplicate class) is unaffected by the status overwrite."""
+    fn = fanin.make_fanin_fn(timeout_ms=10_000)
+
+    # same-batch duplicates: status A then status B + the 3 other types
+    st = _FakeState(now_ms=1_000_000)
+    out = list(
+        fn(
+            ("9",),
+            _pdf(
+                [
+                    dict(tag="9", stream_type="status", payload=_status("9", "first")),
+                    dict(tag="9", stream_type="linkedTweet", payload=[ENT]),
+                    dict(tag="9", stream_type="status", payload=_status("9", "second")),
+                    dict(tag="9", stream_type="resource", payload=[RES]),
+                    dict(tag="9", stream_type="decodedLocation", payload=LOC),
+                ]
+            ),
+            st,
+        )
+    )
+    assert len(out) == 1 and len(out[0]) == 1  # ONE emitted row
+    row = out[0].iloc[0]
+    assert json.loads(row["status_json"])["text"] == "second"  # last wins
+    assert len(row["entities_json"]) == 1
+    assert bool(row["is_partial"]) is False
+    assert not st.exists  # FIRE_AND_PURGE: no state left to re-emit
+
+    # cross-invocation duplicates: A arrives, then B + the rest later
+    st = _FakeState(now_ms=1_000_000)
+    list(
+        fn(
+            ("10",),
+            _pdf([dict(tag="10", stream_type="status", payload=_status("10", "early"))]),
+            st,
+        )
+    )
+    assert st.exists and not st.hasTimedOut
+    st.now_ms = 1_004_000
+    out = list(
+        fn(
+            ("10",),
+            _pdf(
+                [
+                    dict(tag="10", stream_type="status", payload=_status("10", "late")),
+                    dict(tag="10", stream_type="linkedTweet", payload=[ENT]),
+                    dict(tag="10", stream_type="resource", payload=[]),
+                    dict(tag="10", stream_type="decodedLocation", payload=LOC),
+                ]
+            ),
+            st,
+        )
+    )
+    assert len(out) == 1 and len(out[0]) == 1
+    assert json.loads(out[0].iloc[0]["status_json"])["text"] == "late"
+    assert not st.exists
+
+
 class _FakeEventState(_FakeState):
     """GroupState stand-in for the event-time fn (watermark + absolute ts)."""
 

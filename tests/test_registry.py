@@ -29,3 +29,70 @@ def test_entry_contract(spark):
     out = e.entry(spark)
     assert out.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# ---------------------------------------------------------------------------
+# No-engine-round policy closure (r5 determinism class; VERDICT r7 task 5).
+# Engine round() is HALF_UP on Spark (BigDecimal) but HALF_EVEN on DuckDB
+# (nearbyint): a half-tie in any compared output diverges the hash. The
+# policy (registry._rd docstring, commit db863c1) is the explicit
+# floor(x*10^d + 0.5)/10^d sequence on BOTH engines. These sweeps make the
+# policy self-enforcing: a NEW query (or operator helper) reaching for bare
+# round()/F.round() fails here, not two rounds later in a driver gate.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# (context-substring, reason) — interior rounds proven not to feed a compared
+# output column directly. Currently empty: keep it that way if you can.
+_ROUND_ALLOWLIST: list[tuple[str, str]] = []
+
+_BARE_ROUND = _re.compile(r"(?<![A-Za-z0-9_.])b?round\s*\(", _re.IGNORECASE)
+
+
+def _violations(text: str) -> list[str]:
+    out = []
+    for m in _BARE_ROUND.finditer(text):
+        ctx = text[max(0, m.start() - 60) : m.end() + 60]
+        if any(allowed in ctx for allowed, _ in _ROUND_ALLOWLIST):
+            continue
+        out.append(ctx.replace("\n", " "))
+    return out
+
+
+def test_no_engine_round_in_oracle_sql():
+    bad = {
+        name: v
+        for name, sql in registry.ORACLES.items()
+        if (v := _violations(sql))
+    }
+    assert not bad, (
+        "bare round() in oracle SQL (HALF_EVEN on DuckDB, diverges from the "
+        f"floor(x*10^d+0.5) policy): {bad}"
+    )
+
+
+def test_no_engine_round_in_spark_sources():
+    """Source sweep of the engine package: F.round/F.bround and round( inside
+    expr()/selectExpr() strings are the Spark-side entry points for engine
+    rounding. Comment lines are skipped; the _rd helpers are the sanctioned
+    path."""
+    import pathlib
+
+    import bigtwine_streamprocessor_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    bad = {}
+    for py in sorted(root.rglob("*.py")):
+        hits = []
+        for ln, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if _re.search(r"F\.b?round\s*\(", code):
+                hits.append(f"{ln}: {line.strip()}")
+            # round( inside a string literal = SQL pushed through expr()
+            for s in _re.findall(r"""["']([^"']*)["']""", code):
+                if _violations(s):
+                    hits.append(f"{ln}: {line.strip()}")
+        if hits:
+            bad[str(py.relative_to(root))] = hits
+    assert not bad, f"bare engine round in Spark sources: {bad}"
