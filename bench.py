@@ -314,8 +314,38 @@ def main() -> None:
     try:
         streaming = bench_topology(spark, stream_sf)
         timings["topology_stream"] = streaming["elapsed_s"]
+        # Streaming regression band (PERF.md "Streaming regression band"):
+        # r6-r7 idle steady slopes span 461-567 tweets/s. Below 400/s on an
+        # idle machine is a stated breach, not a judgment call — warn-level
+        # so the run still records.
+        if 0 < streaming.get("steady_tweets_per_s", 0) < 400:
+            streaming["below_400_floor"] = True
+            print(
+                "WARN: latency-mode steady rate "
+                f"{streaming['steady_tweets_per_s']}/s is below the 400/s "
+                "idle regression floor (r6-r7 band 461-567/s) — check load1 "
+                "before reading this as a real regression",
+                file=sys.stderr,
+            )
     except Exception as exc:  # still emit the JSON line on a streaming crash
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+    # CAPACITY mode (r7 scaling-curve point promoted to the official record):
+    # 32 files/trigger + 2x shuffle partitions — same topology, batches sized
+    # for throughput instead of trigger latency (r7 measured 4,521-5,786
+    # tweets/s here vs ~550/s in the 8-file latency mode above). Runs LAST so
+    # the shuffle-partition override can't leak into any timed entry.
+    try:
+        cap_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+        streaming_cap = bench_topology(
+            spark,
+            stream_sf,
+            max_files_per_trigger=32,
+            shuffle_partitions=cap_shuffle,
+        )
+        streaming_cap["shuffle_partitions"] = cap_shuffle
+    except Exception as exc:
+        streaming_cap = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
 
@@ -332,6 +362,7 @@ def main() -> None:
         "queries": timings,
         "steady": steady,
         "streaming": streaming,
+        "streaming_capacity": streaming_cap,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -351,9 +382,22 @@ def main() -> None:
             "steady_tweets_per_s",
             "steady_window_s",
             "steady_consistency",
+            "below_400_floor",
             "error",
         )
         if k in streaming
+    }
+    cap_compact = {
+        k: streaming_cap[k]
+        for k in (
+            "tweets_per_s",
+            "steady_tweets_per_s",
+            "steady_consistency",
+            "max_files_per_trigger",
+            "shuffle_partitions",
+            "error",
+        )
+        if k in streaming_cap
     }
     compact = {
         "metric": "headline_queries_total_wall",
@@ -370,13 +414,14 @@ def main() -> None:
         },
         "steady": steady,
         "streaming": streaming_compact,
+        "streaming_capacity": cap_compact,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
     # hard guard on the driver's ~2000-char output-tail capture: drop keys
-    # until the line fits with margin (never expected to trigger at ~1 kB)
-    for drop in ("queries", "streaming", "steady"):
+    # until the line fits with margin (never expected to trigger at ~1.2 kB)
+    for drop in ("queries", "streaming_capacity", "streaming", "steady"):
         if len(line) <= 1500:
             break
         compact.pop(drop, None)
