@@ -55,10 +55,27 @@ def curate(
     """
     funnel: dict[str, int] = {"input": docs.count()}
 
+    # Each funnel count is a natural materialization point, and every stage
+    # below consumes its predecessor 2-4 times (the count + an anti join +
+    # pair generation, or the final 4-way pack/shuffle/bucket join), so
+    # without persist points the lazy chain recomputes quality -> PII ->
+    # ... from the scan at EVERY stage — O(stages^2) total work at sf10+.
+    # The persist-then-count below caches each stage on its first full pass
+    # and drops the predecessor's cache as soon as the successor is fully
+    # materialized, keeping at most one stage's rows cached at a time.
+    _stale: list[DataFrame] = []
+
+    def _materialize(df: DataFrame, key: str) -> DataFrame:
+        df = df.persist()
+        funnel[key] = df.count()
+        while _stale:
+            _stale.pop().unpersist()
+        _stale.append(df)
+        return df
+
     # 1. quality gate (map-only; no shuffle)
     quality = curation.gopher_rules(docs).filter("passes").select("doc_id")
-    kept = docs.join(quality, "doc_id", "left_semi")
-    funnel["after_quality"] = kept.count()
+    kept = _materialize(docs.join(quality, "doc_id", "left_semi"), "after_quality")
 
     # 2. PII redaction (map-only; keeps the cleaned text)
     red = curation.redact_pii(kept)
@@ -66,20 +83,22 @@ def curate(
         kept.drop("text")
         .join(red.select("doc_id", "n_redactions", "text_clean"), "doc_id")
         .withColumnRenamed("text_clean", "text")
-    )
+    ).persist()
     funnel["redactions"] = int(
         kept.agg(F.sum("n_redactions")).collect()[0][0] or 0
     )
+    while _stale:  # the sum scanned every partition: cache is full
+        _stale.pop().unpersist()
+    _stale.append(kept)
 
     # 3. benchmark decontamination (broadcast gram semijoin -> anti join)
     if benchmark is not None:
         flagged = curation.decontaminate(kept, benchmark).select("doc_id")
         kept = kept.join(flagged, "doc_id", "left_anti")
-    funnel["after_decontaminate"] = kept.count()
+    kept = _materialize(kept, "after_decontaminate")
 
     # 4. exact dedup (digest-only shuffle)
-    kept = dedup.dedup_exact(kept)
-    funnel["after_exact_dedup"] = kept.count()
+    kept = _materialize(dedup.dedup_exact(kept), "after_exact_dedup")
 
     # 5. fuzzy dedup: MinHash banded LSH -> exact Jaccard on candidate pairs
     # only (never all-pairs) -> components -> keep min doc_id per cluster
@@ -88,8 +107,7 @@ def curate(
     lsh_drop = lsh_cc.filter(
         F.col("cluster_id") != F.col("doc_id")
     ).select("doc_id")
-    kept = kept.join(lsh_drop, "doc_id", "left_anti")
-    funnel["after_lsh_dedup"] = kept.count()
+    kept = _materialize(kept.join(lsh_drop, "doc_id", "left_anti"), "after_lsh_dedup")
 
     # 6. near dedup: SimHash banded-Hamming pairs over the LSH survivors ->
     # components -> keep min (catches small-edit near-dups below the shingle
@@ -97,19 +115,20 @@ def curate(
     pairs = dedup.simhash_pairs(kept, hamming_t=simhash_max_distance)
     cc = dedup.connected_components(pairs.select("doc_a", "doc_b"))
     drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    kept = kept.join(drop, "doc_id", "left_anti")
-    funnel["after_near_dedup"] = kept.count()
+    kept = _materialize(kept.join(drop, "doc_id", "left_anti"), "after_near_dedup")
 
     # 7. paragraph dedup: drop chunks repeated across the surviving docs and
     # keep the reassembled text; docs emptied entirely are boilerplate
     para = corpus_prep.paragraph_dedup(kept)
-    kept = kept.drop("text").join(
-        para.filter(F.col("n_kept") > 0).select(
-            "doc_id", F.col("text_kept").alias("text")
+    kept = _materialize(
+        kept.drop("text").join(
+            para.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("text_kept").alias("text")
+            ),
+            "doc_id",
         ),
-        "doc_id",
+        "after_paragraph_dedup",
     )
-    funnel["after_paragraph_dedup"] = kept.count()
 
     # 8. pack + deterministic shuffle order + length-bucket batch layout
     packed = curation.pack_sequences(kept).select(
@@ -148,15 +167,20 @@ def run(argv: list[str] | None = None) -> dict:
     p.add_argument("--report-path")
     args = p.parse_args(argv)
 
+    import time
+
     spark = get_spark(app_name="curate-corpus")
     docs = spark.read.parquet(args.input_path)
     benchmark = (
         spark.read.parquet(args.benchmark_path) if args.benchmark_path else None
     )
+    t0 = time.perf_counter()
     out, funnel = curate(docs, benchmark)
     # partitioned by source: a reader filtering one source prunes the scan
     out.write.mode("overwrite").partitionBy("source").parquet(args.output_path)
     funnel["written"] = spark.read.parquet(args.output_path).count()
+    funnel["wall_s"] = round(time.perf_counter() - t0, 1)
+    spark.catalog.clearCache()  # drop the last stage's persisted frame
     report = args.report_path or os.path.join(args.output_path, "_funnel.json")
     with open(report, "w") as f:
         json.dump(funnel, f, indent=2)
