@@ -130,3 +130,47 @@ def test_canon_expr_cross_engine_string_parity():
     assert duck[2] == (NULL, "NaN", NULL, "x y", NULL)
     assert duck[3] == ("0", "Inf", "1", "", NULL)
     assert duck[4] == ("42", "-Inf", "0", "z", NULL)
+
+
+def test_canon_py_matches_canon_expr_strings():
+    """_canon_py (callable scale-oracle rows) must emit byte-identical
+    strings to the _canon_expr SQL for every type class — the r7 ADVICE
+    gap where callable oracles canonicalized everything as str(int(v))."""
+    from datetime import datetime, timezone
+
+    sweep = _load_sweep()
+    NULL = sweep._NULL
+    ts = datetime(2020, 1, 2, 3, 4, 5, 123456, tzinfo=timezone.utc)
+    cases = [
+        # (value, class, expected — mirrors the duck rows in the test above)
+        (1, "int", "1"),
+        (-7, "int", "-7"),
+        (None, "int", NULL),
+        (1.25, "float", "1250000"),
+        (-0.0000005, "float", "0"),
+        (float("nan"), "float", "NaN"),
+        (float("inf"), "float", "Inf"),
+        (float("-inf"), "float", "-Inf"),
+        (True, "bool", "1"),
+        (False, "bool", "0"),
+        (None, "bool", NULL),
+        ("a", "str", "a"),
+        ("x y", "str", "x y"),
+        ("", "str", ""),
+        (None, "str", NULL),
+        (ts, "ts", "1577934245123456"),
+        (ts.replace(tzinfo=None), "ts", "1577934245123456"),  # naive = UTC
+        (None, "ts", NULL),
+    ]
+    for v, cls, want in cases:
+        assert sweep._canon_py(v, cls) == want, (v, cls)
+
+
+def test_py_duck_type_inference():
+    sweep = _load_sweep()
+    rows = [(None, None, None), (True, 3, None), (False, 7, 1.5)]
+    assert sweep._py_duck_type(rows, 0, "BIGINT") == "BOOLEAN"  # bool not int
+    assert sweep._py_duck_type(rows, 1, "BIGINT") == "BIGINT"
+    assert sweep._py_duck_type(rows, 2, "BIGINT") == "DOUBLE"
+    assert sweep._py_duck_type(rows, 2, "VARCHAR") != "VARCHAR"  # found a value
+    assert sweep._py_duck_type([(None,)], 0, "VARCHAR") == "VARCHAR"  # all-None
