@@ -589,6 +589,49 @@ def kmeans_centroids(
     return cents
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+    n_files: int | None = None,
+) -> None:
+    """Ingest-time IVF index — the write-once twin of ``bucketize_corpus``
+    for the k-means path. At 100 TB the coarse quantizer trains ONCE at
+    ingest (the Lloyd iterations are full-corpus scans) and the corpus is
+    laid out cell-clustered; a query then probes ``n_probe`` cells without
+    re-running k-means or re-scoring the corpus. Writes two parquets under
+    ``path``: ``centroids/`` (broadcast-small, one file) and ``corpus/``
+    ``(vec_id, embedding, cell, nrm)`` hash-clustered and sorted by cell so
+    row-group stats prune unprobed cells at scan time."""
+    cents = kmeans_centroids(emb, n_cells, n_iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = emb.sparkSession.read.parquet(f"{path}/centroids")
+    corpus = (
+        _best_cells(_scored(emb, cents), 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    corpus = (
+        corpus.repartition(n_files, F.col("cell"))
+        if n_files is not None
+        else corpus.repartition(F.col("cell"))
+    )
+    corpus.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a ``build_ivf_index`` output as ``(corpus, centroids)`` —
+    accepted by ``ivf_topk`` via ``index=`` so queries skip quantizer
+    training and corpus scoring entirely."""
+    return (
+        spark.read.parquet(f"{path}/corpus"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -596,6 +639,7 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus sharded by
     nearest cell, queries probe their ``n_probe`` nearest cells, exact cosine
@@ -605,18 +649,31 @@ def ivf_topk(
     (each cell a shard), queries fan out to n_probe shards — candidate count
     is ~n_probe/n_cells of the corpus; size ``n_cells ~ sqrt(n)``. A corpus
     vector lives in exactly one cell, so no candidate dedup is needed.
+
+    Pass ``index=read_ivf_index(...)`` to start from an ingest-time
+    materialized index: no Lloyd iterations, no corpus re-scoring — only
+    the ``n_queries`` vectors are scored against the (broadcast) centroids.
+    On-the-fly (default) stays the oracle-gated shape.
     """
     from pyspark.sql import Window as W
 
-    cents = kmeans_centroids(emb, n_cells, n_iters)
-    scored = _scored(emb, cents)
-    corpus = (
-        _best_cells(scored, 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
-        .withColumn("nrm", _norm(F.col("embedding")))
-    )
+    if index is not None:
+        corpus, cents = index
+        q_vecs = corpus.filter(F.col("vec_id") < n_queries).select(
+            "vec_id", "embedding"
+        )
+        q_scored = _scored(q_vecs, cents)
+    else:
+        cents = kmeans_centroids(emb, n_cells, n_iters)
+        scored = _scored(emb, cents)
+        corpus = (
+            _best_cells(scored, 1)
+            .select("vec_id", "embedding", F.col("cid").alias("cell"))
+            .withColumn("nrm", _norm(F.col("embedding")))
+        )
+        q_scored = scored.filter(F.col("vec_id") < n_queries)
     queries = (
-        _best_cells(scored.filter(F.col("vec_id") < n_queries), n_probe)
+        _best_cells(q_scored, n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),

@@ -142,6 +142,32 @@ def test_bucketize_corpus_materialized_matches_onthefly(
     assert "element_at" not in plan(mat_nd)
 
 
+def test_ivf_index_materialized_matches_onthefly(spark, clustered_emb, tmp_path):
+    """Ingest-time IVF index: querying a build_ivf_index() layout must return
+    byte-identical results to the on-the-fly path, with NO quantizer
+    training (Lloyd's posexplode marker) in the materialized plan."""
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(clustered_emb, path, n_cells=16, n_iters=2)
+    idx = similarity.read_ivf_index(spark, path)
+    assert sorted(idx[0].columns) == ["cell", "embedding", "nrm", "vec_id"]
+    # empty cells drop out of the Lloyd mean groupBy (same on the fly)
+    assert 1 <= idx[1].count() <= 16
+
+    fly = similarity.ivf_topk(
+        clustered_emb, K, N_QUERIES, n_cells=16, n_probe=4, n_iters=2
+    )
+    mat = similarity.ivf_topk(
+        None, K, N_QUERIES, n_cells=16, n_probe=4, n_iters=2, index=idx
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(mat) == as_set(fly)
+    assert len(as_set(fly)) > 0
+
+    plan = lambda df: df._jdf.queryExecution().optimizedPlan().toString()  # noqa: E731
+    assert "posexplode" in plan(fly)  # Lloyd step present on the fly
+    assert "posexplode" not in plan(mat)  # trained once at ingest
+
+
 def test_bucketed_width_guard(spark):
     """Embeddings wider than _MAX_PLANE_DIM must fail LOUDLY (not silently
     collapse into bucket 0) in every ANSI config: the when()-guard in
