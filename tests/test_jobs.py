@@ -256,3 +256,37 @@ def test_source_format_round_trips(spark, sf_dir, tmp_path):
     for fmt, df in readers.items():
         got = sorted(tuple(r) for r in curation.gopher_rules(df).collect())
         assert got == want, f"{fmt} round-trip diverged"
+
+
+def test_build_ann_index_job(spark, sf_dir, tmp_path):
+    """Ingest-time ANN index CLI: both modes write a query-ready layout whose
+    results equal the on-the-fly path (run() reuses the test JVM session)."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job
+    from bigtwine_streamprocessor_spark.operators import similarity
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+
+    lsh_out = str(tmp_path / "lsh")
+    rep = build_ann_index_job.run(
+        ["--embeddings-path", emb_path, "--output-path", lsh_out,
+         "--mode", "lsh", "--n-bits", "8"]
+    )
+    assert rep["mode"] == "lsh" and rep["vectors"] == emb.count()
+    assert 1 < rep["buckets"] <= 256
+    mat = similarity.read_bucketized(spark, lsh_out)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(
+        similarity.ann_lsh_topk(None, 5, 10, n_bits=8, bucketed=mat)
+    ) == as_set(similarity.ann_lsh_topk(emb, 5, 10, n_bits=8))
+
+    ivf_out = str(tmp_path / "ivf")
+    rep = build_ann_index_job.run(
+        ["--embeddings-path", emb_path, "--output-path", ivf_out,
+         "--mode", "ivf", "--n-cells", "8", "--n-iters", "1"]
+    )
+    assert rep["mode"] == "ivf" and rep["vectors"] == emb.count()
+    idx = similarity.read_ivf_index(spark, ivf_out)
+    assert as_set(
+        similarity.ivf_topk(None, 5, 10, n_cells=8, n_iters=1, index=idx)
+    ) == as_set(similarity.ivf_topk(emb, 5, 10, n_cells=8, n_iters=1))
