@@ -38,13 +38,25 @@ def run(argv: list[str] | None = None) -> dict:
         default=None,
         help="output file count (default: session shuffle partitions)",
     )
+    p.add_argument(
+        "--partition-by-bucket",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="lsh mode: write bucket=<id>/ Hive partitions so probe joins "
+        "dynamic-partition-prune (the 100 TB layout; flat clustered files "
+        "stay the small-corpus default)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="build-ann-index")
     emb = spark.read.parquet(args.embeddings_path)
     if args.mode == "lsh":
         similarity.bucketize_corpus(
-            emb, args.output_path, n_bits=args.n_bits, n_files=args.n_files
+            emb,
+            args.output_path,
+            n_bits=args.n_bits,
+            n_files=args.n_files,
+            partition_by_bucket=args.partition_by_bucket,
         )
         out = similarity.read_bucketized(spark, args.output_path)
         report = {

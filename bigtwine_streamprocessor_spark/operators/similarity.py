@@ -275,6 +275,7 @@ def bucketize_corpus(
     path: str,
     n_bits: int = N_BITS,
     n_files: int | None = None,
+    partition_by_bucket: bool = False,
 ) -> None:
     """Ingest-time LSH bucket materialization — the 100 TB-correct layout.
 
@@ -287,8 +288,22 @@ def bucketize_corpus(
     within files so parquet row-group min/max stats prune bucket probes at
     scan time. On a cluster, pass ``n_files`` to size output files
     explicitly (default: session shuffle partitions).
+
+    ``partition_by_bucket=True`` writes a Hive-partitioned layout
+    (``bucket=<id>/`` directories) instead: the bucket-probe join then
+    qualifies for Catalyst's dynamic partition pruning, so a query scans
+    ONLY its probed buckets' files — ~(n_probes/2^n_bits) of the corpus
+    instead of all of it. That is the right trade at 100 TB (2^16 dirs of
+    ~1.5 GB each); below ~10 GB the flat clustered layout wins on file
+    count and listing cost, so it stays the default.
     """
     out = _bucketed(emb, n_bits)
+    if partition_by_bucket:
+        # one write task per bucket directory; rows of a bucket co-locate
+        out.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+        return
     out = (
         out.repartition(n_files, F.col("bucket"))
         if n_files is not None
@@ -301,8 +316,13 @@ def read_bucketized(spark, path: str) -> DataFrame:
     """Read a ``bucketize_corpus`` output; schema-identical to ``_bucketed``,
     accepted by ``ann_lsh_topk``/``embedding_neardup_pairs`` via
     ``bucketed=`` so the query plan starts from the materialized buckets
-    (zero plane-dot work at query time)."""
-    return spark.read.parquet(path)
+    (zero plane-dot work at query time). Works for both layouts: in the
+    Hive-partitioned one ``bucket`` comes back as a partition column
+    (cast to the ``_bucketed`` int type so downstream joins are
+    type-identical), which is what makes bucket-probe joins prunable."""
+    df = spark.read.parquet(path)
+    cols = ["vec_id", "embedding", F.col("bucket").cast("int").alias("bucket"), "nrm"]
+    return df.select(*cols)
 
 
 def ann_lsh_topk(

@@ -142,6 +142,38 @@ def test_bucketize_corpus_materialized_matches_onthefly(
     assert "element_at" not in plan(mat_nd)
 
 
+def test_bucketize_partitioned_layout_prunes(spark, clustered_emb, tmp_path):
+    """partition_by_bucket=True (the 100 TB layout): results identical to
+    the flat layout, and the probe join's corpus scan carries a
+    dynamicpruning partition filter — a query reads ONLY probed bucket
+    directories, ~(n_probes/2^n_bits) of the corpus."""
+    path = str(tmp_path / "bucketized_part")
+    similarity.bucketize_corpus(
+        clustered_emb, path, n_bits=6, partition_by_bucket=True
+    )
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
+    mat = similarity.read_bucketized(spark, path)
+    assert sorted(mat.columns) == ["bucket", "embedding", "nrm", "vec_id"]
+    assert dict(mat.dtypes)["bucket"] == "int"
+
+    fly = similarity.ann_lsh_topk(clustered_emb, K, N_QUERIES, n_bits=6)
+    mat_topk = similarity.ann_lsh_topk(None, K, N_QUERIES, n_bits=6, bucketed=mat)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(mat_topk) == as_set(fly)
+
+    # static pruning proof: an explicit bucket filter becomes a partition
+    # filter (zero data files of other buckets touched) ...
+    one = mat.filter(F.col("bucket") == 3)
+    exec_plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in exec_plan and "bucket" in exec_plan
+    # ... and the probe JOIN gets a runtime dynamicpruning filter on the
+    # partition column (query touches only probed directories)
+    join_plan = mat_topk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in join_plan
+
+
 def test_ivf_index_materialized_matches_onthefly(spark, clustered_emb, tmp_path):
     """Ingest-time IVF index: querying a build_ivf_index() layout must return
     byte-identical results to the on-the-fly path, with NO quantizer
