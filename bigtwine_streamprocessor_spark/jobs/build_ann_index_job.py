@@ -13,6 +13,15 @@ warm ANN at 200k vectors / 16 bits).
     # query side:
     #   lsh: similarity.ann_lsh_topk(None, ..., bucketed=read_bucketized(spark, out))
     #   ivf: similarity.ivf_topk(None, ..., index=read_ivf_index(spark, out))
+
+Maintenance verbs for a live index (never rebuild for a delta):
+
+    # daily arrivals -> bucket/cell-assign the DELTA only, append in place
+    ... --op append --embeddings-path <delta.parquet> --output-path <index>
+    # undo append-driven small-file growth (lsh layouts)
+    ... --op compact --output-path <index>
+    # occupancy/skew/file-count health read (the retrain/compact signal)
+    ... --op stats --output-path <index>
 """
 
 from __future__ import annotations
@@ -26,10 +35,27 @@ from ..session import get_spark
 
 def run(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="build-ann-index-job")
-    p.add_argument("--embeddings-path", required=True)
+    p.add_argument(
+        "--embeddings-path",
+        default=None,
+        help="corpus (build) or delta (append); unused by compact/stats",
+    )
     p.add_argument("--output-path", required=True)
     p.add_argument("--mode", choices=["lsh", "ivf"], default="lsh")
-    p.add_argument("--n-bits", type=int, default=similarity.N_BITS)
+    p.add_argument(
+        "--op",
+        choices=["build", "append", "compact", "stats"],
+        default="build",
+        help="build a fresh index, append a delta to one, compact an "
+        "lsh layout's files, or report occupancy stats",
+    )
+    p.add_argument(
+        "--n-bits",
+        type=int,
+        default=None,
+        help=f"lsh plane count (build default {similarity.N_BITS}; append "
+        "defaults to the index sidecar's value)",
+    )
     p.add_argument("--n-cells", type=int, default=similarity.IVF_CELLS)
     p.add_argument("--n-iters", type=int, default=similarity.IVF_ITERS)
     p.add_argument(
@@ -49,19 +75,26 @@ def run(argv: list[str] | None = None) -> dict:
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="build-ann-index")
+
+    if args.op != "build":
+        return _run_maintenance(spark, args)
+
+    if args.embeddings_path is None:
+        p.error("--embeddings-path is required for --op build")
     emb = spark.read.parquet(args.embeddings_path)
+    n_bits = args.n_bits if args.n_bits is not None else similarity.N_BITS
     if args.mode == "lsh":
         similarity.bucketize_corpus(
             emb,
             args.output_path,
-            n_bits=args.n_bits,
+            n_bits=n_bits,
             n_files=args.n_files,
             partition_by_bucket=args.partition_by_bucket,
         )
         out = similarity.read_bucketized(spark, args.output_path)
         report = {
             "mode": "lsh",
-            "n_bits": args.n_bits,
+            "n_bits": n_bits,
             "vectors": out.count(),
             "buckets": out.select("bucket").distinct().count(),
         }
@@ -79,6 +112,60 @@ def run(argv: list[str] | None = None) -> dict:
             "n_cells": args.n_cells,
             "vectors": corpus.count(),
             "cells": cents.count(),
+        }
+    print(json.dumps(report))
+    return report
+
+
+def _index_kind(spark, path: str, fallback: str) -> str:
+    meta = similarity.read_index_meta(spark, path)
+    if meta and meta.get("kind"):
+        return meta["kind"]
+    try:  # an IVF layout is self-identifying by its centroids dir
+        spark.read.parquet(f"{path}/centroids")
+        return "ivf"
+    except Exception:
+        return fallback
+
+
+def _run_maintenance(spark, args) -> dict:
+    kind = _index_kind(spark, args.output_path, args.mode)
+    if args.op == "stats":
+        stats = (
+            similarity.bucketized_stats(spark, args.output_path)
+            if kind == "lsh"
+            else similarity.ivf_index_stats(spark, args.output_path)
+        )
+        report = {"op": "stats", "mode": kind, **stats}
+    elif args.op == "compact":
+        if kind != "lsh":
+            raise SystemExit(
+                "--op compact applies to lsh layouts (the IVF corpus dir "
+                "can be rewritten by rebuilding with centroids= reuse)"
+            )
+        report = {
+            "op": "compact",
+            "mode": kind,
+            **similarity.compact_bucketized(
+                spark, args.output_path, n_files=args.n_files
+            ),
+        }
+    else:  # append
+        if args.embeddings_path is None:
+            raise SystemExit("--embeddings-path (the delta) is required for --op append")
+        delta = spark.read.parquet(args.embeddings_path)
+        if kind == "lsh":
+            similarity.append_to_bucketized(
+                delta, args.output_path, n_bits=args.n_bits, n_files=args.n_files
+            )
+        else:
+            similarity.append_to_ivf_index(
+                delta, args.output_path, n_files=args.n_files
+            )
+        report = {
+            "op": "append",
+            "mode": kind,
+            "appended": delta.count(),
         }
     print(json.dumps(report))
     return report

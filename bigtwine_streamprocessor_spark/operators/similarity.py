@@ -298,9 +298,23 @@ def bucketize_corpus(
     count and listing cost, so it stays the default.
     """
     out = _bucketed(emb, n_bits)
-    if partition_by_bucket:
+    layout = "hive" if partition_by_bucket else "flat"
+    _write_bucket_clustered(out, path, layout, n_files, mode="overwrite")
+    # meta sidecar AFTER the corpus write (overwrite clears the dir first);
+    # underscore-prefixed paths are invisible to Spark's file listing and
+    # partition discovery (the _SUCCESS convention), so it never pollutes
+    # reads of either layout
+    _write_index_meta(
+        out.sparkSession, path, {"kind": "lsh", "n_bits": n_bits, "layout": layout}
+    )
+
+
+def _write_bucket_clustered(
+    out: DataFrame, path: str, layout: str, n_files: int | None, mode: str
+) -> None:
+    if layout == "hive":
         # one write task per bucket directory; rows of a bucket co-locate
-        out.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        out.repartition(F.col("bucket")).write.mode(mode).partitionBy(
             "bucket"
         ).parquet(path)
         return
@@ -309,7 +323,81 @@ def bucketize_corpus(
         if n_files is not None
         else out.repartition(F.col("bucket"))
     )
-    out.sortWithinPartitions("bucket").write.mode("overwrite").parquet(path)
+    out.sortWithinPartitions("bucket").write.mode(mode).parquet(path)
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/_index_meta")
+
+
+def read_index_meta(spark, path: str) -> dict | None:
+    """Read the ``_index_meta`` sidecar of an index layout (None if absent —
+    e.g. an index written before the sidecar existed)."""
+    import json
+
+    try:
+        rows = spark.read.json(f"{path}/_index_meta").collect()
+    except Exception:
+        return None
+    if not rows or "meta" not in rows[0].asDict():
+        return None
+    return json.loads(rows[0]["meta"])
+
+
+def append_to_bucketized(
+    emb_delta: DataFrame,
+    path: str,
+    n_bits: int | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Delta ingest for a ``bucketize_corpus`` layout — the maintenance half
+    of the ingest-time index story. At 100 TB an index is never rebuilt for
+    a day's arrivals: the plane family is a data-independent constant, so a
+    delta's bucket ids are computed over the DELTA ONLY (no touch of the
+    existing corpus) and appended in the layout the index already uses
+    (auto-detected from the ``_index_meta`` sidecar, falling back to a
+    one-row ``input_file_name`` probe for pre-sidecar indexes).
+    ``n_bits=None`` (the default) takes the plane count from the sidecar;
+    an explicit value must AGREE with the sidecar or this raises —
+    appending under a different plane count would silently corrupt every
+    probe join.
+
+    Caller contract: delta ``vec_id``s are new (same as any append sink).
+    Each append adds >=1 file per touched bucket; see
+    ``compact_bucketized`` for the periodic rewrite that keeps file counts
+    bounded, and ``bucketized_stats`` for the occupancy/skew signal that
+    says when ``n_bits`` itself needs to grow (a rebuild)."""
+    spark = emb_delta.sparkSession
+    meta = read_index_meta(spark, path)
+    if meta is not None:
+        if n_bits is not None and meta.get("n_bits") != n_bits:
+            raise ValueError(
+                f"index at {path} was built with n_bits={meta.get('n_bits')}, "
+                f"append called with n_bits={n_bits}"
+            )
+        n_bits = meta.get("n_bits", n_bits)
+        layout = meta.get("layout", "flat")
+    else:
+        if n_bits is None:
+            raise ValueError(
+                f"index at {path} has no _index_meta sidecar; pass n_bits= "
+                "explicitly (it must match the value the index was built with)"
+            )
+        layout = "hive" if _is_hive_bucket_layout(spark, path) else "flat"
+    _write_bucket_clustered(
+        _bucketed(emb_delta, n_bits), path, layout, n_files, mode="append"
+    )
+
+
+def _is_hive_bucket_layout(spark, path: str) -> bool:
+    # storage-agnostic one-row probe (no driver-side FS listing): Hive
+    # layout files live under bucket=<id>/ directories
+    row = spark.read.parquet(path).select(F.input_file_name().alias("f")).head(1)
+    return bool(row) and "/bucket=" in row[0]["f"]
 
 
 def read_bucketized(spark, path: str) -> DataFrame:
@@ -323,6 +411,100 @@ def read_bucketized(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     cols = ["vec_id", "embedding", F.col("bucket").cast("int").alias("bucket"), "nrm"]
     return df.select(*cols)
+
+
+def _layout_stats(df: DataFrame, key: str) -> dict:
+    # one distributed agg -> one driver-side scalar row (monitoring utility,
+    # same envelope as the export pre-count): per-key occupancy histogram
+    # reduced to the numbers a retrain/compact decision needs
+    occ = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    row = occ.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key"),
+        F.avg("n").alias("mean_key"),
+        F.expr("approx_percentile(n, 0.99)").alias("p99_key"),
+    ).collect()[0]
+    n_files = df.select(F.input_file_name()).distinct().count()
+    mean = float(row["mean_key"] or 0.0)
+    return {
+        "n_vectors": int(row["n_vectors"] or 0),
+        f"n_{key}s": int(row["n_keys"]),
+        f"max_{key}": int(row["max_key"] or 0),
+        f"mean_{key}": round(mean, 2),
+        f"p99_{key}": int(row["p99_key"] or 0),
+        "n_files": n_files,
+        "skew": round((row["max_key"] or 0) / mean, 2) if mean else 0.0,
+    }
+
+
+def bucketized_stats(spark, path: str) -> dict:
+    """Occupancy/health summary of a ``bucketize_corpus`` layout: vector and
+    file counts plus the bucket histogram's max/mean/p99 and skew
+    (max/mean). The two maintenance signals at scale: ``n_files`` growing
+    past ~2-3x the bucket count says run ``compact_bucketized``; mean
+    occupancy growing past the salted-join comfort zone (~``SALT_CAP``) or
+    skew past ~8x says the corpus outgrew ``n_bits`` — rebuild with more
+    planes (the histogram is exactly the r7 occupancy-probe read, made a
+    first-class API)."""
+    return _layout_stats(read_bucketized(spark, path), "bucket")
+
+
+def ivf_index_stats(spark, path: str) -> dict:
+    """Cell-occupancy summary of a ``build_ivf_index`` layout — same signals
+    as ``bucketized_stats`` but for the k-means path, where skew also means
+    the FROZEN quantizer has drifted from the data distribution (appends
+    assign to nearest existing centroid; a skewed histogram says retrain
+    via ``build_ivf_index`` with fresh centroids)."""
+    corpus, _ = read_ivf_index(spark, path)
+    return _layout_stats(corpus, "cell")
+
+
+def compact_bucketized(spark, path: str, n_files: int | None = None) -> dict:
+    """Rewrite a ``bucketize_corpus`` layout in place to undo append-driven
+    small-file growth (each ``append_to_bucketized`` adds >=1 file per
+    touched bucket; parquet scan cost is per-file, so hundreds of appends
+    without compaction turn a clustered scan into a file-listing problem).
+
+    Local-filesystem recipe: rewrite clustered into a staging dir, verify
+    the row count, then swap directories. On an object store or HDFS at
+    real scale the swap must be a transactional table-format operation
+    (e.g. an Iceberg/Delta rewrite — their compaction IS this function), so
+    non-local schemes are rejected loudly rather than half-swapped.
+    Returns ``{"rows", "files_before", "files_after"}``."""
+    import os
+    import shutil
+
+    if "://" in path:
+        raise NotImplementedError(
+            "in-place compaction of non-local paths needs a transactional "
+            "table format (Iceberg/Delta rewrite); got " + path
+        )
+    meta = read_index_meta(spark, path) or {}
+    layout = meta.get("layout") or (
+        "hive" if _is_hive_bucket_layout(spark, path) else "flat"
+    )
+    src = read_bucketized(spark, path)
+    files_before = src.select(F.input_file_name()).distinct().count()
+    n_src = src.count()
+    staging = path.rstrip("/") + ".compacting"
+    _write_bucket_clustered(src, staging, layout, n_files, mode="overwrite")
+    if meta:
+        _write_index_meta(spark, staging, meta)
+    dst = read_bucketized(spark, staging)
+    n_dst = dst.count()
+    if n_dst != n_src:
+        raise RuntimeError(
+            f"compaction row-count mismatch at {staging}: {n_dst} != {n_src}"
+        )
+    files_after = dst.select(F.input_file_name()).distinct().count()
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return {
+        "rows": n_src,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def ann_lsh_topk(
@@ -615,6 +797,7 @@ def build_ivf_index(
     n_cells: int = IVF_CELLS,
     n_iters: int = IVF_ITERS,
     n_files: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Ingest-time IVF index — the write-once twin of ``bucketize_corpus``
     for the k-means path. At 100 TB the coarse quantizer trains ONCE at
@@ -623,8 +806,18 @@ def build_ivf_index(
     re-running k-means or re-scoring the corpus. Writes two parquets under
     ``path``: ``centroids/`` (broadcast-small, one file) and ``corpus/``
     ``(vec_id, embedding, cell, nrm)`` hash-clustered and sorted by cell so
-    row-group stats prune unprobed cells at scan time."""
-    cents = kmeans_centroids(emb, n_cells, n_iters)
+    row-group stats prune unprobed cells at scan time.
+
+    Pass ``centroids=`` to reuse a pretrained quantizer instead of running
+    Lloyd here — the scale pattern for periodic re-layout (train once on a
+    sample or an earlier snapshot, lay out many corpus slices under the
+    SAME cells so their indexes are mergeable) and the rebuild-equality
+    anchor for ``append_to_ivf_index``."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(emb, n_cells, n_iters)
+    )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
     corpus = (
@@ -640,6 +833,10 @@ def build_ivf_index(
     corpus.sortWithinPartitions("cell").write.mode("overwrite").parquet(
         f"{path}/corpus"
     )
+    # sidecar lets maintenance verbs identify the layout without probing
+    _write_index_meta(
+        emb.sparkSession, path, {"kind": "ivf", "n_cells": n_cells}
+    )
 
 
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -649,6 +846,39 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return (
         spark.read.parquet(f"{path}/corpus"),
         spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def append_to_ivf_index(
+    emb_delta: DataFrame, path: str, n_files: int | None = None
+) -> None:
+    """Delta ingest for a ``build_ivf_index`` layout: assign the delta to its
+    nearest cell under the index's FROZEN centroids (read back from the
+    index — one broadcast score over the delta only, no Lloyd, no touch of
+    the existing corpus) and append cell-clustered. Identical by
+    construction to what ``build_ivf_index(full, centroids=same)`` would
+    have produced for those rows, which is the equality the test pins.
+
+    The quantizer staying frozen is the point (appends under moved
+    centroids would strand earlier rows in stale cells), and its cost is
+    drift: a corpus whose distribution moves away from the training
+    snapshot skews the cell histogram and degrades probe recall — watch
+    ``ivf_index_stats()['skew']`` and retrain via a fresh
+    ``build_ivf_index`` when it climbs."""
+    spark = emb_delta.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    delta = (
+        _best_cells(_scored(emb_delta, cents), 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    delta = (
+        delta.repartition(n_files, F.col("cell"))
+        if n_files is not None
+        else delta.repartition(F.col("cell"))
+    )
+    delta.sortWithinPartitions("cell").write.mode("append").parquet(
+        f"{path}/corpus"
     )
 
 

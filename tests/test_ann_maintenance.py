@@ -1,0 +1,185 @@
+"""Ingest-time ANN index MAINTENANCE: at 100 TB an index is appended to and
+periodically compacted, never rebuilt for a delta. Pins: (1) append == full
+rebuild for the LSH layouts (both flat and Hive-partitioned, layout
+auto-detected from the sidecar); (2) append under a frozen quantizer == a
+rebuild with the same centroids for IVF; (3) compaction preserves rows and
+shrinks file counts; (4) the stats APIs expose the occupancy/skew retrain
+signal (the r7 probe read, productized)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigtwine_streamprocessor_spark.operators import similarity
+
+N_CLUSTERS = 40
+MEMBERS = 10
+DIM = 16
+K = 5
+N_QUERIES = 20
+SPLIT = 250  # vec_id < SPLIT -> base corpus, rest -> delta
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # same deterministic clustered corpus as test_similarity.py
+    rows = []
+    for c in range(N_CLUSTERS):
+        center = [float(((c * 37 + d * 11) % 19) - 9) for d in range(DIM)]
+        for m in range(MEMBERS):
+            vec = [
+                center[d] + ((m * 13 + d * 7 + c) % 5 - 2) * 0.01
+                for d in range(DIM)
+            ]
+            rows.append((m * N_CLUSTERS + c, vec))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).cache()
+
+
+def _halves(corpus):
+    return (
+        corpus.filter(F.col("vec_id") < SPLIT),
+        corpus.filter(F.col("vec_id") >= SPLIT),
+    )
+
+
+def _as_set(df):
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_lsh_append_matches_full_rebuild(spark, corpus, tmp_path, partitioned):
+    base, delta = _halves(corpus)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    similarity.bucketize_corpus(
+        base, inc, n_bits=8, partition_by_bucket=partitioned
+    )
+    # n_bits and layout both default from the _index_meta sidecar
+    similarity.append_to_bucketized(delta, inc)
+    similarity.bucketize_corpus(
+        corpus, full, n_bits=8, partition_by_bucket=partitioned
+    )
+
+    inc_df, full_df = (
+        similarity.read_bucketized(spark, p) for p in (inc, full)
+    )
+    assert _as_set(inc_df.select("vec_id", "bucket", "nrm")) == _as_set(
+        full_df.select("vec_id", "bucket", "nrm")
+    )
+    # the query a user actually runs is identical against either index
+    topk = lambda df: similarity.ann_lsh_topk(  # noqa: E731
+        None, K, N_QUERIES, n_bits=8, bucketed=df
+    )
+    assert _as_set(topk(inc_df)) == _as_set(topk(full_df))
+    assert len(_as_set(topk(inc_df))) > 0
+
+    meta = similarity.read_index_meta(spark, inc)
+    assert meta == {
+        "kind": "lsh",
+        "n_bits": 8,
+        "layout": "hive" if partitioned else "flat",
+    }
+    if partitioned:  # delta rows landed inside existing bucket= dirs
+        assert any(d.startswith("bucket=") for d in os.listdir(inc))
+    with pytest.raises(ValueError, match="n_bits=8"):
+        similarity.append_to_bucketized(delta, inc, n_bits=6)
+
+
+def test_lsh_append_layout_probe_without_sidecar(spark, corpus, tmp_path):
+    # pre-sidecar index: auto-detect falls back to the input_file_name probe
+    base, delta = _halves(corpus)
+    path = str(tmp_path / "nosidecar")
+    similarity.bucketize_corpus(base, path, n_bits=6, partition_by_bucket=True)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_index_meta"))
+    assert similarity.read_index_meta(spark, path) is None
+    with pytest.raises(ValueError, match="no _index_meta"):
+        similarity.append_to_bucketized(delta, path)  # can't default n_bits
+    similarity.append_to_bucketized(delta, path, n_bits=6)
+    got = similarity.read_bucketized(spark, path)
+    assert got.count() == corpus.count()
+    assert dict(got.dtypes)["bucket"] == "int"
+
+
+def test_compact_bucketized_preserves_rows_and_shrinks_files(
+    spark, corpus, tmp_path
+):
+    base, delta = _halves(corpus)
+    path = str(tmp_path / "compactable")
+    similarity.bucketize_corpus(base, path, n_bits=6, n_files=8)
+    # several small appends -> file growth (the small-files problem)
+    for lo in range(SPLIT, N_CLUSTERS * MEMBERS, 50):
+        similarity.append_to_bucketized(
+            delta.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)
+            ),
+            path,
+            n_bits=6,
+            n_files=8,
+        )
+    keyed = lambda df: df.select("vec_id", "bucket", "nrm")  # noqa: E731
+    before = _as_set(keyed(similarity.read_bucketized(spark, path)))
+    report = similarity.compact_bucketized(spark, path, n_files=8)
+    after_df = similarity.read_bucketized(spark, path)
+    assert _as_set(keyed(after_df)) == before
+    assert report["rows"] == corpus.count()
+    assert report["files_after"] < report["files_before"]
+    # staging dir swapped away, sidecar survived the rewrite
+    assert not os.path.exists(path + ".compacting")
+    assert similarity.read_index_meta(spark, path)["n_bits"] == 6
+
+    with pytest.raises(NotImplementedError):
+        similarity.compact_bucketized(spark, "s3://bucket/idx")
+
+
+def test_ivf_append_matches_rebuild_under_frozen_quantizer(
+    spark, corpus, tmp_path
+):
+    base, delta = _halves(corpus)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(base, inc, n_cells=16, n_iters=2)
+    similarity.append_to_ivf_index(delta, inc)
+    # rebuild-equality anchor: full build under the SAME (frozen) centroids
+    _, cents = similarity.read_ivf_index(spark, inc)
+    similarity.build_ivf_index(corpus, full, centroids=cents)
+
+    inc_corpus, inc_cents = similarity.read_ivf_index(spark, inc)
+    full_corpus, full_cents = similarity.read_ivf_index(spark, full)
+    assert _as_set(inc_cents) == _as_set(full_cents)
+    assert _as_set(inc_corpus.select("vec_id", "cell", "nrm")) == _as_set(
+        full_corpus.select("vec_id", "cell", "nrm")
+    )
+    topk = lambda idx: similarity.ivf_topk(  # noqa: E731
+        None, K, N_QUERIES, n_probe=4, index=idx
+    )
+    assert _as_set(topk((inc_corpus, inc_cents))) == _as_set(
+        topk((full_corpus, full_cents))
+    )
+    assert len(_as_set(topk((inc_corpus, inc_cents)))) > 0
+
+
+def test_stats_expose_occupancy_and_skew(spark, corpus, tmp_path):
+    lsh = str(tmp_path / "stats_lsh")
+    ivf = str(tmp_path / "stats_ivf")
+    similarity.bucketize_corpus(corpus, lsh, n_bits=6)
+    similarity.build_ivf_index(corpus, ivf, n_cells=16, n_iters=2)
+
+    s = similarity.bucketized_stats(spark, lsh)
+    assert s["n_vectors"] == corpus.count()
+    assert 1 <= s["n_buckets"] <= 2**6
+    assert s["max_bucket"] >= s["p99_bucket"] >= 1
+    assert s["skew"] >= 1.0 and s["n_files"] >= 1
+
+    s = similarity.ivf_index_stats(spark, ivf)
+    assert s["n_vectors"] == corpus.count()
+    assert 1 <= s["n_cells"] <= 16
+    assert s["skew"] >= 1.0
+    assert similarity.read_index_meta(spark, ivf)["kind"] == "ivf"
