@@ -18,10 +18,12 @@ Maintenance verbs for a live index (never rebuild for a delta):
 
     # daily arrivals -> bucket/cell-assign the DELTA only, append in place
     ... --op append --embeddings-path <delta.parquet> --output-path <index>
-    # undo append-driven small-file growth (lsh layouts)
+    # undo append-driven small-file growth (re-layout only, never rescores)
     ... --op compact --output-path <index>
     # occupancy/skew/file-count health read (the retrain/compact signal)
     ... --op stats --output-path <index>
+    # probe quality: recall@k vs exact ground truth on a query sample
+    ... --op recall --output-path <index> --k 5 --n-queries 20
 """
 
 from __future__ import annotations
@@ -44,10 +46,19 @@ def run(argv: list[str] | None = None) -> dict:
     p.add_argument("--mode", choices=["lsh", "ivf"], default="lsh")
     p.add_argument(
         "--op",
-        choices=["build", "append", "compact", "stats"],
+        choices=["build", "append", "compact", "stats", "recall"],
         default="build",
-        help="build a fresh index, append a delta to one, compact an "
-        "lsh layout's files, or report occupancy stats",
+        help="build a fresh index, append a delta to one, compact a "
+        "layout's files, report occupancy stats, or measure probe "
+        "recall@k against exact ground truth on a query sample",
+    )
+    p.add_argument("--k", type=int, default=5, help="recall: neighbors per query")
+    p.add_argument(
+        "--n-queries",
+        type=int,
+        default=20,
+        help="recall: query-sample size (ground truth is a brute-force "
+        "scan per query — keep this a sample at scale)",
     )
     p.add_argument(
         "--n-bits",
@@ -138,17 +149,22 @@ def _run_maintenance(spark, args) -> dict:
         )
         report = {"op": "stats", "mode": kind, **stats}
     elif args.op == "compact":
-        if kind != "lsh":
-            raise SystemExit(
-                "--op compact applies to lsh layouts (the IVF corpus dir "
-                "can be rewritten by rebuilding with centroids= reuse)"
-            )
+        compact = (
+            similarity.compact_bucketized
+            if kind == "lsh"
+            else similarity.compact_ivf_index
+        )
         report = {
             "op": "compact",
             "mode": kind,
-            **similarity.compact_bucketized(
-                spark, args.output_path, n_files=args.n_files
-            ),
+            **compact(spark, args.output_path, n_files=args.n_files),
+        }
+    elif args.op == "recall":
+        report = {
+            "op": "recall",
+            "mode": kind,
+            "k": args.k,
+            **_measure_recall(spark, args.output_path, kind, args.k, args.n_queries),
         }
     else:  # append
         if args.embeddings_path is None:
@@ -169,6 +185,29 @@ def _run_maintenance(spark, args) -> dict:
         }
     print(json.dumps(report))
     return report
+
+
+def _measure_recall(spark, path: str, kind: str, k: int, n_queries: int) -> dict:
+    # probe the index the way a user queries it; ground truth is exact
+    # cosine over the index's OWN vectors, so drift/occupancy decay shows
+    # up as recall loss without needing the original corpus parquet
+    if kind == "lsh":
+        bucketed = similarity.read_bucketized(spark, path)
+        meta = similarity.read_index_meta(spark, path) or {}
+        approx = similarity.ann_lsh_topk(
+            None,
+            k,
+            n_queries,
+            n_bits=meta.get("n_bits", similarity.N_BITS),
+            bucketed=bucketed,
+        )
+        vectors = bucketed.select("vec_id", "embedding")
+    else:
+        index = similarity.read_ivf_index(spark, path)
+        approx = similarity.ivf_topk(None, k, n_queries, index=index)
+        vectors = index[0].select("vec_id", "embedding")
+    exact = similarity.cosine_topk(vectors, k, n_queries)
+    return similarity.recall_at_k(approx, exact)
 
 
 if __name__ == "__main__":

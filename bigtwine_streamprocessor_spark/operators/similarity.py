@@ -472,26 +472,65 @@ def compact_bucketized(spark, path: str, n_files: int | None = None) -> dict:
     (e.g. an Iceberg/Delta rewrite — their compaction IS this function), so
     non-local schemes are rejected loudly rather than half-swapped.
     Returns ``{"rows", "files_before", "files_after"}``."""
-    import os
-    import shutil
+    _reject_remote_compaction(path)
+    meta = read_index_meta(spark, path) or {}
+    layout = meta.get("layout") or (
+        "hive" if _is_hive_bucket_layout(spark, path) else "flat"
+    )
 
+    def write_clustered(src, staging):
+        _write_bucket_clustered(src, staging, layout, n_files, mode="overwrite")
+        if meta:
+            _write_index_meta(spark, staging, meta)
+
+    return _staged_compact(spark, path, read_bucketized, write_clustered)
+
+
+def compact_ivf_index(spark, path: str, n_files: int | None = None) -> dict:
+    """Compaction for a ``build_ivf_index`` layout: re-cluster ``corpus/``
+    by cell in place (same staged-rewrite-verify-swap recipe as
+    ``compact_bucketized``, applied to the corpus subdir only). The rows
+    already carry their cell assignment and norm, so unlike a rebuild this
+    NEVER rescores against the centroids — pure re-layout, and the frozen
+    quantizer (``centroids/`` and the sidecar) is untouched."""
+    corpus_dir = path.rstrip("/") + "/corpus"
+
+    def write_clustered(src, staging):
+        out = (
+            src.repartition(n_files, F.col("cell"))
+            if n_files is not None
+            else src.repartition(F.col("cell"))
+        )
+        out.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+            staging
+        )
+
+    return _staged_compact(
+        spark, corpus_dir, lambda s, p: s.read.parquet(p), write_clustered
+    )
+
+
+def _reject_remote_compaction(path: str) -> None:
+    # local-filesystem staged swap only; remote schemes need a
+    # transactional table format, so reject them before any read or write
     if "://" in path:
         raise NotImplementedError(
             "in-place compaction of non-local paths needs a transactional "
             "table format (Iceberg/Delta rewrite); got " + path
         )
-    meta = read_index_meta(spark, path) or {}
-    layout = meta.get("layout") or (
-        "hive" if _is_hive_bucket_layout(spark, path) else "flat"
-    )
-    src = read_bucketized(spark, path)
+
+
+def _staged_compact(spark, path: str, reader, write_clustered) -> dict:
+    import os
+    import shutil
+
+    _reject_remote_compaction(path)
+    src = reader(spark, path)
     files_before = src.select(F.input_file_name()).distinct().count()
     n_src = src.count()
     staging = path.rstrip("/") + ".compacting"
-    _write_bucket_clustered(src, staging, layout, n_files, mode="overwrite")
-    if meta:
-        _write_index_meta(spark, staging, meta)
-    dst = read_bucketized(spark, staging)
+    write_clustered(src, staging)
+    dst = reader(spark, staging)
     n_dst = dst.count()
     if n_dst != n_src:
         raise RuntimeError(
@@ -504,6 +543,52 @@ def compact_bucketized(spark, path: str, n_files: int | None = None) -> dict:
         "rows": n_src,
         "files_before": files_before,
         "files_after": files_after,
+    }
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int | None = None) -> dict:
+    """Recall@k of an approximate top-k result against exact ground truth —
+    the QUALITY half of index maintenance (occupancy stats say whether the
+    layout still partitions; recall says whether probes still FIND the
+    neighbors, the number that degrades when an appended corpus drifts
+    from a frozen quantizer or outgrows its plane count).
+
+    Both inputs are ``(query_id, neighbor_id, ..., rank)`` frames — the
+    shape every ``*_topk`` here returns; pass ``k`` to truncate both to
+    their top ``k`` ranks first. Macro-averaged over queries (each query's
+    hit fraction weighs equally), computed as one distributed
+    semijoin-and-agg with a single scalar row collected — run it on a
+    query SAMPLE at scale, never the full corpus (ground truth is a
+    brute-force scan per query). Returns ``{"recall", "min_recall",
+    "n_queries"}``."""
+    if k is not None:
+        approx = approx.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
+    truth = exact.select("query_id", "neighbor_id")
+    hits = truth.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("r")
+        )
+    )
+    row = per_q.agg(
+        F.avg("r").alias("recall"),
+        F.min("r").alias("min_recall"),
+        F.count(F.lit(1)).alias("n_queries"),
+    ).collect()[0]
+    return {
+        "recall": round(float(row["recall"] or 0.0), 4),
+        "min_recall": round(float(row["min_recall"] or 0.0), 4),
+        "n_queries": int(row["n_queries"]),
     }
 
 

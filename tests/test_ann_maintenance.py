@@ -166,6 +166,79 @@ def test_ivf_append_matches_rebuild_under_frozen_quantizer(
     assert len(_as_set(topk((inc_corpus, inc_cents)))) > 0
 
 
+def test_compact_ivf_relayouts_corpus_without_rescoring(
+    spark, corpus, tmp_path
+):
+    base, delta = _halves(corpus)
+    path = str(tmp_path / "ivf_compactable")
+    similarity.build_ivf_index(base, path, n_cells=16, n_iters=2, n_files=4)
+    for lo in range(SPLIT, N_CLUSTERS * MEMBERS, 50):
+        similarity.append_to_ivf_index(
+            delta.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)
+            ),
+            path,
+            n_files=4,
+        )
+    keyed = lambda c: c.select("vec_id", "cell", "nrm")  # noqa: E731
+    corpus_before, cents_before = similarity.read_ivf_index(spark, path)
+    before = _as_set(keyed(corpus_before))
+    cents_set = _as_set(cents_before)
+
+    report = similarity.compact_ivf_index(spark, path, n_files=4)
+    corpus_after, cents_after = similarity.read_ivf_index(spark, path)
+    assert _as_set(keyed(corpus_after)) == before
+    assert _as_set(cents_after) == cents_set  # frozen quantizer untouched
+    assert report["rows"] == corpus.count()
+    assert report["files_after"] < report["files_before"]
+    assert not os.path.exists(os.path.join(path, "corpus.compacting"))
+    assert similarity.read_index_meta(spark, path)["kind"] == "ivf"
+    got = similarity.ivf_topk(
+        None, K, N_QUERIES, n_probe=4, index=(corpus_after, cents_after)
+    )
+    assert len(_as_set(got)) > 0
+
+    with pytest.raises(NotImplementedError):
+        similarity.compact_ivf_index(spark, "s3://bucket/idx")
+
+
+def test_recall_at_k_semantics(spark):
+    # q0: both true neighbors found; q1: one of two -> macro avg 0.75
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 99, 2)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    got = similarity.recall_at_k(approx, truth)
+    assert got == {"recall": 0.75, "min_recall": 0.5, "n_queries": 2}
+    # k= truncates both sides: at k=1 every query's top hit is correct
+    assert similarity.recall_at_k(approx, truth, k=1)["recall"] == 1.0
+    # identity recall is exactly 1.0
+    assert similarity.recall_at_k(truth, truth) == {
+        "recall": 1.0,
+        "min_recall": 1.0,
+        "n_queries": 2,
+    }
+
+
+def test_recall_cli_reads_materialized_index(spark, corpus, tmp_path):
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job
+
+    path = str(tmp_path / "recall_idx")
+    similarity.bucketize_corpus(corpus, path, n_bits=8)
+    report = build_ann_index_job.run(
+        ["--op", "recall", "--output-path", path, "--k", "3", "--n-queries", "10"]
+    )
+    assert report["op"] == "recall" and report["mode"] == "lsh"
+    assert report["n_queries"] == 10
+    # tight clusters + multiprobe: the sample's neighbors are found
+    assert 0.0 < report["recall"] <= 1.0
+    assert report["min_recall"] <= report["recall"]
+
+
 def test_stats_expose_occupancy_and_skew(spark, corpus, tmp_path):
     lsh = str(tmp_path / "stats_lsh")
     ivf = str(tmp_path / "stats_ivf")
