@@ -54,6 +54,13 @@ def run(argv: list[str] | None = None) -> dict:
     )
     p.add_argument("--k", type=int, default=5, help="recall: neighbors per query")
     p.add_argument(
+        "--probe-radius",
+        type=int,
+        default=similarity.PROBE_RADIUS,
+        help="recall, lsh only: Hamming multiprobe radius — the "
+        "recall-vs-candidate-volume knob this verb exists to tune",
+    )
+    p.add_argument(
         "--n-queries",
         type=int,
         default=20,
@@ -164,7 +171,14 @@ def _run_maintenance(spark, args) -> dict:
             "op": "recall",
             "mode": kind,
             "k": args.k,
-            **_measure_recall(spark, args.output_path, kind, args.k, args.n_queries),
+            **_measure_recall(
+                spark,
+                args.output_path,
+                kind,
+                args.k,
+                args.n_queries,
+                args.probe_radius,
+            ),
         }
     else:  # append
         if args.embeddings_path is None:
@@ -187,7 +201,14 @@ def _run_maintenance(spark, args) -> dict:
     return report
 
 
-def _measure_recall(spark, path: str, kind: str, k: int, n_queries: int) -> dict:
+def _measure_recall(
+    spark,
+    path: str,
+    kind: str,
+    k: int,
+    n_queries: int,
+    probe_radius: int = similarity.PROBE_RADIUS,
+) -> dict:
     # probe the index the way a user queries it; ground truth is exact
     # cosine over the index's OWN vectors, so drift/occupancy decay shows
     # up as recall loss without needing the original corpus parquet
@@ -199,6 +220,7 @@ def _measure_recall(spark, path: str, kind: str, k: int, n_queries: int) -> dict
             k,
             n_queries,
             n_bits=meta.get("n_bits", similarity.N_BITS),
+            probe_radius=probe_radius,
             bucketed=bucketed,
         )
         vectors = bucketed.select("vec_id", "embedding")

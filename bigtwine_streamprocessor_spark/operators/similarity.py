@@ -221,22 +221,51 @@ def bucket_sql(n_bits: int, emb: str = "embedding") -> str:
     return f"CAST({terms} AS INT)"
 
 
+_MAX_PROBES = 1024
+
+
+def _probe_masks(n_bits: int, probe_radius: int) -> list[int]:
+    """Distinct XOR masks with popcount <= probe_radius (0 first = the
+    bucket itself). Data-independent, so both engine twins expand the SAME
+    Python-generated list into literals. The count is sum of C(n_bits, r)
+    for r <= radius — it multiplies the broadcast query side AND the
+    candidate volume, so growth past _MAX_PROBES raises: at that point the
+    right fix is more bits or the IVF path, not a wider probe ring."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        masks += [
+            sum(1 << i for i in bits) for bits in combinations(range(n_bits), r)
+        ]
+    if len(masks) > _MAX_PROBES:
+        raise ValueError(
+            f"probe_radius={probe_radius} at n_bits={n_bits} means "
+            f"{len(masks)} probes per query (> {_MAX_PROBES})"
+        )
+    return masks
+
+
 def _probes(bucket: Column, n_bits: int, probe_radius: int) -> Column:
-    """Array of buckets to probe: the bucket itself plus every single-bit
-    flip when probe_radius >= 1. Probe values are distinct, so a
-    (query, neighbor) pair joins at most once — no dedup needed."""
-    probes = [bucket]
-    if probe_radius >= 1:
-        probes += [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
-    return F.array(*probes)
+    """Array of buckets to probe: every Hamming-<=radius neighbor of the
+    bucket. Probe values are distinct, so a (query, neighbor) pair joins
+    at most once — no dedup needed."""
+    return F.array(
+        *[
+            bucket.bitwiseXOR(F.lit(m)) if m else bucket
+            for m in _probe_masks(n_bits, probe_radius)
+        ]
+    )
 
 
 def _probes_sql(n_bits: int, probe_radius: int, bucket: str = "bucket") -> str:
-    if probe_radius < 1:
-        return f"[{bucket}]"
     return (
-        f"list_prepend({bucket}, list_transform(generate_series(0, {n_bits - 1}), "
-        f"i -> xor({bucket}, 1 << i)))"
+        "["
+        + ", ".join(
+            f"xor({bucket}, {m})" if m else bucket
+            for m in _probe_masks(n_bits, probe_radius)
+        )
+        + "]"
     )
 
 

@@ -88,7 +88,38 @@ def test_multiprobe_improves_candidate_recall(spark, clustered_emb):
             )
         ),
     )
-    assert r1 >= r0
+    r2 = _recall(
+        truth,
+        _topk_sets(
+            similarity.ann_lsh_topk(
+                clustered_emb, K, N_QUERIES, n_bits=16, probe_radius=2
+            )
+        ),
+    )
+    assert r2 >= r1 >= r0
+
+
+def test_probe_masks_cover_hamming_ball():
+    from math import comb
+
+    for n_bits, radius in [(8, 1), (16, 2), (10, 3)]:
+        masks = similarity._probe_masks(n_bits, radius)
+        assert masks[0] == 0
+        assert len(masks) == len(set(masks))  # each pair joins once
+        assert len(masks) == sum(comb(n_bits, r) for r in range(radius + 1))
+        assert all(bin(m).count("1") <= radius and m < 2**n_bits for m in masks)
+    with pytest.raises(ValueError, match="probes per query"):
+        similarity._probe_masks(24, 3)  # 2,325 probes — past the cap
+
+
+def test_lsh_radius2_matches_oracle(spark, ddb, sf_dir):
+    from tests.conftest import assert_frames_match
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.ann_lsh_topk(emb, K, N_QUERIES, n_bits=8, probe_radius=2)
+    assert_frames_match(
+        got, ddb, similarity.ann_lsh_topk_sql(K, N_QUERIES, 8, 2)
+    )
 
 
 def test_plane_family_decorrelated():
