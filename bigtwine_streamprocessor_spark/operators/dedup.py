@@ -223,14 +223,11 @@ signatures AS (
 """
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH: (doc_a, doc_b, band).
-
-    Docs sharing ALL R rows of any band land in the same bucket; the self-join
-    runs per (band, bucket_key) — uniform keys, no skew, no cross join.
-    """
-    sigs = minhash_signatures(docs)
-    bands = sigs.select(
+def signature_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — banded signature hashes, the LSH join key.
+    ``bucket`` is md5 of a band's R signature components, so two docs share a
+    bucket iff they agree on the whole band."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -246,6 +243,15 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH: (doc_a, doc_b, band).
+
+    Docs sharing ALL R rows of any band land in the same bucket; the self-join
+    runs per (band, bucket_key) — uniform keys, no skew, no cross join.
+    """
+    bands = signature_bands(minhash_signatures(docs))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,358 @@
+"""Materialized dedup signature index — ingest-time state for per-batch dedup.
+
+``corpus_prep.incremental_dedup`` is the on-the-fly shape: every batch
+re-reads the EXISTING corpus's text to recompute digests and shingles —
+correct, but O(corpus) compute per batch, which is the wrong cost model at
+100 TB where a day's delta is ~0.1% of the corpus. This module is the dedup
+analog of the ANN index writers (``similarity.bucketize_corpus`` /
+``build_ivf_index``): pay the corpus-wide signature computation ONCE at
+ingest, keep it as a queryable layout, and make the per-batch scan
+O(delta) compute plus equi-join probes of the index.
+
+Layout (all parquet under one index root):
+
+* ``digests/`` — ``(doc_id, h)``: md5 text digest, the exact-dup join key.
+  Shuffle payload for exact dedup is 16 bytes/doc forever, never the text.
+* ``sigs/``    — ``(doc_id, sig array<string>)``: the K-component MinHash
+  signature (same md5-chunk permutation family as ``dedup.minhash_signatures``,
+  so the sketch is deterministic and oracle-reproducible).
+* ``bands/``   — ``(doc_id, band, bucket)``: banded signature hashes written
+  clustered by ``bucket`` — the LSH probe join key, laid out so a probe is a
+  co-located scan, not a corpus-wide rehash.
+* ``_index_meta`` — sidecar pinning ``{k, bands, rows, shingle_n}``; an
+  append under different sketch parameters fails LOUDLY (mixing signature
+  families in one index silently breaks every future probe).
+
+Scan cost model (``scan_delta``): the delta side of every join is
+``broadcast()`` — a batch is small next to the corpus, so the INDEX side
+never shuffles; each probe is one scan of ``digests/`` + one of ``bands/``
+plus a candidate-bounded read of ``sigs/``. Candidate volume per batch is
+linear in the delta's band-bucket occupancy (delta x bucket, never
+bucket^2 — this is a delta-vs-index join, not the self-join shape), and
+``dedup_index_stats``'s skew/occupancy read is the monitoring signal for
+when a viral duplicate cluster needs attention. At real scale ``bands/``
+lives in a transactional table format clustered by bucket; appends are
+commits, and ``compact_dedup_index`` is the Iceberg/Delta rewrite.
+
+Near-dup scoring uses the MinHash ESTIMATE (signature agreement fraction),
+never the text: the index is self-contained, and the estimate's calibration
+against exact Jaccard is the oracle-gated ``dedup.minhash_estimate_pairs``
+audit. The reference engine has no persistent dedup state (it has no dedup
+at all — SURVEY.md §2); this is the training-data-pipeline scale extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigtwine_streamprocessor_spark.fp import rd as _rd
+
+from . import dedup
+
+# reuse the ANN index layout plumbing: sidecar, staged compaction, histogram
+from .similarity import (  # noqa: F401  (shared index-layout helpers)
+    _layout_stats,
+    _reject_remote_compaction,
+    _staged_compact,
+    _write_index_meta,
+    read_index_meta,
+)
+
+# est-Jaccard threshold for flagging a near dup from signature agreement.
+# With K=12 the estimate is a multiple of 1/12; >= 0.5 means >= 6 agreeing
+# components — by the MinHash calibration audit that tracks true Jaccard
+# ~0.5, the conventional near-dup bar.
+NEAR_EST_THRESHOLD = 0.5
+
+_TABLES = ("digests", "sigs", "bands")
+
+
+def _index_meta_dict() -> dict:
+    return {
+        "kind": "dedup",
+        "k": dedup.MINHASH_K,
+        "bands": dedup.LSH_BANDS,
+        "rows": dedup.LSH_ROWS,
+        "shingle_n": dedup.SHINGLE_N,
+    }
+
+
+def signature_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """The three index tables for a document frame (corpus at build time,
+    delta at append/scan time). One shingle explode feeds the signature
+    aggregate; digests touch the text once more but shuffle only the hash."""
+    digests = docs.select("doc_id", F.md5("text").alias("h"))
+    sigs = dedup.minhash_signatures(docs)
+    bands = dedup.signature_bands(sigs)
+    return {"digests": digests, "sigs": sigs, "bands": bands}
+
+
+def build_dedup_index(
+    docs: DataFrame, path: str, n_files: int | None = None
+) -> None:
+    """Write a fresh signature index for ``docs`` at ``path`` (overwrite).
+
+    ``bands/`` is hash-repartitioned on ``bucket`` and sorted within files so
+    parquet row-group stats prune probe scans; ``digests/``/``sigs/`` cluster
+    by ``doc_id`` (the candidate-verification join key)."""
+    tables = signature_tables(docs)
+    _write_tables(tables, path, n_files, mode="overwrite")
+    _write_index_meta(docs.sparkSession, path, _index_meta_dict())
+
+
+def append_dedup_index(delta: DataFrame, path: str) -> None:
+    """Append a delta's signatures to an existing index — O(delta), the
+    corpus is never re-read. Refuses to append under a missing or mismatched
+    sketch-parameter sidecar (a silent family mix would corrupt every
+    future probe's candidate set)."""
+    meta = read_index_meta(delta.sparkSession, path)
+    if meta is None:
+        raise ValueError(
+            f"dedup index at {path} has no _index_meta sidecar; "
+            "build it with build_dedup_index before appending"
+        )
+    expect = _index_meta_dict()
+    if {k: meta.get(k) for k in expect} != expect:
+        raise ValueError(
+            f"dedup index at {path} was built with sketch parameters "
+            f"{meta}, current module expects {expect}; rebuild instead "
+            "of appending"
+        )
+    _write_tables(signature_tables(delta), path, None, mode="append")
+
+
+def _write_tables(
+    tables: dict[str, DataFrame], path: str, n_files: int | None, mode: str
+) -> None:
+    for name, df in tables.items():
+        key = "bucket" if name == "bands" else "doc_id"
+        out = (
+            df.repartition(n_files, F.col(key))
+            if n_files is not None
+            else df.repartition(F.col(key))
+        )
+        out.sortWithinPartitions(key).write.mode(mode).parquet(
+            f"{path.rstrip('/')}/{name}"
+        )
+
+
+def read_dedup_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    root = path.rstrip("/")
+    return {name: spark.read.parquet(f"{root}/{name}") for name in _TABLES}
+
+
+def dedup_index_stats(spark: SparkSession, path: str) -> dict:
+    """Health read: doc count plus the band-bucket occupancy histogram
+    (max/mean/p99/skew — same signals as ``similarity.bucketized_stats``).
+    Mean bucket occupancy is the per-probe candidate multiplier; skew
+    growing past ~8x means one duplicate cluster dominates and scan cost
+    for deltas hitting it grows linearly with its size."""
+    idx = read_dedup_index(spark, path)
+    stats = _layout_stats(idx["bands"], "bucket")
+    stats["n_docs"] = idx["digests"].count()
+    # _layout_stats counts band rows (docs x bands) under the vector name
+    stats["n_band_rows"] = stats.pop("n_vectors")
+    return stats
+
+
+def compact_dedup_index(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> dict:
+    """Undo append-driven small-file growth: staged rewrite-verify-swap of
+    each table, re-clustered on its join key (pure re-layout — signatures
+    are never recomputed). Non-local paths are rejected; at real scale this
+    is a transactional table-format rewrite."""
+    _reject_remote_compaction(path)
+    report: dict = {"rows": 0, "files_before": 0, "files_after": 0}
+    for name in _TABLES:
+        key = "bucket" if name == "bands" else "doc_id"
+
+        def write_clustered(src, staging, key=key):
+            out = (
+                src.repartition(n_files, F.col(key))
+                if n_files is not None
+                else src.repartition(F.col(key))
+            )
+            out.sortWithinPartitions(key).write.mode("overwrite").parquet(
+                staging
+            )
+
+        sub = _staged_compact(
+            spark,
+            f"{path.rstrip('/')}/{name}",
+            lambda s, p: s.read.parquet(p),
+            write_clustered,
+        )
+        for k in report:
+            report[k] += sub[k]
+    return report
+
+
+def _delta_candidates(idx_bands: DataFrame, d_bands: DataFrame) -> DataFrame:
+    """Distinct (doc_id, ex_id) candidate pairs: delta docs sharing any
+    band bucket with an indexed doc. The delta side broadcasts, so the
+    index side is a shuffle-free scan."""
+    idx = idx_bands.select(
+        F.col("doc_id").alias("ex_id"), "band", "bucket"
+    )
+    d = d_bands.select("doc_id", "band", "bucket")
+    return (
+        idx.join(F.broadcast(d), ["band", "bucket"])
+        .filter(F.col("ex_id") != F.col("doc_id"))
+        .select("doc_id", "ex_id")
+        .distinct()
+    )
+
+
+def scan_delta(
+    delta: DataFrame,
+    path: str,
+    threshold: float = NEAR_EST_THRESHOLD,
+) -> DataFrame:
+    """Per-batch dedup scan: flag delta docs duplicating the INDEXED corpus.
+
+    Output ``(doc_id, dup_kind, match_id, score)`` — the
+    ``corpus_prep.incremental_dedup`` contract, produced from index state
+    alone: exact matches via the digest join (score 1.0, lowest matching
+    ex_id), near matches via band-bucket candidates scored by MinHash
+    signature agreement (>= ``threshold``; best score wins, ties to the
+    lowest ex_id; exact-matched docs are excluded from the near scan).
+
+    Run this BEFORE ``append_dedup_index`` (scan-then-append ingest order);
+    scanning after appending would report every delta doc's own appended
+    twin rows as matches.
+    """
+    spark = delta.sparkSession
+    idx = read_dedup_index(spark, path)
+    # the exact/candidate/score branches each reuse the delta's signature
+    # tables; persist them so the shingle-explode + min-agg runs once per
+    # batch (O(delta) memory — the index side is never persisted)
+    d = {k: v.persist() for k, v in signature_tables(delta).items()}
+
+    exact = (
+        idx["digests"]
+        .select(F.col("doc_id").alias("ex_id"), "h")
+        .join(F.broadcast(d["digests"]), "h")
+        .filter(F.col("ex_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("ex_id").alias("match_id"))
+        .select(
+            "doc_id",
+            F.lit("exact").alias("dup_kind"),
+            "match_id",
+            F.lit(1.0).alias("score"),
+        )
+        # referenced by the near scan's exclusion AND the final union:
+        # persisting caps the index digests/ scan at one pass per batch
+        .persist()
+    )
+
+    cands = _delta_candidates(idx["bands"], d["bands"])
+    # candidates are delta-bounded: broadcast them into the sigs joins so
+    # the (large) index sigs table is probed, never shuffled
+    scored = (
+        idx["sigs"]
+        .select(F.col("doc_id").alias("ex_id"), F.col("sig").alias("_se"))
+        .join(F.broadcast(cands), "ex_id")
+        .join(
+            F.broadcast(
+                d["sigs"].select("doc_id", F.col("sig").alias("_sd"))
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "score",
+            _rd(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_se"), F.col("_sd"), lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / F.lit(float(dedup.MINHASH_K)),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .join(F.broadcast(exact.select("doc_id")), "doc_id", "left_anti")
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("ex_id").asc()
+    )
+    near = (
+        scored.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.lit("near").alias("dup_kind"),
+            F.col("ex_id").alias("match_id"),
+            "score",
+        )
+    )
+    return exact.unionByName(near)
+
+
+def scan_delta_sql(
+    existing: str, delta: str, threshold: float = NEAR_EST_THRESHOLD
+) -> str:
+    """DuckDB oracle twin of ``scan_delta``: the same result computed from
+    scratch over ``existing``/``delta`` relations (each ``(doc_id, text)``)
+    — what the index materializes, recomputed the slow way. Keeps the whole
+    operator cross-engine verifiable even though the Spark side reads
+    parquet state."""
+    k = dedup.MINHASH_K
+    rows = dedup.LSH_ROWS
+    corpus = (
+        f"(SELECT doc_id, text FROM {existing} "
+        f"UNION ALL SELECT doc_id, text FROM {delta})"
+    )
+    return f"""
+WITH {dedup.minhash_sql(corpus).strip().rstrip(',')},
+bands AS (
+    SELECT doc_id, band,
+           md5(array_to_string(sig[band * {rows} + 1 : band * {rows} + {rows}], ',')) AS bucket
+    FROM signatures, (SELECT unnest(generate_series(0, {dedup.LSH_BANDS - 1})) AS band)
+),
+delta_ids AS (SELECT doc_id FROM {delta}),
+exact AS (
+    SELECT d.doc_id, 'exact' AS dup_kind, min(e.doc_id) AS match_id,
+           1.0 AS score
+    FROM {delta} d
+    JOIN {existing} e ON md5(d.text) = md5(e.text) AND e.doc_id <> d.doc_id
+    GROUP BY d.doc_id
+),
+cands AS (
+    SELECT DISTINCT d.doc_id, e.doc_id AS ex_id
+    FROM bands d
+    JOIN bands e ON d.band = e.band AND d.bucket = e.bucket
+                AND e.doc_id <> d.doc_id
+    WHERE d.doc_id IN (SELECT doc_id FROM delta_ids)
+      AND e.doc_id NOT IN (SELECT doc_id FROM delta_ids)
+),
+scored AS (
+    SELECT c.doc_id, c.ex_id,
+           floor((CAST(len([i FOR i IN generate_series(1, {k})
+                            IF sd.sig[i] = se.sig[i]]) AS DOUBLE) / {k})
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM cands c
+    JOIN signatures sd ON sd.doc_id = c.doc_id
+    JOIN signatures se ON se.doc_id = c.ex_id
+),
+near AS (
+    SELECT doc_id, 'near' AS dup_kind, ex_id AS match_id, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, ex_id ASC
+        ) AS rn
+        FROM scored
+        WHERE score >= {threshold}
+          AND doc_id NOT IN (SELECT doc_id FROM exact)
+    )
+    WHERE rn = 1
+)
+SELECT * FROM exact UNION ALL SELECT * FROM near
+"""
