@@ -61,6 +61,13 @@ def run(argv: list[str] | None = None) -> dict:
         "recall-vs-candidate-volume knob this verb exists to tune",
     )
     p.add_argument(
+        "--n-probe",
+        type=int,
+        default=similarity.IVF_PROBE,
+        help="recall, ivf only: cells probed per query — the IVF "
+        "recall-vs-candidate-volume knob, like --probe-radius for lsh",
+    )
+    p.add_argument(
         "--n-queries",
         type=int,
         default=20,
@@ -178,6 +185,7 @@ def _run_maintenance(spark, args) -> dict:
                 args.k,
                 args.n_queries,
                 args.probe_radius,
+                args.n_probe,
             ),
         }
     else:  # append
@@ -208,6 +216,7 @@ def _measure_recall(
     k: int,
     n_queries: int,
     probe_radius: int = similarity.PROBE_RADIUS,
+    n_probe: int = similarity.IVF_PROBE,
 ) -> dict:
     # probe the index the way a user queries it; ground truth is exact
     # cosine over the index's OWN vectors, so drift/occupancy decay shows
@@ -226,7 +235,9 @@ def _measure_recall(
         vectors = bucketed.select("vec_id", "embedding")
     else:
         index = similarity.read_ivf_index(spark, path)
-        approx = similarity.ivf_topk(None, k, n_queries, index=index)
+        approx = similarity.ivf_topk(
+            None, k, n_queries, n_probe=n_probe, index=index
+        )
         vectors = index[0].select("vec_id", "embedding")
     exact = similarity.cosine_topk(vectors, k, n_queries)
     return similarity.recall_at_k(approx, exact)

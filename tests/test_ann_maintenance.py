@@ -239,6 +239,21 @@ def test_recall_cli_reads_materialized_index(spark, corpus, tmp_path):
     assert report["min_recall"] <= report["recall"]
 
 
+def test_recall_cli_ivf_n_probe_monotone(spark, corpus, tmp_path):
+    # probing every cell makes IVF exact over the index's own vectors, so
+    # recall must be 1.0 there and no lower than at the default probe count
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job
+
+    path = str(tmp_path / "recall_ivf")
+    similarity.build_ivf_index(corpus, path, n_cells=8, n_iters=2)
+    args = ["--op", "recall", "--output-path", path, "--k", "3",
+            "--n-queries", "10", "--mode", "ivf"]
+    r_default = build_ann_index_job.run(args + ["--n-probe", "2"])
+    r_all = build_ann_index_job.run(args + ["--n-probe", "8"])
+    assert r_all["recall"] == 1.0
+    assert r_default["recall"] <= r_all["recall"]
+
+
 def test_stats_expose_occupancy_and_skew(spark, corpus, tmp_path):
     lsh = str(tmp_path / "stats_lsh")
     ivf = str(tmp_path / "stats_ivf")
