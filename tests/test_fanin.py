@@ -436,3 +436,172 @@ def test_fanin_stream_completion_timeout_and_parity(spark, tmp_path):
         df.select(F.to_json(F.struct(*sorted(df.columns))).alias("j")).collect()
     )
     assert canon(stream_typed) == canon(batch_typed)
+
+
+def _start_fanin(spark, indir, outdir, chk, *, event_time=False, timeout_ms=300_000):
+    """Start one fan-in query over ``indir`` into a json file sink with a
+    checkpoint. A fresh query object per call: restarting from the same
+    ``checkpointLocation`` is exactly the failure-recovery path a long-lived
+    cluster job takes, so the state store (not the query object) must carry
+    the half-assembled conversations."""
+    schema = fanin.FRAGMENT_IN_TS if event_time else fanin.FRAGMENT_IN
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = (
+        fanin.fanin_stream_event_time(stream, timeout_ms=timeout_ms,
+                                      watermark_delay="10 seconds")
+        if event_time
+        else fanin.fanin_stream(stream, timeout_ms=timeout_ms)
+    )
+    return (
+        out.writeStream.format("json")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+
+def _read_out(spark, outdir):
+    return {
+        r["tag"]: r
+        for r in spark.read.schema(fanin.ASSEMBLED_OUT).json(str(outdir)).collect()
+    }
+
+
+def _wait_for_tags(spark, outdir, want, deadline_s=60):
+    end = time.time() + deadline_s
+    while time.time() < end:
+        got = set(_read_out(spark, outdir))
+        if want <= got:
+            return
+        time.sleep(0.5)
+    raise AssertionError(f"tags {want} never reached the sink (got {got})")
+
+
+def _wait_input_committed(q, n_rows, deadline_s=60):
+    """Wait until >= n_rows have been READ and a later (empty) batch has
+    completed — at that point the data batch's state + sink commit is
+    durable in the checkpoint, so a hard stop cannot lose it."""
+    end = time.time() + deadline_s
+    while time.time() < end:
+        progresses = q.recentProgress
+        total = sum(p["numInputRows"] for p in progresses)
+        if total >= n_rows and progresses and progresses[-1]["numInputRows"] == 0:
+            return
+        time.sleep(0.5)
+    raise AssertionError(f"{n_rows} input rows never committed")
+
+
+def test_fanin_state_survives_checkpoint_restart(spark, tmp_path):
+    """Half-assembled per-key state must survive a stop/restart from the
+    checkpoint, and the file sink's commit log must keep output exactly-once
+    across the restart. The reference holds this state in Flink's
+    checkpointed keyed window backend (`TwitterStreamTypeWindowTrigger`
+    state lives in the job's checkpoint); the Spark equivalent is the state
+    store under ``checkpointLocation``. At cluster scale restarts are
+    routine, so this is a scale-correctness property, not an edge case."""
+    indir = tmp_path / "frags"
+    indir.mkdir()
+    outdir = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    # phase A: tag 10 incomplete (status + linkedTweet), tag 11 complete
+    with open(indir / "a.json", "w") as f:
+        for fr in [
+            frag("10", "status", _status("10")),
+            frag("10", "linkedTweet", [ENT]),
+            frag("11", "status", _status("11")),
+            frag("11", "linkedTweet", [ENT]),
+            frag("11", "resource", [RES]),
+            frag("11", "decodedLocation", LOC),
+        ]:
+            f.write(json.dumps(fr) + "\n")
+    q = _start_fanin(spark, indir, outdir, chk)
+    try:
+        _wait_for_tags(spark, outdir, {"11"})
+    finally:
+        q.stop()
+    assert set(_read_out(spark, outdir)) == {"11"}, (
+        "incomplete tag must stay in state, not emit"
+    )
+
+    # phase B: restart from the same checkpoint; the REST of tag 10 arrives
+    with open(indir / "b.json", "w") as f:
+        for fr in [
+            frag("10", "linkedTweet", [ENT]),
+            frag("10", "resource", [RES]),
+            frag("10", "decodedLocation", LOC),
+        ]:
+            f.write(json.dumps(fr) + "\n")
+    q = _start_fanin(spark, indir, outdir, chk)
+    try:
+        _wait_for_tags(spark, outdir, {"10"})
+    finally:
+        q.stop()
+    out = _read_out(spark, outdir)
+    assert sorted(out) == ["10", "11"], (
+        "each tag exactly once across the restart (sink commit log + "
+        "completion purge)"
+    )
+    assert out["10"]["is_partial"] is False
+    # one entity arrived BEFORE the restart, one after: both present proves
+    # the accumulated fragments crossed the restart via the state store
+    assert len(out["10"]["entities_json"]) == 2
+
+
+def _frag_ts(tag, stream_type, payload, ts_iso):
+    d = frag(tag, stream_type, payload)
+    d["ts"] = ts_iso
+    return d
+
+
+def test_fanin_deadline_survives_checkpoint_restart(spark, tmp_path):
+    """The one-shot deadline must survive a restart. Event-time mode makes
+    this deterministic on the DATA (no wall-clock races): the deadline is
+    min(ts)+timeout, the timer fires when the checkpointed WATERMARK passes
+    it, so a key whose deadline is crossed by data arriving after recovery
+    emits its partial exactly once — and orphans purge without emitting."""
+    indir = tmp_path / "frags"
+    indir.mkdir()
+    outdir = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    t0 = "2026-01-01T00:00:00.000Z"
+    # tag 20: status only; tag 21: orphan (no status). timeout 15 s,
+    # watermark delay 10 s -> timer fires once watermark > t0+15s,
+    # i.e. once max seen ts > t0+25s.
+    with open(indir / "a.json", "w") as f:
+        f.write(json.dumps(_frag_ts("20", "status", _status("20"), t0)) + "\n")
+        f.write(json.dumps(_frag_ts("21", "linkedTweet", [ENT], t0)) + "\n")
+    q = _start_fanin(spark, indir, outdir, chk, event_time=True, timeout_ms=15_000)
+    try:
+        _wait_input_committed(q, 2)
+    finally:
+        q.stop()
+    assert _read_out(spark, outdir) == {}, (
+        "watermark has not passed the deadline: nothing may emit yet"
+    )
+
+    # restart; a fragment 100 s later pushes the watermark past the deadline
+    with open(indir / "b.json", "w") as f:
+        f.write(
+            json.dumps(
+                _frag_ts("22", "status", _status("22"), "2026-01-01T00:01:40.000Z")
+            )
+            + "\n"
+        )
+    q = _start_fanin(spark, indir, outdir, chk, event_time=True, timeout_ms=15_000)
+    try:
+        _wait_for_tags(spark, outdir, {"20"})
+    finally:
+        q.stop()
+    out = _read_out(spark, outdir)
+    assert out["20"]["is_partial"] is True, (
+        "deadline crossed after recovery must fire the partial"
+    )
+    assert "21" not in out, "orphan must purge silently after restart too"
