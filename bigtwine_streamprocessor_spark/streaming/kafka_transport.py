@@ -109,8 +109,15 @@ class KafkaTopic:
     def append_lines(self, lines: list[str]) -> None:
         kafka_append(self.bootstrap, self.name, lines, self._factory)
 
-    def line_writer(self):
-        """Picklable foreachPartition sink: rows with a ``value`` column."""
+    def line_writer(self, fname_prefix: str | None = None):
+        """Picklable foreachPartition sink: rows with a ``value`` column.
+
+        ``fname_prefix`` is accepted for contract parity with
+        ``FileTopic.line_writer`` and ignored: on Kafka, replay dedup is the
+        broker's job — run the producer with ``enable.idempotence=true`` (or
+        a transactional producer keyed by query+epoch) to get the same
+        effectively-exactly-once guarantee the file transport derives from
+        deterministic publish names."""
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:
@@ -118,9 +125,16 @@ class KafkaTopic:
 
         return write
 
-    def envelope_writer(self, out_topic: str, chunk: int | None = None):
+    def envelope_writer(
+        self,
+        out_topic: str,
+        chunk: int | None = None,
+        fname_prefix: str | None = None,
+    ):
         """Picklable foreachPartition sink: rows with an ``item`` JSON column
-        -> one request envelope per partition (or per ``chunk`` items)."""
+        -> one request envelope per partition (or per ``chunk`` items).
+        ``fname_prefix`` accepted for FileTopic parity, ignored (see
+        ``line_writer``)."""
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:

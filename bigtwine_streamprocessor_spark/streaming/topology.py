@@ -244,14 +244,16 @@ def start_topology(
         bdf = batch_df.persist()
         try:
             bdf.select(F.explode(q1_frag_lines).alias("value")).foreachPartition(
-                topics["fragments"].line_writer()
+                topics["fragments"].line_writer(f"q1-e{epoch_id}")
             )
             bdf.select(
                 F.to_json(
                     F.struct(F.col("id").alias("tag"), F.col("text"))
                 ).alias("item")
             ).foreachPartition(
-                topics["ner-requests"].envelope_writer(reply("ner-responses"))
+                topics["ner-requests"].envelope_writer(
+                    reply("ner-responses"), fname_prefix=f"q1-e{epoch_id}"
+                )
             )
             bdf.filter(has_loc).select(
                 F.to_json(
@@ -262,7 +264,9 @@ def start_topology(
                 ).alias("item")
             ).foreachPartition(
                 topics["geodecoder-requests"].envelope_writer(
-                    reply("geodecoder-responses"), chunk=GEO_CHUNK
+                    reply("geodecoder-responses"),
+                    chunk=GEO_CHUNK,
+                    fname_prefix=f"q1-e{epoch_id}",
                 )
             )
         finally:
@@ -282,7 +286,9 @@ def start_topology(
         _resp_items_df(batch_df, NER_RESP_ITEM).select(
             F.to_json("it").alias("item")
         ).foreachPartition(
-            topics["nel-requests"].envelope_writer(reply("nel-responses"))
+            topics["nel-requests"].envelope_writer(
+                reply("nel-responses"), fname_prefix=f"q2-e{epoch_id}"
+            )
         )
 
     q2_query = (
@@ -321,7 +327,7 @@ def start_topology(
                         )
                     )
                 ).alias("value")
-            ).foreachPartition(topics["fragments"].line_writer())
+            ).foreachPartition(topics["fragments"].line_writer(f"q3-e{epoch_id}"))
             items.filter(F.size(_linked_tokens) > 0).select(
                 F.to_json(
                     F.struct(
@@ -331,7 +337,8 @@ def start_topology(
                 ).alias("item")
             ).foreachPartition(
                 topics["linkresolver-requests"].envelope_writer(
-                    reply("linkresolver-responses")
+                    reply("linkresolver-responses"),
+                    fname_prefix=f"q3-e{epoch_id}",
                 )
             )
         finally:
@@ -363,7 +370,7 @@ def start_topology(
         )
         _resp_items_df(batch_df, RESOLVER_RESP_ITEM).select(
             _frag_json(F.col("it.tag"), "resource", res_payload).alias("value")
-        ).foreachPartition(topics["fragments"].line_writer())
+        ).foreachPartition(topics["fragments"].line_writer(f"q4-e{epoch_id}"))
 
     q4_query = (
         topics["linkresolver-responses"].read_stream(spark)
@@ -386,7 +393,7 @@ def start_topology(
             _frag_json(F.col("it.tag"), "decodedLocation", loc_payload).alias(
                 "value"
             )
-        ).foreachPartition(topics["fragments"].line_writer())
+        ).foreachPartition(topics["fragments"].line_writer(f"q5-e{epoch_id}"))
 
     q5_query = (
         topics["geodecoder-responses"].read_stream(spark)
@@ -416,7 +423,7 @@ def start_topology(
             F.to_json(F.struct(F.col("payload"), F.col("is_partial"))).alias(
                 "value"
             )
-        ).foreachPartition(topics["results"].line_writer())
+        ).foreachPartition(topics["results"].line_writer(f"q6-e{epoch_id}"))
 
     q6_query = (
         final.writeStream.foreachBatch(q6)

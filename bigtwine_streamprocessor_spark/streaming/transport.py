@@ -38,40 +38,80 @@ from pyspark.sql import functions as F
 from ..services_local import CATEGORIES, LEXICON, LINK_PREFIX, THUMB_PREFIX
 
 
-def append_lines_to_dir(topic_dir: str, lines: list[str]) -> None:
+def append_lines_to_dir(
+    topic_dir: str, lines: list[str], fname: str | None = None
+) -> None:
     """Atomically publish JSON lines into a topic directory.
 
     Module-level and lock-free (uuid filenames cannot collide) so it is
     picklable into ``foreachPartition`` closures and safe to call
     concurrently from many executor Python workers.
+
+    With ``fname`` the publish is IDEMPOTENT: the caller supplies a name
+    that is deterministic for its unit of work (the topology uses
+    ``{query}-e{epoch}-p{partition}``), so a micro-batch replayed after a
+    crash/restart — or a retried task — republishes onto the SAME name and
+    is skipped if it already landed. That upgrades the foreachBatch sink
+    from Spark's at-least-once floor to effectively exactly-once, the
+    file-transport analog of a transactional/idempotent Kafka producer.
+    (The temp name stays unique per attempt; ``os.replace`` is atomic, so
+    a lost race leaves exactly one complete file with one attempt's bytes.)
     """
     if not lines:
         return
+    target_name = f"{fname}.json" if fname else None
+    if target_name and os.path.exists(os.path.join(topic_dir, target_name)):
+        return  # replayed epoch / retried task: already published
     tmp_dir = os.path.join(
         os.path.dirname(topic_dir), f".tmp-{os.path.basename(topic_dir)}"
     )
     os.makedirs(tmp_dir, exist_ok=True)
-    fname = f"{os.getpid()}-{uuid.uuid4().hex}.json"
-    tmp = os.path.join(tmp_dir, fname)
+    attempt = f"{os.getpid()}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(tmp_dir, attempt)
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
-    os.replace(tmp, os.path.join(topic_dir, fname))
+    os.replace(tmp, os.path.join(topic_dir, target_name or attempt))
 
 
-def dir_line_writer(topic_dir: str):
+def _partition_fname(fname_prefix: str | None) -> str | None:
+    """Deterministic per-partition publish name (inside a Spark task)."""
+    if fname_prefix is None:
+        return None
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    return f"{fname_prefix}-p{pid}"
+
+
+def dir_line_writer(topic_dir: str, fname_prefix: str | None = None):
     """foreachPartition sink: rows with a ``value`` column -> topic lines.
-    The Kafka twin is ``KafkaTopic.line_writer`` (same contract)."""
+    The Kafka twin is ``KafkaTopic.line_writer`` (same contract).
+    ``fname_prefix`` (e.g. ``q3-e17``) makes epoch replays idempotent —
+    see ``append_lines_to_dir``."""
 
     def write(rows) -> None:
-        append_lines_to_dir(topic_dir, [r["value"] for r in rows])
+        append_lines_to_dir(
+            topic_dir,
+            [r["value"] for r in rows],
+            fname=_partition_fname(fname_prefix),
+        )
 
     return write
 
 
-def dir_envelope_writer(topic_dir: str, out_topic: str, chunk: int | None = None):
+def dir_envelope_writer(
+    topic_dir: str,
+    out_topic: str,
+    chunk: int | None = None,
+    fname_prefix: str | None = None,
+):
     """foreachPartition sink: rows with an ``item`` JSON column -> one request
     envelope per partition (or per ``chunk`` items, e.g. 15 for the
-    geo-decoder, `TwitterStreamJob.java:300`)."""
+    geo-decoder, `TwitterStreamJob.java:300`). ``fname_prefix`` dedupes
+    epoch replays by publish name (envelopes carry a fresh requestId per
+    attempt, so name-level — not content-level — dedup is what keeps a
+    replayed request batch single-shot)."""
 
     def write(rows) -> None:
         items = [json.loads(r["item"]) for r in rows]
@@ -79,7 +119,9 @@ def dir_envelope_writer(topic_dir: str, out_topic: str, chunk: int | None = None
             return
         groups = chunked(items, chunk) if chunk else [items]
         append_lines_to_dir(
-            topic_dir, [make_envelope(g, out_topic) for g in groups]
+            topic_dir,
+            [make_envelope(g, out_topic) for g in groups],
+            fname=_partition_fname(fname_prefix),
         )
 
     return write
@@ -96,12 +138,19 @@ class FileTopic:
     def append_lines(self, lines: list[str]) -> None:
         append_lines_to_dir(self.dir, lines)
 
-    def line_writer(self):
-        """Picklable executor-side writer (captures only the dir path)."""
-        return dir_line_writer(self.dir)
+    def line_writer(self, fname_prefix: str | None = None):
+        """Picklable executor-side writer (captures only the dir path).
+        ``fname_prefix`` (unique per query+epoch) makes epoch replays
+        idempotent — see ``append_lines_to_dir``."""
+        return dir_line_writer(self.dir, fname_prefix)
 
-    def envelope_writer(self, out_topic: str, chunk: int | None = None):
-        return dir_envelope_writer(self.dir, out_topic, chunk)
+    def envelope_writer(
+        self,
+        out_topic: str,
+        chunk: int | None = None,
+        fname_prefix: str | None = None,
+    ):
+        return dir_envelope_writer(self.dir, out_topic, chunk, fname_prefix)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         return spark.readStream.schema("value STRING").text(self.dir)

@@ -83,3 +83,72 @@ def test_async_topology_matches_batch(spark, sf_dir, tmp_path):
         g = json.dumps(got[tag]["payload"], sort_keys=True)
         w = json.dumps(want[tag]["payload"], sort_keys=True)
         assert g == w, f"payload mismatch for tweet {tag}:\n  async={g}\n  batch={w}"
+
+
+# ---------------------------------------------------------------------------
+# Idempotent epoch-replay publish (transport-level exactly-once)
+# ---------------------------------------------------------------------------
+
+def test_named_publish_is_idempotent(tmp_path):
+    """A replayed micro-batch (same query+epoch+partition name) must land
+    exactly once — the file-transport analog of an idempotent Kafka
+    producer. The reference restarts its Flink job from checkpoints and
+    relies on broker-side semantics (`TwitterStreamJob.java:227-229`); here
+    the deterministic publish name carries the guarantee."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "requests")
+    writer = topic.line_writer(fname_prefix="q1-e7")
+    rows = [{"value": "a"}, {"value": "b"}]
+    writer(iter(rows))          # original attempt
+    writer(iter(rows))          # task retry / epoch replay
+    writer(iter([{"value": "DIFFERENT"}]))  # late replay after partial work
+    assert topic.read_all() == ["a", "b"]
+    # exactly one published file, named by (prefix, partition)
+    import os
+
+    files = [f for f in os.listdir(topic.dir) if f.endswith(".json")]
+    assert files == ["q1-e7-p0.json"]
+
+
+def test_unnamed_publish_stays_at_least_once(tmp_path):
+    """Without a name the legacy uuid path appends every call (the shape
+    service simulators rely on)."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "t")
+    topic.append_lines(["x"])
+    topic.append_lines(["x"])
+    assert topic.read_all() == ["x", "x"]
+
+
+def test_distinct_epochs_and_partitions_do_not_collide(tmp_path):
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    d = str(tmp_path / "t")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    transport.append_lines_to_dir(d, ["e0"], fname="q3-e0-p0")
+    transport.append_lines_to_dir(d, ["e1"], fname="q3-e1-p0")
+    transport.append_lines_to_dir(d, ["p1"], fname="q3-e1-p1")
+    topic = transport.FileTopic(str(tmp_path), "t")
+    assert sorted(topic.read_all()) == ["e0", "e1", "p1"]
+
+
+def test_envelope_writer_replay_single_shot(tmp_path):
+    """Envelopes mint a fresh requestId per attempt, so name-level dedup is
+    what keeps a replayed request batch single-shot."""
+    import json as _json
+
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "reqs")
+    writer = topic.envelope_writer("reply.topic", fname_prefix="q2-e3")
+    rows = [{"item": _json.dumps({"tag": "t1", "text": "hi"})}]
+    writer(iter(rows))
+    writer(iter(rows))  # replay: new requestId inside, same publish name
+    lines = topic.read_all()
+    assert len(lines) == 1
+    env = _json.loads(lines[0])
+    assert env["outputTopic"] == "reply.topic"
