@@ -33,6 +33,8 @@ proportional CONTENT and stays off the driver. Swapping the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -193,17 +195,26 @@ def start_topology(
         topics = {n: FileTopic(root, n) for n in TOPIC_NAMES}
     trig = {"processingTime": f"{trigger_s} seconds"}
 
+    # Durable "consumer offsets" for the service stand-ins: a restarted
+    # topology must not get its already-answered requests re-answered, or
+    # the duplicate responses arrive as NEW epochs and defeat the writers'
+    # idempotent replay names (see transport.ServiceSimulator).
+    offsets_dir = os.path.join(root, "_svc_offsets")
+    os.makedirs(offsets_dir, exist_ok=True)
+
+    def _sim(req_name: str, resp_name: str, fn) -> ServiceSimulator:
+        return ServiceSimulator(
+            topics[req_name],
+            topics[resp_name],
+            fn,
+            offsets_path=os.path.join(offsets_dir, f"{req_name}.log"),
+        )
+
     sims = [
-        ServiceSimulator(topics["ner-requests"], topics["ner-responses"], ner_service),
-        ServiceSimulator(topics["nel-requests"], topics["nel-responses"], nel_service),
-        ServiceSimulator(
-            topics["linkresolver-requests"],
-            topics["linkresolver-responses"],
-            resolver_service,
-        ),
-        ServiceSimulator(
-            topics["geodecoder-requests"], topics["geodecoder-responses"], geo_service
-        ),
+        _sim("ner-requests", "ner-responses", ner_service),
+        _sim("nel-requests", "nel-responses", nel_service),
+        _sim("linkresolver-requests", "linkresolver-responses", resolver_service),
+        _sim("geodecoder-requests", "geodecoder-responses", geo_service),
     ]
     for s in sims:
         s.start()

@@ -234,23 +234,53 @@ def geo_service(items: list[dict]) -> list[dict]:
 
 class ServiceSimulator(threading.Thread):
     """Polls a request topic, applies the service fn, produces responses —
-    the stand-in for one external enrichment microservice."""
+    the stand-in for one external enrichment microservice.
 
-    def __init__(self, req: FileTopic, resp: FileTopic, fn: Callable, poll_s=0.2):
+    ``offsets_path`` persists the set of processed request files across
+    simulator restarts — the file-transport analog of a Kafka consumer
+    group's committed offsets. Without it a restarted simulator re-answers
+    every request file it has ever seen, and those duplicate responses
+    arrive downstream as NEW epochs (new publish names), defeating the
+    topology's idempotent-replay guarantee. With it, restart recovery is
+    end-to-end exactly-once (pinned by
+    ``test_topology_restart_is_exactly_once``)."""
+
+    def __init__(
+        self,
+        req: FileTopic,
+        resp: FileTopic,
+        fn: Callable,
+        poll_s=0.2,
+        offsets_path: str | None = None,
+    ):
         super().__init__(daemon=True)
         self.req, self.resp, self.fn, self.poll_s = req, resp, fn, poll_s
+        self._offsets_path = offsets_path
         self._seen: set[str] = set()
-        self._stop = threading.Event()
+        if offsets_path and os.path.exists(offsets_path):
+            with open(offsets_path) as f:
+                self._seen = {ln.strip() for ln in f if ln.strip()}
+        # NOT named _stop: Thread.join() calls an internal self._stop()
+        self._halt = threading.Event()
 
     def stop(self):
-        self._stop.set()
+        self._halt.set()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             for fn_ in sorted(os.listdir(self.req.dir)):
                 if not fn_.endswith(".json") or fn_ in self._seen:
                     continue
                 self._seen.add(fn_)
+                if self._offsets_path:
+                    # commit the "offset" BEFORE producing, mirroring a
+                    # consumer that would rather drop a request on a crash
+                    # mid-handling than double-answer it after restart
+                    # (the fan-in's one-shot timeout turns a dropped reply
+                    # into a partial result, never a duplicate).
+                    with open(self._offsets_path, "a") as f:
+                        f.write(fn_ + "\n")
+                        f.flush()
                 with open(os.path.join(self.req.dir, fn_)) as f:
                     for line in f.read().splitlines():
                         if not line.strip():

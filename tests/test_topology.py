@@ -152,3 +152,105 @@ def test_envelope_writer_replay_single_shot(tmp_path):
     assert len(lines) == 1
     env = _json.loads(lines[0])
     assert env["outputTopic"] == "reply.topic"
+
+
+@pytest.mark.slow
+def test_topology_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Hard-stop the live topology mid-stream, restart it from the same
+    checkpoints/topics, and require the final result set to be EXACTLY the
+    batch golden — no lost tweets, no duplicates, no concat-doubled
+    entities. This is the integration proof of the three recovery pieces:
+    idempotent epoch-replay publish names (writers), durable service
+    "consumer offsets" (simulators), and checkpointed fan-in state
+    (`test_fanin_state_survives_checkpoint_restart` covers the unit). The
+    reference gets the analogous guarantee from Flink checkpoints plus
+    broker semantics (`TwitterStreamJob.java:227-229`)."""
+    parsed_batch = parse_tweets(
+        corpus.tweets_df(spark, sf_dir), skip_retweets=True
+    ).orderBy("id").limit(N_TWEETS).cache()
+    n = parsed_batch.count()
+
+    # several input files so the stop lands between epochs with work in
+    # flight (maxFilesPerTrigger=1 -> one epoch per file)
+    indir = tmp_path / "tweets_in"
+    indir.mkdir()
+    rows = parsed_batch.collect()
+    per_file = max(1, n // 6)
+    for i in range(0, n, per_file):
+        with open(indir / f"batch{i:04d}.json", "w") as f:
+            for r in rows[i : i + per_file]:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(parsed_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+
+    root = str(tmp_path / "topics")
+
+    # ---- first life: run until SOME results exist, then hard-stop --------
+    queries, sims, topics = topology.start_topology(
+        spark, root, make_stream(), "a-topo", timeout_ms=60_000
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if len(topics["results"].read_all()) >= 1:
+                break
+            time.sleep(0.5)
+        assert topics["results"].read_all(), "no results before the stop"
+    finally:
+        for q in queries:
+            q.stop()
+        for s in sims:
+            s.stop()
+    for s in sims:
+        s.join(timeout=10)
+
+    mid = len(topics["results"].read_all())
+    assert mid < n, "stop landed after completion; nothing left to recover"
+
+    # ---- second life: same root (checkpoints + topics + svc offsets) -----
+    queries, sims, topics = topology.start_topology(
+        spark, root, make_stream(), "a-topo", timeout_ms=60_000
+    )
+    try:
+        deadline = time.time() + 150
+        results = []
+        while time.time() < deadline:
+            results = topics["results"].read_all()
+            if len(results) >= n:
+                break
+            time.sleep(1.0)
+    finally:
+        for q in queries:
+            q.stop()
+        for s in sims:
+            s.stop()
+
+    # exactly-once: n results, one per tweet, none partial
+    assert len(results) == n, f"expected {n} results, got {len(results)}"
+    parsed_results = [json.loads(r) for r in results]
+    tags = [r["payload"]["status"]["id"] for r in parsed_results]
+    assert len(set(tags)) == n, "duplicate result for some tweet"
+    assert not any(r["is_partial"] for r in parsed_results)
+
+    # content equality with the in-process batch pipeline (duplicate
+    # fragments would concat-double entities and fail here)
+    want_df = fragments.finalize_results(
+        fanin.fanin_batch(fragments.build_fragments(parsed_batch))
+    )
+    want = {
+        r["tag"]: json.loads(r["value"])
+        for r in want_df.select(
+            F.col("tag"), F.to_json(F.struct(F.col("payload"))).alias("value")
+        ).collect()
+    }
+    got = {r["payload"]["status"]["id"]: r for r in parsed_results}
+    assert set(got) == set(want)
+    for tag in want:
+        g = json.dumps(got[tag]["payload"], sort_keys=True)
+        w = json.dumps(want[tag]["payload"], sort_keys=True)
+        assert g == w, f"payload mismatch for tweet {tag}:\n  async={g}\n  batch={w}"
