@@ -315,16 +315,22 @@ def main() -> None:
         streaming = bench_topology(spark, stream_sf)
         timings["topology_stream"] = streaming["elapsed_s"]
         # Streaming regression band (PERF.md "Streaming regression band"):
-        # r6-r7 idle steady slopes span 461-567 tweets/s. Below 400/s on an
-        # idle machine is a stated breach, not a judgment call — warn-level
-        # so the run still records.
+        # idle steady slopes are BIMODAL — a 468-567/s fast mode plus a
+        # ~1-in-3 slow mode at 366-391/s where every hop's per-batch
+        # trigger execution is uniformly ~10-25% higher (diffuse
+        # contention/GC alignment across the 6 concurrent queries; r8 A/B
+        # and per-hop probes in PERF.md). One run below 400/s is therefore
+        # a FLAG, not a breach; a regression is TWO CONSECUTIVE idle runs
+        # below 400/s. Warn-level so the run still records.
         if 0 < streaming.get("steady_tweets_per_s", 0) < 400:
             streaming["below_400_floor"] = True
             print(
                 "WARN: latency-mode steady rate "
                 f"{streaming['steady_tweets_per_s']}/s is below the 400/s "
-                "idle regression floor (r6-r7 band 461-567/s) — check load1 "
-                "before reading this as a real regression",
+                "idle floor. Check load1 first; if idle, this is the known "
+                "slow mode (366-391/s, ~1 in 3 runs) — re-run once, and "
+                "only two consecutive sub-400 idle runs count as a "
+                "regression breach (PERF.md r8 'bimodal' section)",
                 file=sys.stderr,
             )
     except Exception as exc:  # still emit the JSON line on a streaming crash
