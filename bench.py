@@ -39,6 +39,8 @@ def bench_topology(
     timeout_s: int = 300,
     max_files_per_trigger: int = 8,
     shuffle_partitions: int | None = None,
+    amplify: int = 80,
+    n_files: int = 256,
 ) -> dict:
     """End-to-end async topology throughput, measured two ways:
 
@@ -75,20 +77,27 @@ def bench_topology(
         # trigger spurts — at x40 the fan-in completion bursts still swung
         # sub-window rates 376-910 tweets/s (band_frac 0.91), too wide to
         # detect a real round-over-round regression.
-        parsed = base
-        for i in range(1, 80):
-            parsed = parsed.unionByName(
-                base.withColumn(
-                    "id", F.concat(F.col("id"), F.lit(f"_r{i}"))
-                )
+        # one explode instead of (amplify-1) chained unions: same rows,
+        # constant-depth plan (the union chain made Catalyst analysis itself
+        # a visible setup cost at high amplification)
+        rep = F.explode(F.array(*[F.lit(i) for i in range(amplify)]))
+        parsed = (
+            base.withColumn("_rep", rep)
+            .withColumn(
+                "id",
+                F.when(F.col("_rep") == 0, F.col("id")).otherwise(
+                    F.concat(F.col("id"), F.lit("_r"), F.col("_rep"))
+                ),
             )
-        parsed = parsed.cache()
+            .drop("_rep")
+            .cache()
+        )
         n = parsed.count()
         indir = os.path.join(root, "in")
         # many small files -> a continuous stream of micro-batches rather
         # than one giant batch followed by idle triggers (x80 corpus -> 256
         # files keeps ~1175 rows/trigger, same per-trigger load as r5)
-        parsed.repartition(256).write.json(indir)
+        parsed.repartition(n_files).write.json(indir)
         if shuffle_partitions is not None:
             # fresh checkpoints per run, so the stateful-op partition count
             # is free to change between bench points
@@ -205,10 +214,10 @@ def bench_topology(
             "steady_band_frac": band,
             "steady_consistency": consistency,
             "max_files_per_trigger": max_files_per_trigger,
-            "rows_per_trigger": round(n / 256 * max_files_per_trigger),
+            "rows_per_trigger": round(n / n_files * max_files_per_trigger),
             "method": "slope over the full 25%-complete..last-result region"
             " (sub-window rates kept as variance diagnostic), continuous"
-            " feed (x80 replay-amplified corpus, 256 files,"
+            f" feed (x{amplify} replay-amplified corpus, {n_files} files,"
             f" maxFilesPerTrigger={max_files_per_trigger})",
         }
     finally:
@@ -343,11 +352,16 @@ def main() -> None:
     # the shuffle-partition override can't leak into any timed entry.
     try:
         cap_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+        # x240/768 files -> 24 epochs of 32 files (the x80/256 feed gave
+        # capacity mode only 8 epochs: the run was all ramp, consistency 0.0
+        # in every record). Same ~4,700 rows/trigger as before.
         streaming_cap = bench_topology(
             spark,
             stream_sf,
             max_files_per_trigger=32,
             shuffle_partitions=cap_shuffle,
+            amplify=240,
+            n_files=768,
         )
         streaming_cap["shuffle_partitions"] = cap_shuffle
     except Exception as exc:
