@@ -115,12 +115,20 @@ def bench_topology(
             spark, os.path.join(root, "topics"), stream, "bench",
             timeout_ms=120_000,
         )
+        from bigtwine_streamprocessor_spark.streaming.transport import (
+            TopicCounter,
+        )
+
+        # incremental counter: read_all() re-reads every result file per
+        # poll (O(files^2) over the run — the sampler itself was burning a
+        # core next to the queries it measures by the ~1200-file mark)
+        results_counter = TopicCounter(topics["results"])
         samples: list[tuple[float, int]] = []
         got = 0
         try:
             deadline = time.time() + timeout_s
             while time.time() < deadline and got < n:
-                got = len(topics["results"].read_all())
+                got = results_counter.count()
                 samples.append((time.perf_counter() - t0, got))
                 time.sleep(0.25)
             elapsed = time.perf_counter() - t0

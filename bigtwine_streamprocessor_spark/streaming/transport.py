@@ -311,3 +311,29 @@ def make_envelope(items: list, out_topic: str, timeout_s: int = 15) -> str:
 
 def chunked(items: list, n: int) -> list[list]:
     return [items[i : i + n] for i in range(0, len(items), n)] or []
+
+
+class TopicCounter:
+    """Incremental line counter over a FileTopic for pollers.
+
+    ``read_all()`` in a sampling loop re-reads every file on every poll —
+    O(files^2) I/O across a run, enough to perturb the throughput being
+    measured once a topic holds ~1000 files. Topic files are immutable once
+    atomically renamed in, so counting only files not seen on a previous
+    poll is exact. Not thread-safe; one counter per polling loop.
+    """
+
+    def __init__(self, topic: FileTopic):
+        self._dir = topic.dir
+        self._seen: dict[str, int] = {}
+        self._total = 0
+
+    def count(self) -> int:
+        for fn in os.listdir(self._dir):
+            if not fn.endswith(".json") or fn in self._seen:
+                continue
+            with open(os.path.join(self._dir, fn)) as f:
+                n = sum(1 for ln in f if ln.strip())
+            self._seen[fn] = n
+            self._total += n
+        return self._total

@@ -254,3 +254,21 @@ def test_topology_restart_is_exactly_once(spark, sf_dir, tmp_path):
         g = json.dumps(got[tag]["payload"], sort_keys=True)
         w = json.dumps(want[tag]["payload"], sort_keys=True)
         assert g == w, f"payload mismatch for tweet {tag}:\n  async={g}\n  batch={w}"
+
+
+def test_topic_counter_matches_read_all(tmp_path):
+    """Incremental polling counter must agree with a full re-read at every
+    point, including across named and unnamed publishes."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "t")
+    counter = transport.TopicCounter(topic)
+    assert counter.count() == 0
+    topic.append_lines(["a", "b"])
+    assert counter.count() == len(topic.read_all()) == 2
+    transport.append_lines_to_dir(topic.dir, ["c"], fname="q1-e0-p0")
+    transport.append_lines_to_dir(topic.dir, ["dup"], fname="q1-e0-p0")  # skipped
+    assert counter.count() == len(topic.read_all()) == 3
+    topic.append_lines(["d", "e", "f"])
+    assert counter.count() == len(topic.read_all()) == 6
+    assert counter.count() == 6  # idempotent poll
