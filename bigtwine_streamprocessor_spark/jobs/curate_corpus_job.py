@@ -27,6 +27,21 @@ Stage order matters at scale: the cheap map-only gates run FIRST so every
 shuffle-bearing stage (dedup, packing) sees only surviving rows. Each stage
 is also exposed separately in the registry with its own oracle; this job is
 the glue + the funnel accounting.
+
+**Resumability** (``--workdir``): at 100 TB each funnel stage is hours of
+cluster time, and a driver crash at stage 6 must not restart the pipeline
+from the raw scan. With a workdir every stage's surviving frame is
+checkpointed to parquet with a chained JSON marker (stage row count, the
+parent stage's row count, and the funnel config); a rerun walks the chain
+and resumes at the first stage whose marker is missing or whose parent
+rows / config no longer match — everything upstream loads from parquet,
+everything downstream recomputes and overwrites. The markers make a stale
+resume structurally impossible: changing the input, the benchmark set, or
+a threshold breaks the chain at the first affected stage. The parquet
+checkpoints double as the persist points (replacing the in-memory
+persist-then-count), which is also the right call at scale — a multi-TB
+stage does not fit in executor memory, and each stage is consumed 2-4
+times downstream.
 """
 
 from __future__ import annotations
@@ -42,95 +57,217 @@ from ..operators import corpus_prep, curation, dedup
 from ..session import get_spark
 
 
+class _StageStore:
+    """Parquet checkpoints + chained markers for funnel stages (see module
+    docstring). Local paths only in this sandbox; on a cluster the workdir
+    is any Hadoop-FS URI the driver can also reach for the JSON markers."""
+
+    def __init__(self, workdir: str, config: dict):
+        self.dir = workdir
+        self.config = config
+        os.makedirs(workdir, exist_ok=True)
+
+    def _marker(self, name: str) -> str:
+        return os.path.join(self.dir, f"stage_{name}.json")
+
+    def _data(self, name: str) -> str:
+        return os.path.join(self.dir, f"stage_{name}.parquet")
+
+    def valid_meta(self, name: str, parent_rows: int) -> dict | None:
+        """The stage's marker, iff it chains onto the parent's observed row
+        count and was produced under the same funnel config."""
+        path = self._marker(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            meta = json.load(f)
+        if meta.get("parent_rows") != parent_rows:
+            return None
+        if meta.get("config") != self.config:
+            return None
+        return meta
+
+    def load(self, spark, name: str) -> DataFrame:
+        return spark.read.parquet(self._data(name))
+
+    def checkpoint(self, df: DataFrame, name: str) -> tuple[DataFrame, int]:
+        """Write the stage data; returns (parquet-backed frame, row count).
+        No marker yet — ``stamp`` lands it atomically once the stage's
+        funnel counts are final, so a crash anywhere in between leaves a
+        marker-less stage that simply recomputes, never a torn resume."""
+        df.write.mode("overwrite").parquet(self._data(name))
+        loaded = df.sparkSession.read.parquet(self._data(name))
+        return loaded, loaded.count()
+
+    def stamp(
+        self, name: str, rows: int, parent_rows: int, counts: dict
+    ) -> None:
+        meta = {
+            "stage": name,
+            "rows": rows,
+            "parent_rows": parent_rows,
+            "counts": counts,
+            "config": self.config,
+        }
+        tmp = self._marker(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, self._marker(name))
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     simhash_max_distance: int = 3,
     lsh_jaccard_threshold: float = 0.5,
+    workdir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the funnel over ``docs`` (doc_id, text, lang, source, n_chars).
 
     Returns (curated DataFrame ready to write, funnel counts dict). The
-    funnel dict is driver-side scalars only — one count per stage.
+    funnel dict is driver-side scalars only — one count per stage. With
+    ``workdir``, stages checkpoint to parquet and a rerun resumes from the
+    first invalid stage (see module docstring).
     """
+    spark = docs.sparkSession
     funnel: dict[str, int] = {"input": docs.count()}
+    store = (
+        _StageStore(
+            workdir,
+            {
+                "has_benchmark": benchmark is not None,
+                "simhash_max_distance": simhash_max_distance,
+                "lsh_jaccard_threshold": lsh_jaccard_threshold,
+            },
+        )
+        if workdir
+        else None
+    )
+    resuming = store is not None  # flips off at the first invalid marker
+    prev_rows = funnel["input"]
 
-    # Each funnel count is a natural materialization point, and every stage
-    # below consumes its predecessor 2-4 times (the count + an anti join +
-    # pair generation, or the final 4-way pack/shuffle/bucket join), so
-    # without persist points the lazy chain recomputes quality -> PII ->
-    # ... from the scan at EVERY stage — O(stages^2) total work at sf10+.
-    # The persist-then-count below caches each stage on its first full pass
-    # and drops the predecessor's cache as soon as the successor is fully
+    # Without a workdir, each funnel count is an in-memory materialization
+    # point: every stage below consumes its predecessor 2-4 times (count +
+    # anti join + pair generation, or the final 4-way pack/shuffle/bucket
+    # join), so without persist points the lazy chain recomputes quality ->
+    # PII -> ... from the scan at EVERY stage — O(stages^2) total work at
+    # sf10+. The persist-then-count caches each stage on its first full
+    # pass and drops the predecessor's cache once the successor is fully
     # materialized, keeping at most one stage's rows cached at a time.
+    # With a workdir, the parquet checkpoint IS the materialization point.
     _stale: list[DataFrame] = []
 
-    def _materialize(df: DataFrame, key: str) -> DataFrame:
-        df = df.persist()
-        funnel[key] = df.count()
+    def _stage(name: str, build, extra_counts=None) -> DataFrame:
+        """Materialize one funnel stage.
+
+        ``build``: () -> DataFrame, lazy so a resumed stage never
+        constructs its plan. ``extra_counts``: (materialized df) -> dict of
+        additional funnel scalars (computed once, stored in the marker).
+        """
+        nonlocal resuming, prev_rows
+        if store is not None:
+            if resuming:
+                meta = store.valid_meta(name, prev_rows)
+                if meta is not None:
+                    funnel.update(meta["counts"])
+                    prev_rows = meta["rows"]
+                    return store.load(spark, name)
+                resuming = False  # first broken link: recompute from here on
+            loaded, rows = store.checkpoint(build(), name)
+            counts: dict = {name: rows}
+            if extra_counts is not None:
+                counts.update(extra_counts(loaded))
+            store.stamp(name, rows, prev_rows, counts)
+            funnel.update(counts)
+            prev_rows = rows
+            return loaded
+        df = build().persist()
+        funnel[name] = df.count()
+        if extra_counts is not None:
+            funnel.update(extra_counts(df))
         while _stale:
             _stale.pop().unpersist()
         _stale.append(df)
         return df
 
     # 1. quality gate (map-only; no shuffle)
-    quality = curation.gopher_rules(docs).filter("passes").select("doc_id")
-    kept = _materialize(docs.join(quality, "doc_id", "left_semi"), "after_quality")
+    kept = _stage(
+        "after_quality",
+        lambda: docs.join(
+            curation.gopher_rules(docs).filter("passes").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ),
+    )
 
     # 2. PII redaction (map-only; keeps the cleaned text)
-    red = curation.redact_pii(kept)
-    kept = (
-        kept.drop("text")
-        .join(red.select("doc_id", "n_redactions", "text_clean"), "doc_id")
-        .withColumnRenamed("text_clean", "text")
-    ).persist()
-    funnel["redactions"] = int(
-        kept.agg(F.sum("n_redactions")).collect()[0][0] or 0
+    def _build_pii(kept=kept):
+        red = curation.redact_pii(kept)
+        return (
+            kept.drop("text")
+            .join(red.select("doc_id", "n_redactions", "text_clean"), "doc_id")
+            .withColumnRenamed("text_clean", "text")
+        )
+
+    kept = _stage(
+        "after_pii",
+        _build_pii,
+        extra_counts=lambda df: {
+            "redactions": int(df.agg(F.sum("n_redactions")).collect()[0][0] or 0)
+        },
     )
-    while _stale:  # the sum scanned every partition: cache is full
-        _stale.pop().unpersist()
-    _stale.append(kept)
 
     # 3. benchmark decontamination (broadcast gram semijoin -> anti join)
-    if benchmark is not None:
+    def _build_decontaminate(kept=kept):
+        if benchmark is None:
+            return kept
         flagged = curation.decontaminate(kept, benchmark).select("doc_id")
-        kept = kept.join(flagged, "doc_id", "left_anti")
-    kept = _materialize(kept, "after_decontaminate")
+        return kept.join(flagged, "doc_id", "left_anti")
+
+    kept = _stage("after_decontaminate", _build_decontaminate)
 
     # 4. exact dedup (digest-only shuffle)
-    kept = _materialize(dedup.dedup_exact(kept), "after_exact_dedup")
+    kept = _stage("after_exact_dedup", lambda kept=kept: dedup.dedup_exact(kept))
 
     # 5. fuzzy dedup: MinHash banded LSH -> exact Jaccard on candidate pairs
     # only (never all-pairs) -> components -> keep min doc_id per cluster
-    lsh_pairs = dedup.ngram_jaccard_pairs(kept, lsh_jaccard_threshold)
-    lsh_cc = dedup.connected_components(lsh_pairs.select("doc_a", "doc_b"))
-    lsh_drop = lsh_cc.filter(
-        F.col("cluster_id") != F.col("doc_id")
-    ).select("doc_id")
-    kept = _materialize(kept.join(lsh_drop, "doc_id", "left_anti"), "after_lsh_dedup")
+    def _build_lsh(kept=kept):
+        lsh_pairs = dedup.ngram_jaccard_pairs(kept, lsh_jaccard_threshold)
+        lsh_cc = dedup.connected_components(lsh_pairs.select("doc_a", "doc_b"))
+        lsh_drop = lsh_cc.filter(
+            F.col("cluster_id") != F.col("doc_id")
+        ).select("doc_id")
+        return kept.join(lsh_drop, "doc_id", "left_anti")
+
+    kept = _stage("after_lsh_dedup", _build_lsh)
 
     # 6. near dedup: SimHash banded-Hamming pairs over the LSH survivors ->
     # components -> keep min (catches small-edit near-dups below the shingle
     # Jaccard threshold)
-    pairs = dedup.simhash_pairs(kept, hamming_t=simhash_max_distance)
-    cc = dedup.connected_components(pairs.select("doc_a", "doc_b"))
-    drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    kept = _materialize(kept.join(drop, "doc_id", "left_anti"), "after_near_dedup")
+    def _build_near(kept=kept):
+        pairs = dedup.simhash_pairs(kept, hamming_t=simhash_max_distance)
+        cc = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+        drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+        return kept.join(drop, "doc_id", "left_anti")
+
+    kept = _stage("after_near_dedup", _build_near)
 
     # 7. paragraph dedup: drop chunks repeated across the surviving docs and
     # keep the reassembled text; docs emptied entirely are boilerplate
-    para = corpus_prep.paragraph_dedup(kept)
-    kept = _materialize(
-        kept.drop("text").join(
+    def _build_para(kept=kept):
+        para = corpus_prep.paragraph_dedup(kept)
+        return kept.drop("text").join(
             para.filter(F.col("n_kept") > 0).select(
                 "doc_id", F.col("text_kept").alias("text")
             ),
             "doc_id",
-        ),
-        "after_paragraph_dedup",
-    )
+        )
+
+    kept = _stage("after_paragraph_dedup", _build_para)
 
     # 8. pack + deterministic shuffle order + length-bucket batch layout
+    # (derived from the stage-7 frame; not checkpointed — the output write
+    # is this stage's materialization, and a crash here resumes from 7)
     packed = curation.pack_sequences(kept).select(
         "doc_id", "n_tokens", "block_id", "block_offset"
     )
@@ -165,6 +302,12 @@ def run(argv: list[str] | None = None) -> dict:
     p.add_argument("--benchmark-path", help="eval-set parquet (doc_id, text)")
     p.add_argument("--output-path", required=True)
     p.add_argument("--report-path")
+    p.add_argument(
+        "--workdir",
+        help="stage-checkpoint dir: every funnel stage lands here as "
+        "parquet + a chained marker, and a rerun resumes from the first "
+        "invalid stage instead of the raw scan",
+    )
     args = p.parse_args(argv)
 
     import time
@@ -175,7 +318,7 @@ def run(argv: list[str] | None = None) -> dict:
         spark.read.parquet(args.benchmark_path) if args.benchmark_path else None
     )
     t0 = time.perf_counter()
-    out, funnel = curate(docs, benchmark)
+    out, funnel = curate(docs, benchmark, workdir=args.workdir)
     # partitioned by source: a reader filtering one source prunes the scan
     out.write.mode("overwrite").partitionBy("source").parquet(args.output_path)
     funnel["written"] = spark.read.parquet(args.output_path).count()

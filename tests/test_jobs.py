@@ -290,3 +290,88 @@ def test_build_ann_index_job(spark, sf_dir, tmp_path):
     assert as_set(
         similarity.ivf_topk(None, 5, 10, n_cells=8, n_iters=1, index=idx)
     ) == as_set(similarity.ivf_topk(emb, 5, 10, n_cells=8, n_iters=1))
+
+
+def test_curate_corpus_job_resumes_from_workdir(spark, sf_dir, tmp_path):
+    """Stage-checkpointed funnel (--workdir): a rerun loads every valid
+    stage from parquet instead of recomputing (markers chain on parent row
+    counts + config), an invalidated stage recomputes only the suffix, and
+    every variant produces the identical funnel and output."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.jobs import curate_corpus_job
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    src = tmp_path / "in"
+    docs.write.parquet(str(src))
+    out = tmp_path / "out"
+    wd = tmp_path / "wd"
+
+    def data_mtime(stage: str) -> float:
+        d = str(wd / f"stage_{stage}.parquet")
+        return max(
+            _os.path.getmtime(_os.path.join(d, f)) for f in _os.listdir(d)
+        )
+
+    args = [
+        "--input-path", str(src),
+        "--output-path", str(out),
+        "--workdir", str(wd),
+    ]
+    funnel_a = curate_corpus_job.run(args)
+    assert funnel_a["after_paragraph_dedup"] == funnel_a["written"]
+    stages = [
+        "after_quality",
+        "after_pii",
+        "after_decontaminate",
+        "after_exact_dedup",
+        "after_lsh_dedup",
+        "after_near_dedup",
+        "after_paragraph_dedup",
+    ]
+    for s in stages:
+        assert (wd / f"stage_{s}.json").exists(), f"missing marker {s}"
+    mtimes_a = {s: data_mtime(s) for s in stages}
+    rows_a = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    )
+
+    # full resume: no stage recomputes, same funnel counts, same output
+    funnel_b = curate_corpus_job.run(args)
+    assert {k: funnel_b[k] for k in funnel_a if k != "wall_s"} == {
+        k: funnel_a[k] for k in funnel_a if k != "wall_s"
+    }
+    for s in stages:
+        assert data_mtime(s) == mtimes_a[s], f"stage {s} recomputed on resume"
+
+    # invalidate the near-dedup marker: suffix recomputes, prefix does not
+    _os.remove(wd / "stage_after_near_dedup.json")
+    funnel_c = curate_corpus_job.run(args)
+    assert {k: funnel_c[k] for k in funnel_a if k != "wall_s"} == {
+        k: funnel_a[k] for k in funnel_a if k != "wall_s"
+    }
+    for s in stages[:5]:
+        assert data_mtime(s) == mtimes_a[s], f"prefix stage {s} recomputed"
+    for s in stages[5:]:
+        assert data_mtime(s) > mtimes_a[s], f"suffix stage {s} not recomputed"
+    rows_c = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    )
+    assert rows_c == rows_a
+
+    # config change breaks the whole chain (markers pin the funnel config)
+    meta = _json.load(open(wd / "stage_after_quality.json"))
+    assert meta["config"]["lsh_jaccard_threshold"] == 0.5
+    docs2 = curate_corpus_job.curate(
+        spark.read.parquet(str(src)), lsh_jaccard_threshold=0.6, workdir=str(wd)
+    )[1]
+    assert data_mtime("after_quality") > mtimes_a["after_quality"], (
+        "config change must invalidate the chain from the first stage"
+    )
+    assert docs2["after_quality"] == funnel_a["after_quality"]
