@@ -102,11 +102,20 @@ def build_dedup_index(
     _write_index_meta(docs.sparkSession, path, _index_meta_dict())
 
 
-def append_dedup_index(delta: DataFrame, path: str) -> None:
+def append_dedup_index(
+    delta: DataFrame, path: str, subdir: str | None = None
+) -> None:
     """Append a delta's signatures to an existing index — O(delta), the
     corpus is never re-read. Refuses to append under a missing or mismatched
     sketch-parameter sidecar (a silent family mix would corrupt every
-    future probe's candidate set)."""
+    future probe's candidate set).
+
+    With ``subdir`` (e.g. ``delta-e17``) the delta lands as an OVERWRITE of
+    ``<table>/<subdir>/`` instead of a bare append — the idempotent shape a
+    streaming ingester needs: a replayed micro-batch re-lands on the same
+    epoch-keyed directory instead of doubling every signature row.
+    ``read_dedup_index`` reads the nested layout transparently
+    (recursiveFileLookup) and ``compact_dedup_index`` flattens it."""
     meta = read_index_meta(delta.sparkSession, path)
     if meta is None:
         raise ValueError(
@@ -120,7 +129,15 @@ def append_dedup_index(delta: DataFrame, path: str) -> None:
             f"{meta}, current module expects {expect}; rebuild instead "
             "of appending"
         )
-    _write_tables(signature_tables(delta), path, None, mode="append")
+    tables = signature_tables(delta)
+    if subdir is None:
+        _write_tables(tables, path, None, mode="append")
+        return
+    for name, df in tables.items():
+        key = "bucket" if name == "bands" else "doc_id"
+        df.repartition(F.col(key)).sortWithinPartitions(key).write.mode(
+            "overwrite"
+        ).parquet(f"{path.rstrip('/')}/{name}/{subdir}")
 
 
 def _write_tables(
@@ -140,7 +157,14 @@ def _write_tables(
 
 def read_dedup_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     root = path.rstrip("/")
-    return {name: spark.read.parquet(f"{root}/{name}") for name in _TABLES}
+    # recursiveFileLookup: epoch-keyed append subdirs (see append_dedup_index)
+    # read transparently; flat layouts are unaffected
+    return {
+        name: spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{root}/{name}"
+        )
+        for name in _TABLES
+    }
 
 
 def dedup_index_stats(spark: SparkSession, path: str) -> dict:
@@ -182,7 +206,7 @@ def compact_dedup_index(
         sub = _staged_compact(
             spark,
             f"{path.rstrip('/')}/{name}",
-            lambda s, p: s.read.parquet(p),
+            lambda s, p: s.read.option("recursiveFileLookup", "true").parquet(p),
             write_clustered,
         )
         for k in report:
@@ -210,6 +234,7 @@ def scan_delta(
     delta: DataFrame,
     path: str,
     threshold: float = NEAR_EST_THRESHOLD,
+    exclude_file_substr: str | None = None,
 ) -> DataFrame:
     """Per-batch dedup scan: flag delta docs duplicating the INDEXED corpus.
 
@@ -223,9 +248,21 @@ def scan_delta(
     Run this BEFORE ``append_dedup_index`` (scan-then-append ingest order);
     scanning after appending would report every delta doc's own appended
     twin rows as matches.
+
+    ``exclude_file_substr`` drops index files whose path contains the
+    substring — a replaying streaming batch passes its own epoch subdir so
+    a crash AFTER its index append cannot make the rescan see the batch's
+    own rows and flag every surviving doc as a duplicate of itself.
     """
     spark = delta.sparkSession
     idx = read_dedup_index(spark, path)
+    if exclude_file_substr:
+        idx = {
+            k: v.withColumn("_f", F.input_file_name())
+            .filter(~F.col("_f").contains(exclude_file_substr))
+            .drop("_f")
+            for k, v in idx.items()
+        }
     # the exact/candidate/score branches each reuse the delta's signature
     # tables; persist them so the shingle-explode + min-agg runs once per
     # batch (O(delta) memory — the index side is never persisted)
@@ -356,3 +393,65 @@ near AS (
 )
 SELECT * FROM exact UNION ALL SELECT * FROM near
 """
+
+
+def near_within(
+    delta: DataFrame, threshold: float = NEAR_EST_THRESHOLD
+) -> DataFrame:
+    """Flag delta docs near-duplicating a LOWER-doc_id doc in the SAME batch.
+
+    ``scan_delta`` only probes the INDEXED corpus; two near-dups arriving in
+    one micro-batch would both survive it and both enter the index. This is
+    the intra-batch complement: band-bucket candidates within the delta
+    (``ex_id < doc_id`` so the lower id is always the survivor), scored by
+    MinHash signature agreement like the index scan. Pairwise-greedy rather
+    than connected components — a doc linked only to an already-flagged doc
+    still drops, which is the conservative (dedup-harder) side and keeps
+    the per-batch plan free of the iterative-components loop.
+
+    Output ``(doc_id, dup_kind='near_batch', match_id, score)``.
+    """
+    d = signature_tables(delta)
+    bands = d["bands"]
+    cands = (
+        bands.select(F.col("doc_id").alias("ex_id"), "band", "bucket")
+        .join(bands.select("doc_id", "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("ex_id") < F.col("doc_id"))
+        .select("doc_id", "ex_id")
+        .distinct()
+    )
+    sigs = d["sigs"]
+    scored = (
+        sigs.select(F.col("doc_id").alias("ex_id"), F.col("sig").alias("_se"))
+        .join(cands, "ex_id")
+        .join(sigs.select("doc_id", F.col("sig").alias("_sd")), "doc_id")
+        .withColumn(
+            "score",
+            _rd(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_se"), F.col("_sd"), lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / F.lit(float(dedup.MINHASH_K)),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("ex_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.lit("near_batch").alias("dup_kind"),
+            F.col("ex_id").alias("match_id"),
+            "score",
+        )
+    )
