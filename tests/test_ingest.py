@@ -196,3 +196,30 @@ def test_near_within_flags_lower_id_survivor(spark, sf_dir, tmp_path):
         assert r["doc_id"] >= 1_000_000, "lower doc_id must survive"
         assert r["match_id"] == r["doc_id"] - 1_000_000
         assert r["score"] == 1.0
+
+
+def test_ingest_scan_plans_are_scale_safe(spark, sf_dir, tmp_path):
+    """Plan audit for the per-batch path: no cartesian product, no
+    row-at-a-time Python, and the DELTA side broadcasts into the index
+    joins (the index side must never shuffle — it is the 100 TB side)."""
+    docs = _docs(spark, sf_dir, 0, 2)
+    idx = str(tmp_path / "idx")
+    dedup_index.build_dedup_index(docs, idx)
+    delta = _docs(spark, sf_dir, 2, 3).limit(50)
+
+    for name, df in (
+        ("scan_delta", dedup_index.scan_delta(delta, idx)),
+        ("near_within", dedup_index.near_within(delta)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    scan_plan = (
+        dedup_index.scan_delta(delta, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in scan_plan, (
+        "index probes must broadcast the delta side"
+    )
