@@ -57,6 +57,32 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(corpus_dir)
 
 
+def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
+    """Flatten the epoch-subdir corpus into source-clustered files.
+
+    Thousands of ingest epochs mean thousands of small parquet deltas —
+    the classic streaming small-file problem. Staged rewrite-verify-swap
+    (same machinery as the index compactions), clustered by ``source`` so
+    a source-filtered read prunes row groups. Run only on a QUIESCED
+    ingester: committed epochs short-circuit on their ledger markers so
+    compaction never changes replay behavior, but an in-flight epoch's
+    delta directory would be swept into the rewrite mid-write. At real
+    scale this is a transactional table-format rewrite."""
+    from ..operators.similarity import _staged_compact
+
+    def write_clustered(src: DataFrame, staging: str) -> None:
+        src.repartition(F.col("source")).sortWithinPartitions(
+            "source", "doc_id"
+        ).write.mode("overwrite").parquet(staging)
+
+    return _staged_compact(
+        spark,
+        corpus_dir,
+        lambda s, pth: s.read.option("recursiveFileLookup", "true").parquet(pth),
+        write_clustered,
+    )
+
+
 def read_ledger(ledger_dir: str) -> list[dict]:
     out = []
     for fn in sorted(os.listdir(ledger_dir)) if os.path.isdir(ledger_dir) else []:

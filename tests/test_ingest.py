@@ -223,3 +223,40 @@ def test_ingest_scan_plans_are_scale_safe(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in scan_plan, (
         "index probes must broadcast the delta side"
     )
+
+
+def test_compact_corpus_flattens_epoch_deltas(spark, sf_dir, tmp_path):
+    """Compaction rewrites the epoch-subdir corpus into fewer
+    source-clustered files with identical rows; a later batch still
+    dedupes against it (the index is untouched)."""
+    out = str(tmp_path / "out")
+    corpus_dir, index_dir, ledger_dir = (
+        os.path.join(out, d) for d in ("corpus", "dedup_index", "ledger")
+    )
+    ingest_corpus_job.ingest_batch(
+        _docs(spark, sf_dir, 0, 2), 0, corpus_dir, index_dir, ledger_dir
+    )
+    ingest_corpus_job.ingest_batch(
+        _docs(spark, sf_dir, 2, 3), 1, corpus_dir, index_dir, ledger_dir
+    )
+    before = ingest_corpus_job.read_corpus(spark, corpus_dir)
+    rows_before = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+
+    report = ingest_corpus_job.compact_corpus(spark, corpus_dir)
+    assert report["rows"] == len(rows_before)
+    assert report["files_after"] < report["files_before"]
+    after = ingest_corpus_job.read_corpus(spark, corpus_dir)
+    assert (
+        sorted(r["doc_id"] for r in after.select("doc_id").collect())
+        == rows_before
+    )
+
+    # a verbatim replay batch after compaction still fully dedupes
+    dup = _docs(spark, sf_dir, 0, 2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(40_000_000)
+    )
+    c2 = ingest_corpus_job.ingest_batch(
+        dup, 2, corpus_dir, index_dir, ledger_dir
+    )
+    assert c2["written"] == 0
+    assert c2["dropped_exact_vs_corpus"] == c2["after_quality_and_batch_dedup"]
