@@ -226,7 +226,14 @@ def start_ingest(
 
 def run(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="ingest-corpus-job")
-    p.add_argument("--input-dir", required=True, help="arriving documents")
+    p.add_argument(
+        "--op",
+        choices=["ingest", "compact"],
+        default="ingest",
+        help="ingest = run the streaming ingester; compact = flatten the "
+        "corpus epoch deltas + the dedup index (quiesced ingester only)",
+    )
+    p.add_argument("--input-dir", help="arriving documents (ingest op)")
     p.add_argument("--out-root", required=True)
     p.add_argument("--input-format", choices=["json", "parquet"], default="json")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
@@ -239,6 +246,17 @@ def run(argv: list[str] | None = None) -> dict:
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="ingest-corpus")
+    if args.op == "compact":
+        report = {
+            "corpus": compact_corpus(spark, os.path.join(args.out_root, "corpus")),
+            "dedup_index": dedup_index.compact_dedup_index(
+                spark, os.path.join(args.out_root, "dedup_index")
+            ),
+        }
+        print(json.dumps(report))
+        return report
+    if not args.input_dir:
+        p.error("--input-dir is required for --op ingest")
     q = start_ingest(
         spark,
         args.input_dir,
