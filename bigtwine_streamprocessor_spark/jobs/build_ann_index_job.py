@@ -30,9 +30,81 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from ..operators import similarity
 from ..session import get_spark
+
+
+def append_stream_batch(
+    batch_df, epoch_id: int, index_path: str, mode: str, ledger_dir: str
+) -> dict | None:
+    """One micro-batch of arriving embeddings -> epoch-keyed index append.
+
+    Exactly-once by the ingest-job discipline: the append is an OVERWRITE
+    of ``delta-e<N>/`` (a replayed epoch re-lands on the same directory),
+    and the ledger marker lands atomically last (a committed epoch's
+    replay short-circuits here). Returns the batch counts, or None for a
+    committed-epoch replay."""
+    marker = os.path.join(ledger_dir, f"batch-e{epoch_id:06d}.json")
+    if os.path.exists(marker):
+        return None
+    os.makedirs(ledger_dir, exist_ok=True)
+    counts = {"epoch": epoch_id, "vectors": batch_df.count()}
+    if counts["vectors"]:
+        subdir = f"delta-e{epoch_id}"
+        if mode == "lsh":
+            similarity.append_to_bucketized(
+                batch_df, index_path, subdir=subdir
+            )
+        else:
+            similarity.append_to_ivf_index(batch_df, index_path, subdir=subdir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(counts, f)
+    os.replace(tmp, marker)
+    return counts
+
+
+def start_stream_append(
+    spark,
+    input_dir: str,
+    index_path: str,
+    stream_root: str,
+    mode: str = "lsh",
+    max_files_per_trigger: int = 8,
+    trigger_s: int = 1,
+):
+    """Maintain a live ANN index from continuously-arriving embedding
+    parquet files (the streaming twin of ``--op append``). The index must
+    already exist (its sidecar pins plane count / frozen centroids);
+    ``stream_root`` holds the Spark checkpoint and the batch ledger —
+    OUTSIDE the index dir, so compaction (which rewrites the index dir
+    wholesale) can never destroy replay protection."""
+    # recursive: arrivals are often parquet DIRECTORIES (a writer's output
+    # dir per delivery), not bare files
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    ledger_dir = os.path.join(stream_root, "ledger")
+
+    def _batch(bdf, epoch_id: int) -> None:
+        append_stream_batch(bdf, epoch_id, index_path, mode, ledger_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(stream_root, "_chk"))
+        .trigger(processingTime=f"{trigger_s} seconds")
+        .start()
+    )
 
 
 def run(argv: list[str] | None = None) -> dict:
@@ -46,11 +118,25 @@ def run(argv: list[str] | None = None) -> dict:
     p.add_argument("--mode", choices=["lsh", "ivf"], default="lsh")
     p.add_argument(
         "--op",
-        choices=["build", "append", "compact", "stats", "recall"],
+        choices=["build", "append", "compact", "stats", "recall", "stream"],
         default="build",
         help="build a fresh index, append a delta to one, compact a "
-        "layout's files, report occupancy stats, or measure probe "
-        "recall@k against exact ground truth on a query sample",
+        "layout's files, report occupancy stats, measure probe "
+        "recall@k against exact ground truth on a query sample, or "
+        "stream-append continuously-arriving embedding files "
+        "(exactly-once epoch-keyed appends; see --input-dir/--stream-root)",
+    )
+    p.add_argument(
+        "--input-dir", help="stream op: dir where embedding parquet arrives"
+    )
+    p.add_argument(
+        "--stream-root",
+        help="stream op: checkpoint + ledger dir (outside the index)",
+    )
+    p.add_argument(
+        "--run-until-idle",
+        action="store_true",
+        help="stream op: process everything currently arrived, then stop",
     )
     p.add_argument("--k", type=int, default=5, help="recall: neighbors per query")
     p.add_argument(
@@ -100,6 +186,24 @@ def run(argv: list[str] | None = None) -> dict:
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="build-ann-index")
+
+    if args.op == "stream":
+        if not args.input_dir or not args.stream_root:
+            p.error("--input-dir and --stream-root are required for --op stream")
+        kind = _index_kind(spark, args.output_path, args.mode)
+        q = start_stream_append(
+            spark, args.input_dir, args.output_path, args.stream_root, kind
+        )
+        if args.run_until_idle:
+            q.processAllAvailable()
+            q.stop()
+        else:  # pragma: no cover - service mode
+            q.awaitTermination()
+        ledger_dir = os.path.join(args.stream_root, "ledger")
+        batches = sorted(os.listdir(ledger_dir)) if os.path.isdir(ledger_dir) else []
+        report = {"op": "stream", "mode": kind, "batches": len(batches)}
+        print(json.dumps(report))
+        return report
 
     if args.op != "build":
         return _run_maintenance(spark, args)

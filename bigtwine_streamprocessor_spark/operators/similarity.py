@@ -382,6 +382,7 @@ def append_to_bucketized(
     path: str,
     n_bits: int | None = None,
     n_files: int | None = None,
+    subdir: str | None = None,
 ) -> None:
     """Delta ingest for a ``bucketize_corpus`` layout — the maintenance half
     of the ingest-time index story. At 100 TB an index is never rebuilt for
@@ -399,7 +400,15 @@ def append_to_bucketized(
     Each append adds >=1 file per touched bucket; see
     ``compact_bucketized`` for the periodic rewrite that keeps file counts
     bounded, and ``bucketized_stats`` for the occupancy/skew signal that
-    says when ``n_bits`` itself needs to grow (a rebuild)."""
+    says when ``n_bits`` itself needs to grow (a rebuild).
+
+    ``subdir`` (e.g. ``delta-e17``) makes the append replay-IDEMPOTENT for
+    a streaming ingester: the delta lands as an OVERWRITE of
+    ``<path>/<subdir>/`` so a replayed epoch re-lands on the same directory
+    instead of doubling rows. Flat layout only — the Hive layout's
+    top-level ``bucket=`` partition dirs cannot nest epoch dirs without
+    breaking partition discovery; a streaming ingester uses the flat
+    layout and periodic compaction (which flattens the epoch dirs)."""
     spark = emb_delta.sparkSession
     meta = read_index_meta(spark, path)
     if meta is not None:
@@ -417,6 +426,20 @@ def append_to_bucketized(
                 "explicitly (it must match the value the index was built with)"
             )
         layout = "hive" if _is_hive_bucket_layout(spark, path) else "flat"
+    if subdir is not None:
+        if layout != "flat":
+            raise ValueError(
+                "epoch-subdir appends require the flat layout; the hive "
+                "layout's bucket= partition dirs cannot nest epoch dirs"
+            )
+        _write_bucket_clustered(
+            _bucketed(emb_delta, n_bits),
+            f"{path.rstrip('/')}/{subdir}",
+            "flat",
+            n_files,
+            mode="overwrite",
+        )
+        return
     _write_bucket_clustered(
         _bucketed(emb_delta, n_bits), path, layout, n_files, mode="append"
     )
@@ -437,7 +460,17 @@ def read_bucketized(spark, path: str) -> DataFrame:
     Hive-partitioned one ``bucket`` comes back as a partition column
     (cast to the ``_bucketed`` int type so downstream joins are
     type-identical), which is what makes bucket-probe joins prunable."""
-    df = spark.read.parquet(path)
+    meta = read_index_meta(spark, path)
+    hive = (meta or {}).get("layout") == "hive" or (
+        meta is None and _is_hive_bucket_layout(spark, path)
+    )
+    # flat layouts read recursively so streaming epoch subdirs (see
+    # append_to_bucketized) are transparent; hive keeps partition discovery
+    df = (
+        spark.read.parquet(path)
+        if hive
+        else spark.read.option("recursiveFileLookup", "true").parquet(path)
+    )
     cols = ["vec_id", "embedding", F.col("bucket").cast("int").alias("bucket"), "nrm"]
     return df.select(*cols)
 
@@ -535,7 +568,10 @@ def compact_ivf_index(spark, path: str, n_files: int | None = None) -> dict:
         )
 
     return _staged_compact(
-        spark, corpus_dir, lambda s, p: s.read.parquet(p), write_clustered
+        spark,
+        corpus_dir,
+        lambda s, p: s.read.option("recursiveFileLookup", "true").parquet(p),
+        write_clustered,
     )
 
 
@@ -958,13 +994,18 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     accepted by ``ivf_topk`` via ``index=`` so queries skip quantizer
     training and corpus scoring entirely."""
     return (
-        spark.read.parquet(f"{path}/corpus"),
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{path}/corpus"
+        ),
         spark.read.parquet(f"{path}/centroids"),
     )
 
 
 def append_to_ivf_index(
-    emb_delta: DataFrame, path: str, n_files: int | None = None
+    emb_delta: DataFrame,
+    path: str,
+    n_files: int | None = None,
+    subdir: str | None = None,
 ) -> None:
     """Delta ingest for a ``build_ivf_index`` layout: assign the delta to its
     nearest cell under the index's FROZEN centroids (read back from the
@@ -991,6 +1032,12 @@ def append_to_ivf_index(
         if n_files is not None
         else delta.repartition(F.col("cell"))
     )
+    if subdir is not None:
+        # replay-idempotent epoch-keyed overwrite (see append_to_bucketized)
+        delta.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+            f"{path}/corpus/{subdir}"
+        )
+        return
     delta.sortWithinPartitions("cell").write.mode("append").parquet(
         f"{path}/corpus"
     )

@@ -271,3 +271,91 @@ def test_stats_expose_occupancy_and_skew(spark, corpus, tmp_path):
     assert 1 <= s["n_cells"] <= 16
     assert s["skew"] >= 1.0
     assert similarity.read_index_meta(spark, ivf)["kind"] == "ivf"
+
+
+def test_lsh_epoch_subdir_append_is_idempotent(spark, corpus, tmp_path):
+    """The streaming append shape: an epoch-keyed subdir append replayed
+    twice lands once, equals the plain append row-for-row, and rejects the
+    hive layout (whose partition dirs cannot nest epochs)."""
+    base, delta = _halves(corpus)
+    flat = str(tmp_path / "flat")
+    similarity.bucketize_corpus(base, flat, n_bits=6)
+    similarity.append_to_bucketized(delta, flat, subdir="delta-e3")
+    similarity.append_to_bucketized(delta, flat, subdir="delta-e3")  # replay
+    got = similarity.read_bucketized(spark, flat)
+    ref = str(tmp_path / "ref")
+    similarity.bucketize_corpus(base, ref, n_bits=6)
+    similarity.append_to_bucketized(delta, ref)
+    want = similarity.read_bucketized(spark, ref)
+    assert _as_set(got) == _as_set(want)
+
+    hive = str(tmp_path / "hive")
+    similarity.bucketize_corpus(base, hive, n_bits=6, partition_by_bucket=True)
+    with pytest.raises(ValueError, match="flat layout"):
+        similarity.append_to_bucketized(delta, hive, subdir="delta-e0")
+
+
+def test_ivf_epoch_subdir_append_is_idempotent(spark, corpus, tmp_path):
+    base, delta = _halves(corpus)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, n_cells=8, n_iters=2)
+    similarity.append_to_ivf_index(delta, idx, subdir="delta-e1")
+    similarity.append_to_ivf_index(delta, idx, subdir="delta-e1")  # replay
+    got, _ = similarity.read_ivf_index(spark, idx)
+    assert got.count() == corpus.count()
+    assert got.select("vec_id").distinct().count() == corpus.count()
+
+
+def test_stream_append_maintains_index_exactly_once(spark, corpus, tmp_path):
+    """Arriving embedding files stream-append into a live LSH index with a
+    per-epoch ledger; the final index equals a batch rebuild, a committed
+    epoch's replay is a no-op, and a partial-commit replay (marker
+    deleted) re-lands identically."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    base, delta = _halves(corpus)
+    idx = str(tmp_path / "idx")
+    similarity.bucketize_corpus(base, idx, n_bits=6)
+    indir = tmp_path / "arrive"
+    indir.mkdir()
+    d1 = delta.filter(F.col("vec_id") % 2 == 0)
+    d2 = delta.filter(F.col("vec_id") % 2 == 1)
+    d1.coalesce(1).write.parquet(str(indir / "f1.parquet"))
+    d2.coalesce(1).write.parquet(str(indir / "f2.parquet"))
+
+    stream_root = str(tmp_path / "sr")
+    q = job.start_stream_append(
+        spark, str(indir), idx, stream_root, mode="lsh",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # materialize once: later epoch-dir overwrites invalidate this frame's
+    # cached file listing (fresh reads stay valid)
+    got = _as_set(similarity.read_bucketized(spark, idx))
+    ref = str(tmp_path / "ref")
+    similarity.bucketize_corpus(base, ref, n_bits=6)
+    similarity.append_to_bucketized(delta, ref)
+    assert got == _as_set(similarity.read_bucketized(spark, ref))
+
+    ledger = os.path.join(stream_root, "ledger")
+    markers = sorted(os.listdir(ledger))
+    assert len(markers) >= 2
+
+    # committed replay: no-op
+    assert (
+        job.append_stream_batch(d1, 0, idx, "lsh", ledger) is None
+    )
+    # partial-commit replay: marker deleted -> re-lands identically
+    os.remove(os.path.join(ledger, markers[0]))
+    c = job.append_stream_batch(d1, 0, idx, "lsh", ledger)
+    assert c is not None and c["vectors"] == d1.count()
+    assert _as_set(similarity.read_bucketized(spark, idx)) == got
+
+    # compaction flattens the epoch dirs without changing rows
+    rep = similarity.compact_bucketized(spark, idx)
+    assert rep["rows"] == corpus.count()
+    assert _as_set(similarity.read_bucketized(spark, idx)) == got
