@@ -37,7 +37,12 @@ from ..session import get_spark
 
 
 def append_stream_batch(
-    batch_df, epoch_id: int, index_path: str, mode: str, ledger_dir: str
+    batch_df,
+    epoch_id: int,
+    index_path: str,
+    mode: str,
+    ledger_dir: str,
+    neardup_threshold: float | None = None,
 ) -> dict | None:
     """One micro-batch of arriving embeddings -> epoch-keyed index append.
 
@@ -49,10 +54,30 @@ def append_stream_batch(
     marker = os.path.join(ledger_dir, f"batch-e{epoch_id:06d}.json")
     if os.path.exists(marker):
         return None
+    if neardup_threshold is not None and mode != "lsh":
+        raise ValueError(
+            "near-dup suppression needs the LSH bucket layout; the IVF "
+            "index has no bucket probe"
+        )
     os.makedirs(ledger_dir, exist_ok=True)
     counts = {"epoch": epoch_id, "vectors": batch_df.count()}
     if counts["vectors"]:
         subdir = f"delta-e{epoch_id}"
+        if neardup_threshold is not None:
+            # drop arrivals near-duplicating the indexed corpus BEFORE the
+            # append; exclude this epoch's own subdir so a partial-commit
+            # replay re-lands identically (same rule as the doc ingester)
+            flags = similarity.scan_delta_neardup(
+                batch_df,
+                index_path,
+                threshold=neardup_threshold,
+                exclude_file_substr=f"/{subdir}/",
+            )
+            batch_df = batch_df.join(
+                flags.select("vec_id"), "vec_id", "left_anti"
+            )
+            counts["appended"] = batch_df.count()
+            counts["dropped_neardup"] = counts["vectors"] - counts["appended"]
         if mode == "lsh":
             similarity.append_to_bucketized(
                 batch_df, index_path, subdir=subdir
@@ -74,6 +99,7 @@ def start_stream_append(
     mode: str = "lsh",
     max_files_per_trigger: int = 8,
     trigger_s: int = 1,
+    neardup_threshold: float | None = None,
 ):
     """Maintain a live ANN index from continuously-arriving embedding
     parquet files (the streaming twin of ``--op append``). The index must
@@ -97,7 +123,9 @@ def start_stream_append(
     ledger_dir = os.path.join(stream_root, "ledger")
 
     def _batch(bdf, epoch_id: int) -> None:
-        append_stream_batch(bdf, epoch_id, index_path, mode, ledger_dir)
+        append_stream_batch(
+            bdf, epoch_id, index_path, mode, ledger_dir, neardup_threshold
+        )
 
     return (
         stream.writeStream.foreachBatch(_batch)
@@ -137,6 +165,13 @@ def run(argv: list[str] | None = None) -> dict:
         "--run-until-idle",
         action="store_true",
         help="stream op: process everything currently arrived, then stop",
+    )
+    p.add_argument(
+        "--neardup-threshold",
+        type=float,
+        default=None,
+        help="stream op, lsh only: drop arrivals whose cosine vs an indexed "
+        "vector meets this threshold (near-dup suppression at ingest)",
     )
     p.add_argument("--k", type=int, default=5, help="recall: neighbors per query")
     p.add_argument(
@@ -192,7 +227,12 @@ def run(argv: list[str] | None = None) -> dict:
             p.error("--input-dir and --stream-root are required for --op stream")
         kind = _index_kind(spark, args.output_path, args.mode)
         q = start_stream_append(
-            spark, args.input_dir, args.output_path, args.stream_root, kind
+            spark,
+            args.input_dir,
+            args.output_path,
+            args.stream_root,
+            kind,
+            neardup_threshold=args.neardup_threshold,
         )
         if args.run_until_idle:
             q.processAllAvailable()

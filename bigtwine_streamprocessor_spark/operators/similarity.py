@@ -1195,3 +1195,80 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def scan_delta_neardup(
+    emb_delta: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    probe_radius: int = PROBE_RADIUS,
+    exclude_file_substr: str | None = None,
+) -> DataFrame:
+    """Flag delta vectors near-duplicating the INDEXED corpus — the
+    embedding analog of ``dedup_index.scan_delta``, for an ingester that
+    suppresses near-duplicate embeddings before appending them.
+
+    Candidates come from multiprobing the DELTA side's buckets (radius
+    ``probe_radius``) against the materialized ``bucketize_corpus`` layout;
+    the delta side is ``broadcast()`` so the index side never shuffles, and
+    per-task work is one index partition x the (small) broadcast delta —
+    an index mega-bucket spreads across its own partitions, so the
+    self-join's salting machinery is unnecessary here. Exact cosine on
+    candidates only.
+
+    ``exclude_file_substr`` drops index files whose path contains the
+    substring (a replaying streaming batch passes its own ``/delta-e<N>/``
+    so a crash after its append cannot flag its survivors against
+    themselves). Output: ``(vec_id, match_id, cos)`` — the best (highest
+    cosine, lowest id) indexed near-dup per flagged delta vector."""
+    spark = emb_delta.sparkSession
+    meta = read_index_meta(spark, path)
+    if not meta or meta.get("n_bits") is None:
+        raise ValueError(
+            f"index at {path} has no n_bits sidecar; build it with "
+            "bucketize_corpus before scanning deltas against it"
+        )
+    n_bits = meta["n_bits"]
+    idx = read_bucketized(spark, path)
+    if exclude_file_substr:
+        # input_file_name must be read BEFORE the select in read_bucketized
+        # narrows columns... it survives projection, so filter here is fine
+        idx = (
+            idx.withColumn("_f", F.input_file_name())
+            .filter(~F.col("_f").contains(exclude_file_substr))
+            .drop("_f")
+        )
+    d = _bucketed(emb_delta, n_bits)
+    probes = d.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+        F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias(
+            "bucket"
+        ),
+    )
+    cos = _rd(
+        _dot(F.col("d_emb"), F.col("embedding"))
+        / (F.col("d_nrm") * F.col("nrm")),
+        COS_ROUND,
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("d_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+    )
+    from pyspark.sql import Window as W
+
+    best = W.partitionBy("d_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("d_id").alias("vec_id"),
+            F.col("vec_id").alias("match_id"),
+            "cos",
+        )
+    )

@@ -359,3 +359,61 @@ def test_stream_append_maintains_index_exactly_once(spark, corpus, tmp_path):
     rep = similarity.compact_bucketized(spark, idx)
     assert rep["rows"] == corpus.count()
     assert _as_set(similarity.read_bucketized(spark, idx)) == got
+
+
+def test_stream_append_suppresses_neardups_at_ingest(spark, corpus, tmp_path):
+    """With --neardup-threshold, arriving vectors that near-duplicate the
+    indexed corpus are dropped before the append; fresh vectors land. The
+    partial-commit replay stays identical (own-epoch exclusion)."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    base, delta = _halves(corpus)
+    idx = str(tmp_path / "idx")
+    similarity.bucketize_corpus(base, idx, n_bits=6)
+
+    # arrivals: verbatim copies of indexed vectors (cos 1.0) + far vectors
+    dup = base.limit(30).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    fresh = delta.limit(20).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x + F.lit(100.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    arrive = dup.unionByName(fresh)
+    ledger = str(tmp_path / "ledger")
+
+    c = job.append_stream_batch(arrive, 0, idx, "lsh", ledger, 0.95)
+    assert c["vectors"] == 50
+    assert c["dropped_neardup"] == 30, "all verbatim copies must drop"
+    assert c["appended"] == 20
+    got = similarity.read_bucketized(spark, idx)
+    assert got.count() == base.count() + 20
+    assert got.filter(F.col("vec_id") >= 100_000).count() == 0
+
+    # partial-commit replay: marker gone, epoch dir present -> identical
+    os.remove(os.path.join(ledger, "batch-e000000.json"))
+    c2 = job.append_stream_batch(arrive, 0, idx, "lsh", ledger, 0.95)
+    assert c2["appended"] == 20
+    assert similarity.read_bucketized(spark, idx).count() == base.count() + 20
+
+    # IVF has no bucket probe: suppression must refuse loudly
+    with pytest.raises(ValueError, match="LSH"):
+        job.append_stream_batch(arrive, 1, idx, "ivf", ledger, 0.95)
+
+
+def test_scan_delta_neardup_flags_best_match(spark, corpus, tmp_path):
+    base, _ = _halves(corpus)
+    idx = str(tmp_path / "idx")
+    similarity.bucketize_corpus(base, idx, n_bits=6)
+    probe = base.limit(5).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    flags = similarity.scan_delta_neardup(probe, idx, threshold=0.99)
+    rows = {r["vec_id"]: r for r in flags.collect()}
+    assert set(rows) == {r["vec_id"] for r in probe.collect()}
+    for vid, r in rows.items():
+        assert r["cos"] == 1.0
+        # ties broken by lowest indexed id; the original is among matches
+        assert r["match_id"] < 500_000
