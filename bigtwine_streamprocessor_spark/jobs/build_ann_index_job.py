@@ -245,6 +245,8 @@ def run(argv: list[str] | None = None) -> dict:
         print(json.dumps(report))
         return report
 
+    if args.op == "compact":
+        _guard_compact_replay_safety(args)
     if args.op != "build":
         return _run_maintenance(spark, args)
 
@@ -284,6 +286,42 @@ def run(argv: list[str] | None = None) -> dict:
         }
     print(json.dumps(report))
     return report
+
+
+def _guard_compact_replay_safety(args) -> None:
+    """Refuse to compact while stream-append epoch dirs exist that the
+    ledger cannot prove committed: flattening a replayable delta-e<N>/
+    breaks the replay's own-epoch exclusion and duplicates its rows.
+    Batch-append indexes (no epoch dirs) are unaffected."""
+    epoch_dirs: set[int] = set()
+    for sub in ("", "corpus"):
+        d = os.path.join(args.output_path, sub) if sub else args.output_path
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                if fn.startswith("delta-e"):
+                    epoch_dirs.add(int(fn[len("delta-e"):]))
+    if not epoch_dirs:
+        return
+    if not args.stream_root:
+        raise SystemExit(
+            f"refusing to compact: stream-append epoch dirs {sorted(epoch_dirs)} "
+            "exist but no --stream-root was given to check their ledger; "
+            "pass the ingester's --stream-root so committed epochs can be "
+            "verified"
+        )
+    ledger_dir = os.path.join(args.stream_root, "ledger")
+    committed: set[int] = set()
+    if os.path.isdir(ledger_dir):
+        for fn in os.listdir(ledger_dir):
+            if fn.startswith("batch-e") and fn.endswith(".json"):
+                committed.add(int(fn[len("batch-e"):-len(".json")]))
+    pending = sorted(epoch_dirs - committed)
+    if pending:
+        raise SystemExit(
+            f"refusing to compact: epochs {pending} have delta dirs but no "
+            "ledger marker (a restarted stream would replay them, and "
+            "compaction would turn that replay into duplicate rows)"
+        )
 
 
 def _index_kind(spark, path: str, fallback: str) -> str:

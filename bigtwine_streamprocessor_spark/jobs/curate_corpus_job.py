@@ -57,6 +57,18 @@ from ..operators import corpus_prep, curation, dedup
 from ..session import get_spark
 
 
+def _fingerprint(df: DataFrame) -> dict:
+    """Order-independent content fingerprint: (row count, sum of per-row
+    xxhash64 over doc_id+text). One map-only scan + scalar agg."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: exact, order-independent, and immune to the ANSI
+        # long-overflow a bigint sum of 64-bit hashes hits immediately
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return {"n": int(row["n"] or 0), "h": str(row["h"] or 0)}
+
+
 class _StageStore:
     """Parquet checkpoints + chained markers for funnel stages (see module
     docstring). Local paths only in this sandbox; on a cluster the workdir
@@ -130,19 +142,28 @@ def curate(
     first invalid stage (see module docstring).
     """
     spark = docs.sparkSession
-    funnel: dict[str, int] = {"input": docs.count()}
-    store = (
-        _StageStore(
+    if workdir:
+        # CONTENT fingerprints anchor the resume chain: a changed input or
+        # a different benchmark set must invalidate every marker, even at
+        # an identical row count (row counts alone let a same-sized
+        # replacement resume stale decontamination). One map-only agg per
+        # frame — cheap next to any funnel stage.
+        in_fp = _fingerprint(docs)
+        funnel: dict[str, int] = {"input": in_fp["n"]}
+        store = _StageStore(
             workdir,
             {
-                "has_benchmark": benchmark is not None,
+                "input_fp": in_fp,
+                "benchmark_fp": (
+                    _fingerprint(benchmark) if benchmark is not None else None
+                ),
                 "simhash_max_distance": simhash_max_distance,
                 "lsh_jaccard_threshold": lsh_jaccard_threshold,
             },
         )
-        if workdir
-        else None
-    )
+    else:
+        funnel = {"input": docs.count()}
+        store = None
     resuming = store is not None  # flips off at the first invalid marker
     prev_rows = funnel["input"]
 
@@ -181,7 +202,19 @@ def curate(
             funnel.update(counts)
             prev_rows = rows
             return loaded
-        df = build().persist()
+        df = build()
+        if _stale and df is _stale[-1]:
+            # passthrough stage (e.g. decontaminate with no benchmark):
+            # build() returned the predecessor itself. persist() would be a
+            # no-op on the already-cached plan and the unpersist below
+            # would then EVICT it — forcing the next stage to recompute
+            # the whole chain from the scan. Count against the live cache
+            # and leave it in place.
+            funnel[name] = df.count()
+            if extra_counts is not None:
+                funnel.update(extra_counts(df))
+            return df
+        df = df.persist()
         funnel[name] = df.count()
         if extra_counts is not None:
             funnel.update(extra_counts(df))

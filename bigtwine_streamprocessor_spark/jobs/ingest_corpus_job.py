@@ -83,6 +83,34 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     )
 
 
+def uncommitted_epochs(out_root: str) -> list[int]:
+    """Epoch numbers with a delta directory (corpus or index) but NO ledger
+    marker — i.e. partially-committed epochs a restart would replay.
+    Compaction must refuse while any exist: flattening a replayable
+    epoch's delta-e<N>/ breaks the replay's own-epoch exclusion AND turns
+    its re-append into a duplicate (the subdir it would overwrite is
+    gone, the rows are not)."""
+    ledger_dir = os.path.join(out_root, "ledger")
+    committed: set[int] = set()
+    if os.path.isdir(ledger_dir):
+        for fn in os.listdir(ledger_dir):
+            if fn.startswith("batch-e") and fn.endswith(".json"):
+                committed.add(int(fn[len("batch-e"):-len(".json")]))
+    found: set[int] = set()
+    for sub in (
+        "corpus",
+        "dedup_index/digests",
+        "dedup_index/sigs",
+        "dedup_index/bands",
+    ):
+        d = os.path.join(out_root, sub)
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                if fn.startswith("delta-e"):
+                    found.add(int(fn[len("delta-e"):]))
+    return sorted(found - committed)
+
+
 def read_ledger(ledger_dir: str) -> list[dict]:
     out = []
     for fn in sorted(os.listdir(ledger_dir)) if os.path.isdir(ledger_dir) else []:
@@ -123,46 +151,68 @@ def ingest_batch(
             "left_semi",
         )
         # 2a. intra-batch exact dedup (keep min doc_id per digest)
-        kept = dedup.dedup_exact(kept)
+        kept = dedup.dedup_exact(kept).persist()
+        # ONE signature computation per batch (the dominant O(delta) cost:
+        # shingle explode + K-component min-agg); the intra-batch near
+        # scan, the index probe, and the index append all reuse these
+        # frames (downstream survivors = a doc_id semijoin, never a
+        # re-shingle)
+        tabs = {
+            k: v.persist()
+            for k, v in dedup_index.signature_tables(kept).items()
+        }
         # 2b. intra-batch near dedup (lower doc_id survives)
         kept = kept.join(
-            dedup_index.near_within(kept, threshold).select("doc_id"),
+            dedup_index.near_within(kept, threshold, tables=tabs).select(
+                "doc_id"
+            ),
             "doc_id",
             "left_anti",
         ).persist()
         counts["after_quality_and_batch_dedup"] = kept.count()
+        tabs = _filter_tables(tabs, kept)
 
-        have_index = (
+        # Bootstrap an EMPTY index if none exists, so every batch —
+        # including the very first — takes the epoch-subdir append path.
+        # (The old shape, build_dedup_index(kept) on batch 0, was not
+        # replay-safe: a crash before the ledger stamp left the meta
+        # sidecar behind, and the replay then saw have_index=True and
+        # re-APPENDED the same survivors under delta-e0/ — permanent
+        # duplicate signature rows.)
+        if (
             dedup_index.read_index_meta(batch_df.sparkSession, index_dir)
-            is not None
-        )
-        if have_index:
-            # 3. probe the accumulated index; exclude this epoch's own
-            # subdir so a replay after a partial commit is identical
-            # (delimited: bare "delta-e1" would also exclude delta-e10..)
-            flags = dedup_index.scan_delta(
-                kept, index_dir, threshold, exclude_file_substr=f"/{subdir}/"
-            ).persist()
-            by_kind = {
-                r["dup_kind"]: r["n"]
-                for r in flags.groupBy("dup_kind").agg(
-                    F.count("*").alias("n")
-                ).collect()
-            }
-            counts["dropped_exact_vs_corpus"] = by_kind.get("exact", 0)
-            counts["dropped_near_vs_corpus"] = by_kind.get("near", 0)
-            kept = kept.join(
-                flags.select("doc_id"), "doc_id", "left_anti"
-            ).persist()
-            flags.unpersist()
+            is None
+        ):
+            dedup_index.build_dedup_index(kept.limit(0), index_dir)
+        # 3. probe the accumulated index; exclude this epoch's own
+        # subdir so a replay after a partial commit is identical
+        # (delimited: bare "delta-e1" would also exclude delta-e10..)
+        flags = dedup_index.scan_delta(
+            kept,
+            index_dir,
+            threshold,
+            exclude_file_substr=f"/{subdir}/",
+            tables=tabs,
+        ).persist()
+        by_kind = {
+            r["dup_kind"]: r["n"]
+            for r in flags.groupBy("dup_kind").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        counts["dropped_exact_vs_corpus"] = by_kind.get("exact", 0)
+        counts["dropped_near_vs_corpus"] = by_kind.get("near", 0)
+        kept = kept.join(
+            flags.select("doc_id"), "doc_id", "left_anti"
+        ).persist()
+        flags.unpersist()
         counts["written"] = kept.count()
+        tabs = _filter_tables(tabs, kept)
 
         # 4./5. epoch-keyed overwrites: replay-idempotent by construction
-        if have_index:
-            dedup_index.append_dedup_index(kept, index_dir, subdir=subdir)
-        else:
-            # first batch bootstraps the index (build is itself an overwrite)
-            dedup_index.build_dedup_index(kept, index_dir)
+        dedup_index.append_dedup_index(
+            kept, index_dir, subdir=subdir, tables=tabs
+        )
         kept.write.mode("overwrite").parquet(
             os.path.join(corpus_dir, subdir)
         )
@@ -176,6 +226,13 @@ def ingest_batch(
         # ingester can't accumulate per-epoch cached RDDs (clearCache only
         # costs recompute — never correctness — for any co-resident caller)
         batch_df.sparkSession.catalog.clearCache()
+
+
+def _filter_tables(tables: dict, kept: DataFrame) -> dict:
+    """Signature tables restricted to the surviving docs — a doc_id
+    semijoin over the already-computed frames, never a re-shingle."""
+    ids = kept.select("doc_id")
+    return {k: v.join(ids, "doc_id", "left_semi") for k, v in tables.items()}
 
 
 def _stamp(marker: str, counts: dict) -> None:
@@ -247,6 +304,14 @@ def run(argv: list[str] | None = None) -> dict:
 
     spark = get_spark(app_name="ingest-corpus")
     if args.op == "compact":
+        pending = uncommitted_epochs(args.out_root)
+        if pending:
+            raise SystemExit(
+                f"refusing to compact: epochs {pending} have delta dirs but "
+                "no ledger marker (a restart would replay them, and "
+                "compaction would turn that replay into duplicate rows). "
+                "Resume the ingester to completion first."
+            )
         report = {
             "corpus": compact_corpus(spark, os.path.join(args.out_root, "corpus")),
             "dedup_index": dedup_index.compact_dedup_index(

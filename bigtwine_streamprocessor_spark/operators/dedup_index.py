@@ -103,7 +103,10 @@ def build_dedup_index(
 
 
 def append_dedup_index(
-    delta: DataFrame, path: str, subdir: str | None = None
+    delta: DataFrame,
+    path: str,
+    subdir: str | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> None:
     """Append a delta's signatures to an existing index — O(delta), the
     corpus is never re-read. Refuses to append under a missing or mismatched
@@ -115,7 +118,9 @@ def append_dedup_index(
     streaming ingester needs: a replayed micro-batch re-lands on the same
     epoch-keyed directory instead of doubling every signature row.
     ``read_dedup_index`` reads the nested layout transparently
-    (recursiveFileLookup) and ``compact_dedup_index`` flattens it."""
+    (recursiveFileLookup) and ``compact_dedup_index`` flattens it.
+    ``tables`` takes precomputed ``signature_tables(delta)`` so an
+    ingester pays the signature computation once per batch."""
     meta = read_index_meta(delta.sparkSession, path)
     if meta is None:
         raise ValueError(
@@ -129,7 +134,7 @@ def append_dedup_index(
             f"{meta}, current module expects {expect}; rebuild instead "
             "of appending"
         )
-    tables = signature_tables(delta)
+    tables = tables or signature_tables(delta)
     if subdir is None:
         _write_tables(tables, path, None, mode="append")
         return
@@ -235,6 +240,7 @@ def scan_delta(
     path: str,
     threshold: float = NEAR_EST_THRESHOLD,
     exclude_file_substr: str | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-batch dedup scan: flag delta docs duplicating the INDEXED corpus.
 
@@ -265,8 +271,14 @@ def scan_delta(
         }
     # the exact/candidate/score branches each reuse the delta's signature
     # tables; persist them so the shingle-explode + min-agg runs once per
-    # batch (O(delta) memory — the index side is never persisted)
-    d = {k: v.persist() for k, v in signature_tables(delta).items()}
+    # batch (O(delta) memory — the index side is never persisted).
+    # ``tables`` lets an ingester that already computed the delta's
+    # signatures (for intra-batch dedup) pass them in instead of paying
+    # the shingle explode again.
+    d = {
+        k: v.persist()
+        for k, v in (tables or signature_tables(delta)).items()
+    }
 
     exact = (
         idx["digests"]
@@ -396,7 +408,9 @@ SELECT * FROM exact UNION ALL SELECT * FROM near
 
 
 def near_within(
-    delta: DataFrame, threshold: float = NEAR_EST_THRESHOLD
+    delta: DataFrame,
+    threshold: float = NEAR_EST_THRESHOLD,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Flag delta docs near-duplicating a LOWER-doc_id doc in the SAME batch.
 
@@ -410,8 +424,9 @@ def near_within(
     the per-batch plan free of the iterative-components loop.
 
     Output ``(doc_id, dup_kind='near_batch', match_id, score)``.
+    ``tables`` takes precomputed ``signature_tables(delta)``.
     """
-    d = signature_tables(delta)
+    d = tables or signature_tables(delta)
     bands = d["bands"]
     cands = (
         bands.select(F.col("doc_id").alias("ex_id"), "band", "bucket")

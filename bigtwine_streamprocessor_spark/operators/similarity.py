@@ -781,7 +781,11 @@ def embedding_neardup_pairs(
     materialization fills the cache, the other two scans reuse it (Spark's
     CacheManager keys on the logical plan). With ``bucketed=`` (an
     ingest-time ``bucketize_corpus`` read) there is no plane-dot work to
-    amortize and the parquet scan stays uncached."""
+    amortize and the parquet scan stays uncached. The persisted frame has
+    no release point inside this function (the returned pairs are lazy);
+    a long-lived driver calling this repeatedly should
+    ``spark.catalog.clearCache()`` between calls — registry/driver runs
+    are per-session, and the ingest job already clears per batch."""
     base = bucketed if bucketed is not None else _bucketed(emb, n_bits).persist()
     n_part = int(
         base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

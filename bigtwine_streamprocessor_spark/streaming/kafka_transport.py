@@ -113,11 +113,17 @@ class KafkaTopic:
         """Picklable foreachPartition sink: rows with a ``value`` column.
 
         ``fname_prefix`` is accepted for contract parity with
-        ``FileTopic.line_writer`` and ignored: on Kafka, replay dedup is the
-        broker's job — run the producer with ``enable.idempotence=true`` (or
-        a transactional producer keyed by query+epoch) to get the same
-        effectively-exactly-once guarantee the file transport derives from
-        deterministic publish names."""
+        ``FileTopic.line_writer`` and ignored — which means the Kafka
+        transport is AT-LEAST-ONCE across foreachBatch replays, not
+        exactly-once like the file transport. ``enable.idempotence=true``
+        does NOT close the gap (producer idempotence dedups broker-level
+        retries within one producer session, not a re-executed epoch);
+        closing it needs a transactional producer keyed by query+epoch
+        committing offsets with the write, which this sandbox's fake
+        transport cannot model. Downstream, a replayed epoch's duplicate
+        status fragments are absorbed by the fan-in's last-write-wins;
+        duplicate ENTITY fragments concat (the reference's own duplicate
+        semantics, `NeelProcessedTweetWindowFunction.java:57-61`)."""
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:

@@ -417,3 +417,28 @@ def test_scan_delta_neardup_flags_best_match(spark, corpus, tmp_path):
         assert r["cos"] == 1.0
         # ties broken by lowest indexed id; the original is among matches
         assert r["match_id"] < 500_000
+
+
+def test_compact_refuses_replayable_epoch_dirs(spark, corpus, tmp_path):
+    """CLI compaction must refuse while an epoch dir lacks its ledger
+    marker — flattening it would turn the epoch's replay into duplicates."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    base, delta = _halves(corpus)
+    idx = str(tmp_path / "idx")
+    similarity.bucketize_corpus(base, idx, n_bits=6)
+    ledger = str(tmp_path / "sr" / "ledger")
+    job.append_stream_batch(delta, 0, idx, "lsh", ledger)
+    os.remove(os.path.join(ledger, "batch-e000000.json"))  # partial commit
+
+    with pytest.raises(SystemExit, match="refusing to compact"):
+        job.run(["--op", "compact", "--output-path", idx,
+                 "--stream-root", str(tmp_path / "sr")])
+    # no --stream-root at all: also refused while epoch dirs exist
+    with pytest.raises(SystemExit, match="stream-root"):
+        job.run(["--op", "compact", "--output-path", idx])
+    # once the marker is restored (committed), compaction proceeds
+    job.append_stream_batch(delta, 0, idx, "lsh", ledger)  # re-stamps
+    rep = job.run(["--op", "compact", "--output-path", idx,
+                   "--stream-root", str(tmp_path / "sr")])
+    assert rep["rows"] == corpus.count()

