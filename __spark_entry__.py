@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules saw collateral edits. New queries register outside both lists and
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
-# r8 rotation. The registry was trimmed to exactly 100 entries (four pure
+# r9 rotation (flip of r8): _GATE_FIRST = the 50 NOT sampled in r8
+# (newest green row: r7), _GATE_LAST = the 50 green in CORRECTNESS_r08.json. The registry was trimmed to exactly 100 entries (four pure
 # serialization twins merged into their surviving twin — see COVERAGE.md
 # "Gate rotation arithmetic"), so the 50-slot sample now covers the whole
 # registry in exactly 2 rounds: each round, _GATE_FIRST = the 50 queries NOT
@@ -44,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # lists, sorts mid (position 51+, outside the sample), and must be promoted
 # into _GATE_FIRST explicitly — test_gate_rotation.py fails loudly if the
 # head overflows 50 so overflow can't silently push a query out.
-_GATE_LAST = [  # all green in r7 (CORRECTNESS_r07.json, 50/50)
+_GATE_FIRST = [  # the 50 NOT sampled in r8 (newest green row: r7)
     "group_collect_entities",
     "similarity_bruteforce_topk",
     "similarity_ann_lsh",
@@ -96,7 +97,7 @@ _GATE_LAST = [  # all green in r7 (CORRECTNESS_r07.json, 50/50)
     "agg_retention_cohorts",
     "agg_funnel_steps",
 ]
-_GATE_FIRST = [  # the 50 NOT sampled in r7 (newest green row: r6)
+_GATE_LAST = [  # all green in r8 (CORRECTNESS_r08.json, 50/50)
     "neel_parsed",
     "neel_ner",
     "neel_export_challenge",
