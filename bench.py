@@ -232,10 +232,51 @@ def bench_topology(
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Load gate for the OFFICIAL record (r8 verdict task 2): the r7 and r8
+# official runs both started under heavy external load (load1 4.76 / 7.13),
+# which degraded the per-query round-over-round regression signal to noise
+# (only 23/72 entries improved in r8 despite no plan regressions). The bench
+# now refuses to start hot: it polls load1 and waits for an idle window
+# before spinning up Spark. If the machine never goes idle within the
+# budget, the run proceeds but the record is stamped "loaded": true at the
+# top level of BOTH JSON artifacts, so a load-skewed official record is
+# self-identifying and the per-query comparison knows to discount it.
+LOAD1_IDLE_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "1.5"))
+LOAD_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"))
+
+
+def _wait_for_idle() -> float:
+    """Poll load1 until it drops under LOAD1_IDLE_MAX or the budget runs out.
+
+    Returns the load1 observed at the moment the bench actually starts.
+    """
+    deadline = time.monotonic() + LOAD_WAIT_BUDGET_S
+    load1 = os.getloadavg()[0]
+    while load1 > LOAD1_IDLE_MAX and time.monotonic() < deadline:
+        print(
+            f"WARN: load1 {load1:.2f} > {LOAD1_IDLE_MAX} — waiting for an "
+            f"idle window (budget {int(deadline - time.monotonic())}s left)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(20.0)
+        load1 = os.getloadavg()[0]
+    return round(load1, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
-    load1 = round(os.getloadavg()[0], 2)
+    load1 = _wait_for_idle()
+    loaded = load1 > LOAD1_IDLE_MAX
+    if loaded:
+        print(
+            f"WARN: starting LOADED (load1 {load1} after "
+            f"{int(LOAD_WAIT_BUDGET_S)}s wait budget) — record will carry "
+            '"loaded": true; rerun idle for a comparable number',
+            file=sys.stderr,
+            flush=True,
+        )
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
@@ -387,6 +428,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "load1": load1,
+        "loaded": loaded,
         "queries": timings,
         "steady": steady,
         "streaming": streaming,
@@ -432,9 +474,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         # 1-min load average at the START of the run (captured in main()
-        # before Spark spins up): a load-skewed official run is
-        # self-identifying in the permanent BENCH_r{N}.json record.
+        # before Spark spins up, AFTER the idle-wait gate): a load-skewed
+        # official run is self-identifying in the permanent BENCH_r{N}.json
+        # record via both the value and the "loaded" flag.
         "load1": load1,
+        "loaded": loaded,
         "queries": {
             k: timings[k]
             for k in HEADLINE + ["topology_stream"]
