@@ -32,8 +32,24 @@ import argparse
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from ..operators import similarity
 from ..session import get_spark
+
+
+def _check_neardup_mode(mode: str, neardup_threshold: float | None) -> None:
+    """--neardup-threshold needs the LSH bucket layout (the IVF index has
+    no bucket probe). Validated where the index KIND is first resolved —
+    run()/start_stream_append — so the CLI fails BEFORE the stream starts
+    (the r8 shape validated per-batch inside foreachBatch: the query
+    started, created checkpoint/ledger dirs, and only failed on the first
+    non-empty batch as a StreamingQueryException)."""
+    if neardup_threshold is not None and mode != "lsh":
+        raise ValueError(
+            "near-dup suppression needs the LSH bucket layout; the IVF "
+            "index has no bucket probe"
+        )
 
 
 def append_stream_batch(
@@ -54,19 +70,32 @@ def append_stream_batch(
     marker = os.path.join(ledger_dir, f"batch-e{epoch_id:06d}.json")
     if os.path.exists(marker):
         return None
-    if neardup_threshold is not None and mode != "lsh":
-        raise ValueError(
-            "near-dup suppression needs the LSH bucket layout; the IVF "
-            "index has no bucket probe"
-        )
+    _check_neardup_mode(mode, neardup_threshold)
     os.makedirs(ledger_dir, exist_ok=True)
     counts = {"epoch": epoch_id, "vectors": batch_df.count()}
     if counts["vectors"]:
         subdir = f"delta-e{epoch_id}"
         if neardup_threshold is not None:
-            # drop arrivals near-duplicating the indexed corpus BEFORE the
-            # append; exclude this epoch's own subdir so a partial-commit
-            # replay re-lands identically (same rule as the doc ingester)
+            # intra-batch pass FIRST (r8-advisor gap: two near-duplicate
+            # vectors arriving in the same micro-batch both survived the
+            # index-only probe): bucket self-join within the batch, lower
+            # vec_id survives — the same pairing the doc ingester runs
+            # (near_within before the index scan). Deterministic under
+            # replay: survivors depend only on the batch's content.
+            meta = similarity.read_index_meta(batch_df.sparkSession, index_path)
+            n_bits = int((meta or {}).get("n_bits", similarity.N_BITS))
+            within = similarity.embedding_neardup_pairs(
+                batch_df, neardup_threshold, n_bits=n_bits
+            )
+            batch_df = batch_df.join(
+                within.select(F.col("doc_b").alias("vec_id")).distinct(),
+                "vec_id",
+                "left_anti",
+            )
+            counts["dropped_within_batch"] = counts["vectors"] - batch_df.count()
+            # then drop survivors near-duplicating the indexed corpus;
+            # exclude this epoch's own subdir so a partial-commit replay
+            # re-lands identically (same rule as the doc ingester)
             flags = similarity.scan_delta_neardup(
                 batch_df,
                 index_path,
@@ -77,7 +106,11 @@ def append_stream_batch(
                 flags.select("vec_id"), "vec_id", "left_anti"
             )
             counts["appended"] = batch_df.count()
-            counts["dropped_neardup"] = counts["vectors"] - counts["appended"]
+            counts["dropped_neardup"] = (
+                counts["vectors"]
+                - counts["dropped_within_batch"]
+                - counts["appended"]
+            )
         if mode == "lsh":
             similarity.append_to_bucketized(
                 batch_df, index_path, subdir=subdir
@@ -107,6 +140,7 @@ def start_stream_append(
     ``stream_root`` holds the Spark checkpoint and the batch ledger —
     OUTSIDE the index dir, so compaction (which rewrites the index dir
     wholesale) can never destroy replay protection."""
+    _check_neardup_mode(mode, neardup_threshold)  # fail before the stream starts
     # recursive: arrivals are often parquet DIRECTORIES (a writer's output
     # dir per delivery), not bare files
     schema = (
@@ -146,13 +180,32 @@ def run(argv: list[str] | None = None) -> dict:
     p.add_argument("--mode", choices=["lsh", "ivf"], default="lsh")
     p.add_argument(
         "--op",
-        choices=["build", "append", "compact", "stats", "recall", "stream"],
+        choices=[
+            "build",
+            "append",
+            "compact",
+            "stats",
+            "drift",
+            "retrain",
+            "recall",
+            "stream",
+        ],
         default="build",
         help="build a fresh index, append a delta to one, compact a "
-        "layout's files, report occupancy stats, measure probe "
+        "layout's files, report occupancy stats, report per-epoch "
+        "quantizer-fit drift (ivf), recluster a drifted quantizer in "
+        "place (ivf; staged rebuild-verify-swap), measure probe "
         "recall@k against exact ground truth on a query sample, or "
         "stream-append continuously-arriving embedding files "
         "(exactly-once epoch-keyed appends; see --input-dir/--stream-root)",
+    )
+    p.add_argument(
+        "--sample-mod",
+        type=int,
+        default=1,
+        help="retrain: train centroids on a deterministic 1-in-N hash "
+        "sample of the indexed corpus (1 = full corpus; at scale Lloyd "
+        "should never scan everything)",
     )
     p.add_argument(
         "--input-dir", help="stream op: dir where embedding parquet arrives"
@@ -202,7 +255,22 @@ def run(argv: list[str] | None = None) -> dict:
         help=f"lsh plane count (build default {similarity.N_BITS}; append "
         "defaults to the index sidecar's value)",
     )
-    p.add_argument("--n-cells", type=int, default=similarity.IVF_CELLS)
+    p.add_argument(
+        "--n-tables",
+        type=int,
+        default=None,
+        help="lsh: independent OR-amplified plane families (build default 1; "
+        "recall defaults to the index sidecar's value — pass MORE than the "
+        "sidecar to sweep what an extra materialized table would buy, the "
+        "extra tables are derived on the fly)",
+    )
+    p.add_argument(
+        "--n-cells",
+        type=int,
+        default=None,
+        help=f"ivf cell count (build default {similarity.IVF_CELLS}; "
+        "retrain defaults to the index sidecar's value)",
+    )
     p.add_argument("--n-iters", type=int, default=similarity.IVF_ITERS)
     p.add_argument(
         "--n-files",
@@ -245,7 +313,9 @@ def run(argv: list[str] | None = None) -> dict:
         print(json.dumps(report))
         return report
 
-    if args.op == "compact":
+    if args.op in ("compact", "retrain"):
+        # retrain swaps the whole layout like compact does — flattening a
+        # replayable delta-e<N>/ breaks the replay's own-epoch exclusion
         _guard_compact_replay_safety(args)
     if args.op != "build":
         return _run_maintenance(spark, args)
@@ -261,26 +331,29 @@ def run(argv: list[str] | None = None) -> dict:
             n_bits=n_bits,
             n_files=args.n_files,
             partition_by_bucket=args.partition_by_bucket,
+            n_tables=args.n_tables or 1,
         )
         out = similarity.read_bucketized(spark, args.output_path)
         report = {
             "mode": "lsh",
             "n_bits": n_bits,
+            "n_tables": args.n_tables or 1,
             "vectors": out.count(),
             "buckets": out.select("bucket").distinct().count(),
         }
     else:
+        n_cells = args.n_cells or similarity.IVF_CELLS
         similarity.build_ivf_index(
             emb,
             args.output_path,
-            n_cells=args.n_cells,
+            n_cells=n_cells,
             n_iters=args.n_iters,
             n_files=args.n_files,
         )
         corpus, cents = similarity.read_ivf_index(spark, args.output_path)
         report = {
             "mode": "ivf",
-            "n_cells": args.n_cells,
+            "n_cells": n_cells,
             "vectors": corpus.count(),
             "cells": cents.count(),
         }
@@ -355,6 +428,33 @@ def _run_maintenance(spark, args) -> dict:
             "mode": kind,
             **compact(spark, args.output_path, n_files=args.n_files),
         }
+    elif args.op == "drift":
+        if kind != "ivf":
+            raise SystemExit(
+                "--op drift reads quantizer fit; only the ivf layout has a "
+                "quantizer (lsh planes are data-independent — use --op "
+                "stats/recall there)"
+            )
+        report = {
+            "op": "drift",
+            "mode": kind,
+            **similarity.ivf_drift_stats(spark, args.output_path),
+        }
+    elif args.op == "retrain":
+        if kind != "ivf":
+            raise SystemExit("--op retrain only applies to the ivf layout")
+        report = {
+            "op": "retrain",
+            "mode": kind,
+            **similarity.retrain_ivf_index(
+                spark,
+                args.output_path,
+                n_cells=args.n_cells,
+                n_iters=args.n_iters,
+                sample_mod=args.sample_mod,
+                n_files=args.n_files,
+            ),
+        }
     elif args.op == "recall":
         report = {
             "op": "recall",
@@ -368,6 +468,7 @@ def _run_maintenance(spark, args) -> dict:
                 args.n_queries,
                 args.probe_radius,
                 args.n_probe,
+                args.n_tables,
             ),
         }
     else:  # append
@@ -399,6 +500,7 @@ def _measure_recall(
     n_queries: int,
     probe_radius: int = similarity.PROBE_RADIUS,
     n_probe: int = similarity.IVF_PROBE,
+    n_tables: int | None = None,
 ) -> dict:
     # probe the index the way a user queries it; ground truth is exact
     # cosine over the index's OWN vectors, so drift/occupancy decay shows
@@ -406,6 +508,8 @@ def _measure_recall(
     if kind == "lsh":
         bucketed = similarity.read_bucketized(spark, path)
         meta = similarity.read_index_meta(spark, path) or {}
+        if n_tables is None:
+            n_tables = int(meta.get("n_tables", 1))
         approx = similarity.ann_lsh_topk(
             None,
             k,
@@ -413,6 +517,7 @@ def _measure_recall(
             n_bits=meta.get("n_bits", similarity.N_BITS),
             probe_radius=probe_radius,
             bucketed=bucketed,
+            n_tables=n_tables,
         )
         vectors = bucketed.select("vec_id", "embedding")
     else:
@@ -422,7 +527,12 @@ def _measure_recall(
         )
         vectors = index[0].select("vec_id", "embedding")
     exact = similarity.cosine_topk(vectors, k, n_queries)
-    return similarity.recall_at_k(approx, exact)
+    out = similarity.recall_at_k(approx, exact)
+    if kind == "lsh":
+        out.update({"n_tables": n_tables, "probe_radius": probe_radius})
+    else:
+        out["n_probe"] = n_probe
+    return out
 
 
 if __name__ == "__main__":

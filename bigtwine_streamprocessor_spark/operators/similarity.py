@@ -185,10 +185,23 @@ def _plane_dot(i: int) -> Column:
     )
 
 
-def bucket_col(n_bits: int) -> Column:
-    """The n_bits-bit sign-LSH bucket of ``embedding`` as an int Column."""
+def bucket_col(n_bits: int, table: int = 0) -> Column:
+    """The n_bits-bit sign-LSH bucket of ``embedding`` as an int Column.
+
+    ``table`` selects an INDEPENDENT plane family for multi-table
+    OR-amplification: table t uses global planes ``t*n_bits .. (t+1)*n_bits-1``
+    of the md5 Rademacher family, so table 0 is bit-identical to the
+    single-table layout (existing indexes and oracles unchanged) and any two
+    tables share no plane. OR-ing candidates across L tables is the standard
+    recall lever for sign-LSH on clustered data: a true neighbor split by one
+    random family is whole-bucket-colliding in another with independent
+    probability, so misses multiply out (r8 measurement: radius-widening a
+    SINGLE family bought +0.10 recall for 41x candidates; an extra table buys
+    more recall for ~2x)."""
     bits = [
-        F.when(_plane_dot(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(_plane_dot(table * n_bits + i) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
         for i in range(n_bits)
     ]
     return reduce(add, bits).cast("int")
@@ -213,9 +226,10 @@ def _plane_dot_sql(i: int, emb: str = "embedding") -> str:
     )
 
 
-def bucket_sql(n_bits: int, emb: str = "embedding") -> str:
+def bucket_sql(n_bits: int, emb: str = "embedding", table: int = 0) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_plane_dot_sql(i, emb)} >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {_plane_dot_sql(table * n_bits + i, emb)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
         for i in range(n_bits)
     )
     return f"CAST({terms} AS INT)"
@@ -269,16 +283,25 @@ def _probes_sql(n_bits: int, probe_radius: int, bucket: str = "bucket") -> str:
     )
 
 
-def _bucketed(emb: DataFrame, n_bits: int) -> DataFrame:
+def _bucket_col_names(n_tables: int) -> list[str]:
+    """Column names of the per-table bucket ids: ``bucket`` (table 0, the
+    pre-multi-table name so single-table layouts/oracles are unchanged),
+    then ``bucket_1`` .. ``bucket_{L-1}``."""
+    return ["bucket"] + [f"bucket_{t}" for t in range(1, n_tables)]
+
+
+def _guarded_bucket(n_bits: int, table: int = 0) -> Column:
     # Width guard, config-proof: under ANSI (pinned by session.get_spark,
     # and the Spark 4 default) an over-wide embedding already errors inside
     # element_at, but a non-ANSI caller-provided session (the external
     # driver builds its own) would get NULL plane components — every vector
     # silently collapses into bucket 0 (O(n^2) candidates) while the DuckDB
     # twin errors. raise_error sits in the otherwise-branch, so conforming
-    # rows pay one size() comparison.
-    bucket = F.when(
-        F.size(F.col("embedding")) <= F.lit(_MAX_PLANE_DIM), bucket_col(n_bits)
+    # rows pay one size() comparison. Applied per table column so the guard
+    # survives column pruning of any subset.
+    return F.when(
+        F.size(F.col("embedding")) <= F.lit(_MAX_PLANE_DIM),
+        bucket_col(n_bits, table),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -291,12 +314,30 @@ def _bucketed(emb: DataFrame, n_bits: int) -> DataFrame:
             )
         ).cast("int")
     )
+
+
+def _bucketed(emb: DataFrame, n_bits: int, n_tables: int = 1) -> DataFrame:
+    names = _bucket_col_names(n_tables)
     return emb.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
+        *[
+            _guarded_bucket(n_bits, t).alias(name)
+            for t, name in enumerate(names)
+        ],
         _norm(F.col("embedding")).alias("nrm"),
     )
+
+
+def _ensure_tables(base: DataFrame, n_bits: int, n_tables: int) -> DataFrame:
+    """Add any ``bucket_t`` columns the frame lacks, derived on the fly from
+    ``embedding`` — lets a recall sweep probe MORE tables than an index
+    materialized (extra tables cost plane dots at query time; tables the
+    layout carries stay zero-cost off the parquet scan)."""
+    for t, name in enumerate(_bucket_col_names(n_tables)):
+        if name not in base.columns:
+            base = base.withColumn(name, _guarded_bucket(n_bits, t))
+    return base
 
 
 def bucketize_corpus(
@@ -305,6 +346,7 @@ def bucketize_corpus(
     n_bits: int = N_BITS,
     n_files: int | None = None,
     partition_by_bucket: bool = False,
+    n_tables: int = 1,
 ) -> None:
     """Ingest-time LSH bucket materialization — the 100 TB-correct layout.
 
@@ -325,8 +367,15 @@ def bucketize_corpus(
     instead of all of it. That is the right trade at 100 TB (2^16 dirs of
     ~1.5 GB each); below ~10 GB the flat clustered layout wins on file
     count and listing cost, so it stays the default.
+
+    ``n_tables > 1`` materializes the extra OR-amplification bucket columns
+    (``bucket_1``..) alongside — the SERVING-quality layout (see
+    ``ann_lsh_topk``). Layout clustering/partitioning stays on table 0's
+    ``bucket``; the extra tables' candidate scans are column-pruned to
+    (vec_id, bucket_t) ints, so they read ~16 bytes/vector of a layout
+    whose width is dominated by the embedding column.
     """
-    out = _bucketed(emb, n_bits)
+    out = _bucketed(emb, n_bits, n_tables)
     layout = "hive" if partition_by_bucket else "flat"
     _write_bucket_clustered(out, path, layout, n_files, mode="overwrite")
     # meta sidecar AFTER the corpus write (overwrite clears the dir first);
@@ -334,7 +383,14 @@ def bucketize_corpus(
     # partition discovery (the _SUCCESS convention), so it never pollutes
     # reads of either layout
     _write_index_meta(
-        out.sparkSession, path, {"kind": "lsh", "n_bits": n_bits, "layout": layout}
+        out.sparkSession,
+        path,
+        {
+            "kind": "lsh",
+            "n_bits": n_bits,
+            "layout": layout,
+            "n_tables": n_tables,
+        },
     )
 
 
@@ -419,7 +475,12 @@ def append_to_bucketized(
             )
         n_bits = meta.get("n_bits", n_bits)
         layout = meta.get("layout", "flat")
+        # a multi-table index's deltas must carry every table's bucket
+        # column — a single-table append would leave NULL bucket_t holes
+        # that silently drop the delta from table t's probes
+        n_tables = int(meta.get("n_tables", 1))
     else:
+        n_tables = 1
         if n_bits is None:
             raise ValueError(
                 f"index at {path} has no _index_meta sidecar; pass n_bits= "
@@ -433,7 +494,7 @@ def append_to_bucketized(
                 "layout's bucket= partition dirs cannot nest epoch dirs"
             )
         _write_bucket_clustered(
-            _bucketed(emb_delta, n_bits),
+            _bucketed(emb_delta, n_bits, n_tables),
             f"{path.rstrip('/')}/{subdir}",
             "flat",
             n_files,
@@ -441,7 +502,7 @@ def append_to_bucketized(
         )
         return
     _write_bucket_clustered(
-        _bucketed(emb_delta, n_bits), path, layout, n_files, mode="append"
+        _bucketed(emb_delta, n_bits, n_tables), path, layout, n_files, mode="append"
     )
 
 
@@ -471,7 +532,15 @@ def read_bucketized(spark, path: str) -> DataFrame:
         if hive
         else spark.read.option("recursiveFileLookup", "true").parquet(path)
     )
-    cols = ["vec_id", "embedding", F.col("bucket").cast("int").alias("bucket"), "nrm"]
+    extra_tables = sorted(
+        (c for c in df.columns if c.startswith("bucket_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    cols = (
+        ["vec_id", "embedding", F.col("bucket").cast("int").alias("bucket")]
+        + [F.col(c).cast("int").alias(c) for c in extra_tables]
+        + ["nrm"]
+    )
     return df.select(*cols)
 
 
@@ -518,8 +587,123 @@ def ivf_index_stats(spark, path: str) -> dict:
     the FROZEN quantizer has drifted from the data distribution (appends
     assign to nearest existing centroid; a skewed histogram says retrain
     via ``build_ivf_index`` with fresh centroids)."""
-    corpus, _ = read_ivf_index(spark, path)
-    return _layout_stats(corpus, "cell")
+    corpus, cents = read_ivf_index(spark, path)
+    stats = _layout_stats(corpus, "cell")
+    # quantizer-fit drift signal (r8 verdict task 5): occupancy skew says
+    # the layout stopped partitioning, but a shifted ingest distribution
+    # can decay recall long before the histogram skews — each appended
+    # vector still lands in SOME nearest cell, just a badly-fitting one.
+    # mean cosine-to-assigned-centroid is the number that falls instead.
+    stats["mean_assigned_cos"] = _mean_fit(corpus, cents)
+    return stats
+
+
+def _fit_col() -> Column:
+    return _rd(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
+        COS_ROUND,
+    )
+
+
+def _mean_fit(corpus: DataFrame, cents: DataFrame) -> float:
+    row = (
+        corpus.join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+        .agg(F.avg(_fit_col()).alias("fit"))
+        .collect()[0]
+    )
+    return round(float(row["fit"] or 0.0), 4)
+
+
+def ivf_drift_stats(spark, path: str) -> dict:
+    """Per-epoch quantizer-fit read for a ``build_ivf_index`` layout: mean
+    cosine of each indexed vector to its ASSIGNED centroid, broken out by
+    append epoch (``delta-e<N>`` subdirs; the original build is ``base``).
+    A declining epoch series is the drift signature — arrivals fit the
+    frozen quantizer worse and worse, recall decays silently — and the
+    retrain trigger (``retrain_ivf_index`` / ``--op retrain``). One
+    distributed agg, one small collect (rows = epochs)."""
+    corpus, cents = read_ivf_index(spark, path)
+    epoch_raw = F.regexp_extract(F.input_file_name(), r"(delta-e\d+)", 1)
+    per = (
+        corpus.withColumn(
+            "epoch", F.when(epoch_raw == "", F.lit("base")).otherwise(epoch_raw)
+        )
+        .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+        .groupBy("epoch")
+        .agg(
+            F.avg(_fit_col()).alias("fit"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    epochs = {
+        r["epoch"]: {
+            "mean_assigned_cos": round(float(r["fit"] or 0.0), 4),
+            "n_vectors": int(r["n"]),
+        }
+        for r in sorted(per, key=lambda r: r["epoch"])
+    }
+    total = sum(e["n_vectors"] for e in epochs.values()) or 1
+    overall = (
+        sum(e["mean_assigned_cos"] * e["n_vectors"] for e in epochs.values())
+        / total
+    )
+    return {"mean_assigned_cos": round(overall, 4), "per_epoch": epochs}
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    n_iters: int = IVF_ITERS,
+    sample_mod: int = 1,
+    n_files: int | None = None,
+) -> dict:
+    """Recluster a drifted IVF quantizer in place: train fresh centroids on
+    the indexed corpus (optionally a deterministic 1-in-``sample_mod``
+    hash sample of it — at 100 TB Lloyd never scans the full corpus), lay
+    the SAME rows out under the new cells into a staging dir, verify the
+    row count, and swap — the rebuild-verify-swap discipline of
+    ``compact_bucketized`` applied to a retrain (at real scale: a
+    transactional table-format rewrite; remote paths rejected the same
+    way). Returns the before/after quantizer fit so the caller sees what
+    the retrain bought; recall measurement stays the ``--op recall``
+    verb's job."""
+    import os
+    import shutil
+
+    _reject_remote_compaction(path)
+    meta = read_index_meta(spark, path) or {}
+    n_cells = int(n_cells or meta.get("n_cells", IVF_CELLS))
+    corpus, old_cents = read_ivf_index(spark, path)
+    fit_before = _mean_fit(corpus, old_cents)
+    emb = corpus.select("vec_id", "embedding")
+    train = (
+        emb
+        if sample_mod <= 1
+        else emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), sample_mod) == 0)
+    )
+    cents = kmeans_centroids(train, n_cells, n_iters)
+    staging = path.rstrip("/") + ".retraining"
+    shutil.rmtree(staging, ignore_errors=True)
+    build_ivf_index(emb, staging, n_cells=n_cells, n_files=n_files, centroids=cents)
+    new_corpus, new_cents = read_ivf_index(spark, staging)
+    n_src, n_dst = emb.count(), new_corpus.count()
+    if n_dst != n_src:
+        raise RuntimeError(
+            f"retrain row-count mismatch at {staging}: {n_dst} != {n_src}"
+        )
+    fit_after = _mean_fit(new_corpus, new_cents)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return {
+        "rows": n_src,
+        "n_cells": n_cells,
+        "trained_on": train.count() if sample_mod > 1 else n_src,
+        "mean_assigned_cos_before": fit_before,
+        "mean_assigned_cos_after": fit_after,
+    }
 
 
 def compact_bucketized(spark, path: str, n_files: int | None = None) -> dict:
@@ -664,6 +848,7 @@ def ann_lsh_topk(
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
     bucketed: DataFrame | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to multiprobed sign-LSH
     bucket candidates. The bucket join shuffles on 2^n_bits uniform keys.
@@ -671,29 +856,100 @@ def ann_lsh_topk(
     Pass ``bucketed=read_bucketized(...)`` to start from an ingest-time
     materialized corpus (``bucketize_corpus``): the plan then does ZERO
     plane-dot work — buckets and norms come straight off the parquet scan.
-    On-the-fly (default) stays the oracle-gated shape."""
+    On-the-fly (default) stays the oracle-gated shape.
+
+    ``n_tables > 1`` ORs candidates across independent plane families (see
+    ``bucket_col``) — the recall lever for the SERVING path (PERF.md round-9
+    recall-vs-budget table: tables buy recall ~linearly in candidate volume
+    where radius widening buys almost none). Candidates are generated from a
+    column-pruned (vec_id, tagged-bucket) scan — tags offset table t's bucket
+    by ``t * 2^n_bits`` so tables can't cross-match — deduped on the pair key
+    (a neighbor found by several tables scores once), then scored via two
+    broadcast joins back to the corpus. Costs one extra pruned corpus scan
+    vs the single-table shape; the embedding column is never duplicated
+    per-table."""
     from pyspark.sql import Window as W
 
-    base = bucketed if bucketed is not None else _bucketed(emb, n_bits)
-    q = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias("probe"),
-    )
-    pairs = base.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
-    )
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    n_probes_total = n_tables * len(_probe_masks(n_bits, probe_radius))
+    if n_probes_total > _MAX_PROBES:
+        raise ValueError(
+            f"n_tables={n_tables} x radius-{probe_radius} probes = "
+            f"{n_probes_total} per query (> {_MAX_PROBES})"
+        )
+    base = bucketed if bucketed is not None else _bucketed(emb, n_bits, n_tables)
     cos = _rd(
         _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
         COS_ROUND,
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        pairs.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    if n_tables == 1:
+        q = base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(_probes(F.col("bucket"), n_bits, probe_radius)).alias(
+                "probe"
+            ),
         )
+        pairs = base.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        return (
+            pairs.select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    base = _ensure_tables(base, n_bits, n_tables)
+    names = _bucket_col_names(n_tables)
+    span = 1 << n_bits
+    # candidate generation over (vec_id, tag) only — column pruning keeps
+    # the exploded corpus scan at ~L ints per vector, no embedding copies
+    corpus_tags = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.col(c).cast("long") + F.lit(t * span)
+                    for t, c in enumerate(names)
+                ]
+            )
+        ).alias("tag"),
+    )
+    probe_exprs = []
+    for t, c in enumerate(names):
+        b = F.col(c).cast("int")
+        for m in _probe_masks(n_bits, probe_radius):
+            pb = b.bitwiseXOR(F.lit(m)) if m else b
+            probe_exprs.append(pb.cast("long") + F.lit(t * span))
+    q_tags = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(*probe_exprs)).alias("tag"),
+    )
+    cand = (
+        corpus_tags.join(F.broadcast(q_tags), "tag")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    n_side = base.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"
+    )
+    q_side = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = n_side.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(q_side), "query_id"
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -704,8 +960,10 @@ def ann_lsh_topk_sql(
     n_queries: int = 20,
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
+    n_tables: int = 1,
 ) -> str:
-    return f"""
+    if n_tables == 1:
+        return f"""
 WITH bucketed AS (
     SELECT vec_id, embedding,
            {bucket_sql(n_bits)} AS bucket,
@@ -723,6 +981,61 @@ pairs AS (
                  / (q.q_nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM bucketed n JOIN q_probes q
       ON n.bucket = q.probe AND n.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+    # multi-table OR-amplification twin: same tagged-candidate construction
+    # as the Spark path (table t's bucket offset by t*2^n_bits, DISTINCT on
+    # the pair key, score once)
+    names = _bucket_col_names(n_tables)
+    span = 1 << n_bits
+    bucket_exprs = ",\n           ".join(
+        f"{bucket_sql(n_bits, table=t)} AS {name}"
+        for t, name in enumerate(names)
+    )
+    corpus_tags = ", ".join(
+        f"CAST({name} AS BIGINT) + {t * span}" for t, name in enumerate(names)
+    )
+    probe_tags = ", ".join(
+        (
+            f"CAST(xor({name}, {m}) AS BIGINT) + {t * span}"
+            if m
+            else f"CAST({name} AS BIGINT) + {t * span}"
+        )
+        for t, name in enumerate(names)
+        for m in _probe_masks(n_bits, probe_radius)
+    )
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding,
+           {bucket_exprs},
+           {_NORM_SQL.format(a="embedding")} AS nrm
+    FROM embeddings
+),
+corpus_tags AS (
+    SELECT vec_id, unnest([{corpus_tags}]) AS tag FROM bucketed
+),
+q_tags AS (
+    SELECT vec_id AS query_id, unnest([{probe_tags}]) AS tag
+    FROM bucketed WHERE vec_id < {n_queries}
+),
+cand AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+    FROM corpus_tags c JOIN q_tags q
+      ON c.tag = q.tag AND c.vec_id <> q.query_id
+),
+pairs AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           (floor(({_DOT_SQL.format(a="q.embedding", b="n.embedding")}
+                 / (q.nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
+    FROM cand
+    JOIN bucketed n ON n.vec_id = cand.neighbor_id
+    JOIN bucketed q ON q.vec_id = cand.query_id
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id

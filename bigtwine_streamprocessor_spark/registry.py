@@ -1232,12 +1232,35 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+def _gate_index_path(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for index-backed gate queries: the build
+    step runs INSIDE the callable (overwrite semantics) so the driver
+    harness stays self-contained; keyed by sf_dir so different scales
+    can't cross-read each other's layouts."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"spark-graft-gate-{kind}-{tag}")
+
+
 @register("similarity_ivf_topk", similarity.ivf_topk_sql())
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: unrolled-Lloyd k-means cells (stratified seeds,
-    2 iterations) + n_probe=4 probing, exact cosine within probed cells only
-    (the shard-per-cell ANN layout for 100 TB; size n_cells ~ sqrt(n))."""
-    return similarity.ivf_topk(_emb(spark, sf_dir))
+    """IVF approximate top-5 SERVED OFF THE MATERIALIZED INDEX (r8 verdict
+    task 4: the flagship ingest-time state deserves a driver CORRECTNESS
+    row, not just pytest equality). The callable builds the
+    ``build_ivf_index`` layout — the same frozen-quantizer training
+    (stratified seeds, 2 Lloyd iterations over unrolled aggregates) the
+    on-the-fly path runs — then queries via ``read_ivf_index``; the oracle
+    recomputes everything from scratch, so the driver gates the full
+    ingest -> index -> serve path (n_probe=4, exact cosine within probed
+    cells; the shard-per-cell ANN layout for 100 TB, n_cells ~ sqrt(n))."""
+    path = _gate_index_path("ivf", sf_dir)
+    similarity.build_ivf_index(_emb(spark, sf_dir), path)
+    return similarity.ivf_topk(
+        None, index=similarity.read_ivf_index(spark, path)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2062,15 +2085,42 @@ def join_local_supplier_volume(spark, sf_dir):
 BENCH_EXTRA.extend(["join_shipping_priority", "join_local_supplier_volume"])
 
 
-@register("dedup_incremental", corpus_prep.incremental_dedup_sql())
+from .operators import dedup_index  # noqa: E402
+
+_INC_DELTA_SQL = f"""(
+SELECT doc_id + {corpus_prep.INC_EXACT_OFFSET} AS doc_id, text
+FROM documents WHERE doc_id % {corpus_prep.INC_EXACT_MOD} = 0
+UNION ALL
+SELECT doc_id + {corpus_prep.INC_NEAR_OFFSET} AS doc_id,
+       text || '{corpus_prep.INC_NEAR_SUFFIX}' AS text
+FROM documents WHERE doc_id % {corpus_prep.INC_NEAR_MOD} = 0
+)"""
+
+
+@register(
+    "dedup_incremental",
+    dedup_index.scan_delta_sql(
+        "(SELECT doc_id, text FROM documents)", _INC_DELTA_SQL
+    ),
+)
 def dedup_incremental(spark, sf_dir):
-    """Incremental new-batch-vs-corpus dedup: exact digests + DF-capped
-    shingle-Jaccard near matches against the existing half only — the
-    per-batch ingestion scan that avoids re-deduping the whole corpus.
-    Seeded cross-split copies make it non-vacuous (mirrored in SQL)."""
-    return corpus_prep.incremental_dedup(
-        corpus_prep.with_seeded_incremental(_docs(spark, sf_dir))
-    )
+    """Incremental new-batch-vs-corpus dedup SERVED OFF THE MATERIALIZED
+    SIGNATURE INDEX (r8 verdict task 4): the callable builds the
+    ``build_dedup_index`` layout over the existing corpus, then runs the
+    O(delta) per-batch scan — exact digests + MinHash-agreement near matches
+    from index state alone (delta side broadcast, index side never
+    shuffled) — against the seeded incoming batch. The oracle recomputes
+    the whole scan from scratch in DuckDB (``scan_delta_sql``), so the
+    driver gates the full ingest -> index -> scan path. The pre-r9
+    on-the-fly variant (DF-capped shingle Jaccard) remains as
+    ``corpus_prep.incremental_dedup``, oracle-gated in
+    tests/test_corpus_prep.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = corpus_prep.with_seeded_incremental(docs)
+    delta = seeded.filter(F.col("doc_id") >= corpus_prep.INC_EXACT_OFFSET)
+    path = _gate_index_path("dedup", sf_dir)
+    dedup_index.build_dedup_index(docs, path)
+    return dedup_index.scan_delta(delta, path)
 
 
 @register("quality_sigmoid_score", corpus_prep.quality_sigmoid_sql())

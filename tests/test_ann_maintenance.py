@@ -84,6 +84,7 @@ def test_lsh_append_matches_full_rebuild(spark, corpus, tmp_path, partitioned):
         "kind": "lsh",
         "n_bits": 8,
         "layout": "hive" if partitioned else "flat",
+        "n_tables": 1,
     }
     if partitioned:  # delta rows landed inside existing bucket= dirs
         assert any(d.startswith("bucket=") for d in os.listdir(inc))
@@ -361,36 +362,51 @@ def test_stream_append_maintains_index_exactly_once(spark, corpus, tmp_path):
     assert _as_set(similarity.read_bucketized(spark, idx)) == got
 
 
+def _orthogonal_fresh(spark, n: int, base_id: int = 900_000):
+    """n mutually-far vectors (axis-aligned one-hots, sign-flipped on wrap):
+    pairwise cos in {0, -1}, and cos vs any dense corpus vector well under
+    a 0.95 threshold — survive BOTH near-dup passes."""
+    rows = []
+    for i in range(n):
+        v = [0.0] * DIM
+        v[i % DIM] = 50.0 if i < DIM else -50.0
+        rows.append((base_id + i, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
 def test_stream_append_suppresses_neardups_at_ingest(spark, corpus, tmp_path):
     """With --neardup-threshold, arriving vectors that near-duplicate the
-    indexed corpus are dropped before the append; fresh vectors land. The
-    partial-commit replay stays identical (own-epoch exclusion)."""
+    indexed corpus OR each other within the batch are dropped before the
+    append; mutually-far fresh vectors land. The partial-commit replay
+    stays identical (own-epoch exclusion + deterministic intra-batch
+    survivors)."""
     from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
 
-    base, delta = _halves(corpus)
+    base, _ = _halves(corpus)
     idx = str(tmp_path / "idx")
     similarity.bucketize_corpus(base, idx, n_bits=6)
 
-    # arrivals: verbatim copies of indexed vectors (cos 1.0) + far vectors
+    # arrivals: verbatim copies of indexed vectors (cos 1.0; some are also
+    # intra-batch near-dups of each other — cluster-mates) + far vectors
     dup = base.limit(30).select(
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
     )
-    fresh = delta.limit(20).select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x + F.lit(100.0)
-        ).cast("array<float>").alias("embedding"),
-    )
+    fresh = _orthogonal_fresh(spark, 20)
     arrive = dup.unionByName(fresh)
     ledger = str(tmp_path / "ledger")
 
     c = job.append_stream_batch(arrive, 0, idx, "lsh", ledger, 0.95)
     assert c["vectors"] == 50
-    assert c["dropped_neardup"] == 30, "all verbatim copies must drop"
+    # every verbatim copy drops — split between the intra-batch pass
+    # (cluster-mate copies dedup against each other) and the index scan
+    assert c["dropped_within_batch"] + c["dropped_neardup"] == 30
+    assert c["dropped_neardup"] > 0
     assert c["appended"] == 20
     got = similarity.read_bucketized(spark, idx)
     assert got.count() == base.count() + 20
-    assert got.filter(F.col("vec_id") >= 100_000).count() == 0
+    assert got.filter(
+        (F.col("vec_id") >= 100_000) & (F.col("vec_id") < 900_000)
+    ).count() == 0
 
     # partial-commit replay: marker gone, epoch dir present -> identical
     os.remove(os.path.join(ledger, "batch-e000000.json"))
@@ -401,6 +417,54 @@ def test_stream_append_suppresses_neardups_at_ingest(spark, corpus, tmp_path):
     # IVF has no bucket probe: suppression must refuse loudly
     with pytest.raises(ValueError, match="LSH"):
         job.append_stream_batch(arrive, 1, idx, "ivf", ledger, 0.95)
+
+
+def test_stream_append_dedups_within_batch(spark, corpus, tmp_path):
+    """The r8-advisor gap: two near-duplicate vectors arriving in the SAME
+    micro-batch — neither matching the indexed corpus — must not both
+    enter the index; the lower vec_id survives."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    base, _ = _halves(corpus)
+    idx = str(tmp_path / "idx")
+    similarity.bucketize_corpus(base, idx, n_bits=6)
+    fresh = _orthogonal_fresh(spark, 3)
+    twin = fresh.limit(1).select(
+        (F.col("vec_id") + 50).alias("vec_id"), "embedding"
+    )
+    c = job.append_stream_batch(
+        fresh.unionByName(twin), 0, idx, "lsh", str(tmp_path / "lg"), 0.95
+    )
+    assert c["vectors"] == 4
+    assert c["dropped_within_batch"] == 1
+    assert c["appended"] == 3
+    got = similarity.read_bucketized(spark, idx)
+    assert got.filter(F.col("vec_id") == 900_050).count() == 0  # twin dropped
+    assert got.filter(F.col("vec_id") == 900_000).count() == 1  # lower id kept
+
+
+def test_stream_neardup_vs_ivf_fails_before_stream_starts(
+    spark, corpus, tmp_path
+):
+    """--op stream --neardup-threshold against an IVF index must fail FAST
+    in start_stream_append — before the streaming query starts and creates
+    checkpoint/ledger state (r8-advisor: the old per-batch validation
+    surfaced only as a StreamingQueryException on the first non-empty
+    batch)."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    base, delta = _halves(corpus)
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(base, idx, n_cells=8, n_iters=1)
+    indir = str(tmp_path / "arrivals")
+    delta.write.parquet(indir)
+    stream_root = str(tmp_path / "stream_root")
+    with pytest.raises(ValueError, match="LSH"):
+        job.start_stream_append(
+            spark, indir, idx, stream_root, mode="ivf", neardup_threshold=0.9
+        )
+    assert not os.path.exists(os.path.join(stream_root, "_chk"))
+    assert not os.path.exists(os.path.join(stream_root, "ledger"))
 
 
 def test_scan_delta_neardup_flags_best_match(spark, corpus, tmp_path):
@@ -442,3 +506,60 @@ def test_compact_refuses_replayable_epoch_dirs(spark, corpus, tmp_path):
     rep = job.run(["--op", "compact", "--output-path", idx,
                    "--stream-root", str(tmp_path / "sr")])
     assert rep["rows"] == corpus.count()
+
+
+def test_ivf_drift_signal_and_retrain(spark, corpus, tmp_path):
+    """r8 verdict task 5: appends under frozen centroids decay silently
+    when the ingest distribution shifts. The drift verb must show the
+    shifted epoch fitting WORSE than the base corpus, and retrain must
+    recover quantizer fit (staged rebuild-verify-swap, rows preserved)."""
+    base, _ = _halves(corpus)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, n_cells=8, n_iters=2)
+
+    # distribution-shifted arrivals: a large constant offset pushes every
+    # vector toward the all-ones direction no trained centroid covers
+    shifted = (
+        corpus.filter(F.col("vec_id") >= SPLIT)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x + F.lit(40.0))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    similarity.append_to_ivf_index(shifted, idx, subdir="delta-e1")
+
+    drift = similarity.ivf_drift_stats(spark, idx)
+    assert set(drift["per_epoch"]) == {"base", "delta-e1"}
+    assert (
+        drift["per_epoch"]["delta-e1"]["mean_assigned_cos"]
+        < drift["per_epoch"]["base"]["mean_assigned_cos"]
+    ), drift
+    # the aggregate stats read carries the same number
+    stats = similarity.ivf_index_stats(spark, idx)
+    assert 0.0 < stats["mean_assigned_cos"] < 1.0
+
+    rep = similarity.retrain_ivf_index(spark, idx, n_iters=2)
+    assert rep["rows"] == base.count() + shifted.count()
+    assert rep["mean_assigned_cos_after"] > rep["mean_assigned_cos_before"], rep
+    # swapped layout is intact and epoch dirs are flattened
+    got, cents = similarity.read_ivf_index(spark, idx)
+    assert got.count() == rep["rows"]
+    assert similarity.read_index_meta(spark, idx)["kind"] == "ivf"
+
+
+def test_retrain_output_matches_fresh_build(spark, corpus, tmp_path):
+    """Pinned equality: retraining over the indexed rows must produce the
+    SAME layout a from-scratch build over those rows produces (both train
+    the deterministic kmeans on the identical frame)."""
+    base, _ = _halves(corpus)
+    idx = str(tmp_path / "retrained")
+    fresh = str(tmp_path / "fresh")
+    similarity.build_ivf_index(base, idx, n_cells=8, n_iters=1)
+    similarity.retrain_ivf_index(spark, idx, n_cells=8, n_iters=2)
+    similarity.build_ivf_index(base, fresh, n_cells=8, n_iters=2)
+    a, ca = similarity.read_ivf_index(spark, idx)
+    b, cb = similarity.read_ivf_index(spark, fresh)
+    assert _as_set(a) == _as_set(b)
+    assert _as_set(ca) == _as_set(cb)

@@ -260,3 +260,111 @@ def test_salted_join_matches_unsalted(spark, clustered_emb):
     salted, plain = pairs(2), pairs(10**6)
     assert salted == plain
     assert len(plain) > 0  # the clusters guarantee real near-dup pairs
+
+
+# ---------------------------------------------------------------------------
+# multi-table OR-amplification (r8 verdict task 3: the ANN serving story)
+# ---------------------------------------------------------------------------
+
+
+def test_multitable_matches_oracle(spark, ddb, sf_dir):
+    """The L-table tagged-candidate construction must match its DuckDB twin
+    exactly (DISTINCT pair semantics: a neighbor found by several tables
+    scores once)."""
+    from tests.conftest import assert_frames_match
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.ann_lsh_topk(emb, K, N_QUERIES, n_bits=8, n_tables=3)
+    assert_frames_match(
+        got, ddb, similarity.ann_lsh_topk_sql(K, N_QUERIES, 8, n_tables=3)
+    )
+
+
+def test_multitable_single_table_unchanged(spark, sf_dir):
+    """n_tables=1 must be BIT-IDENTICAL to the pre-multi-table path (table 0
+    uses global planes 0..n_bits-1), so existing indexes and the registry
+    oracle are unaffected."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = similarity.ann_lsh_topk(emb, K, N_QUERIES, n_bits=8)
+    explicit = similarity.ann_lsh_topk(emb, K, N_QUERIES, n_bits=8, n_tables=1)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(one) == as_set(explicit)
+
+
+def test_multitable_or_amplification_improves_recall(spark, sf_dir):
+    """The serving-quality claim: on the near-uniform testdata embeddings —
+    the regime where the r8 sweep showed radius widening buys almost
+    nothing (+0.10 recall for 41x candidates) — each extra independent
+    plane family can only ADD candidates (union over tables), so recall is
+    monotone in L, and strictly improves here (measured 0.12 -> 0.25 ->
+    0.44 for L=1/2/4 at 8 bits radius 1; deterministic: md5 plane family,
+    fixed corpus)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, K, N_QUERIES)
+    recalls = [
+        similarity.recall_at_k(
+            similarity.ann_lsh_topk(
+                emb, K, N_QUERIES, n_bits=8, probe_radius=1, n_tables=L
+            ),
+            exact,
+        )["recall"]
+        for L in (1, 2, 4)
+    ]
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] >= 2 * recalls[0], recalls
+
+
+def test_multitable_materialized_matches_onthefly(spark, clustered_emb, tmp_path):
+    """A bucketize_corpus(n_tables=2) layout must serve ann_lsh_topk
+    byte-identically to the on-the-fly multi-table path with zero plane-dot
+    work, appends must carry every table's bucket column (sidecar-driven),
+    and a SINGLE-table layout must still serve an L=2 query by deriving the
+    missing family on the fly."""
+    path = str(tmp_path / "bucketized_l2")
+    similarity.bucketize_corpus(clustered_emb, path, n_bits=8, n_tables=2)
+    mat = similarity.read_bucketized(spark, path)
+    assert sorted(mat.columns) == [
+        "bucket",
+        "bucket_1",
+        "embedding",
+        "nrm",
+        "vec_id",
+    ]
+
+    fly = similarity.ann_lsh_topk(clustered_emb, K, N_QUERIES, n_bits=8, n_tables=2)
+    mat_topk = similarity.ann_lsh_topk(
+        None, K, N_QUERIES, n_bits=8, bucketed=mat, n_tables=2
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(mat_topk) == as_set(fly)
+
+    plan = lambda df: df._jdf.queryExecution().optimizedPlan().toString()  # noqa: E731
+    assert "element_at" not in plan(mat_topk)  # both families materialized
+
+    # append: sidecar says n_tables=2, so the delta carries bucket_1 too and
+    # incremental == rebuild
+    base = clustered_emb.filter(F.col("vec_id") < 250)
+    delta = clustered_emb.filter(F.col("vec_id") >= 250)
+    inc = str(tmp_path / "inc_l2")
+    similarity.bucketize_corpus(base, inc, n_bits=8, n_tables=2)
+    similarity.append_to_bucketized(delta, inc)
+    rows = lambda df: {  # noqa: E731 - embedding arrays need tuple-izing
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.collect()
+    }
+    assert rows(similarity.read_bucketized(spark, inc)) == rows(mat)
+
+    # single-table layout + L=2 query: missing family derived on the fly
+    p1 = str(tmp_path / "bucketized_l1")
+    similarity.bucketize_corpus(clustered_emb, p1, n_bits=8)
+    m1 = similarity.read_bucketized(spark, p1)
+    hybrid = similarity.ann_lsh_topk(
+        None, K, N_QUERIES, n_bits=8, bucketed=m1, n_tables=2
+    )
+    assert as_set(hybrid) == as_set(fly)
+
+
+def test_multitable_probe_budget_guard():
+    """Total probes across tables are capped like the single-table ring."""
+    with pytest.raises(ValueError, match="per query"):
+        similarity.ann_lsh_topk(None, n_bits=16, probe_radius=2, n_tables=16)
