@@ -98,8 +98,44 @@ def kafka_append(bootstrap: str, topic: str, lines: list[str], factory) -> None:
     producer.flush()
 
 
+_WARNED_AT_LEAST_ONCE = False
+
+
+def _warn_at_least_once(fname_prefix: str | None) -> None:
+    """One-time runtime notice that the epoch-replay discipline the caller
+    asked for (an ``fname_prefix``) cannot be honored over a broker: Kafka
+    deployments of the topology run at-least-once across foreachBatch
+    replays."""
+    global _WARNED_AT_LEAST_ONCE
+    if fname_prefix is None or _WARNED_AT_LEAST_ONCE:
+        return
+    _WARNED_AT_LEAST_ONCE = True
+    import warnings
+
+    warnings.warn(
+        "KafkaTopic cannot stage/dedup epoch replays (fname_prefix "
+        f"{fname_prefix!r} ignored): this transport is AT-LEAST-ONCE across "
+        "foreachBatch replays — a restarted epoch may duplicate entity "
+        "fragments (which concat downstream). The file transport provides "
+        "exactly-once; over Kafka, use a transactional producer keyed by "
+        "query+epoch if replays must dedup.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 class KafkaTopic:
-    """Same contract as transport.FileTopic, over a Kafka broker."""
+    """Same contract as transport.FileTopic, over a Kafka broker.
+
+    ``exactly_once_replay`` is False: the epoch lifecycle methods are
+    accepted no-ops (``epoch_committed`` never reports committed, so the
+    topology always re-runs a replayed epoch's writes), and the writers
+    cannot dedup — see ``line_writer``. The degradation is logged ONCE per
+    process when an epoch-disciplined writer is requested, so a Kafka
+    deployment knows its replays are at-least-once instead of silently
+    assuming the file transport's guarantee (r8-advisor item)."""
+
+    exactly_once_replay = False
 
     def __init__(self, bootstrap: str, name: str, producer_factory=None):
         self.bootstrap = bootstrap
@@ -108,6 +144,16 @@ class KafkaTopic:
 
     def append_lines(self, lines: list[str]) -> None:
         kafka_append(self.bootstrap, self.name, lines, self._factory)
+
+    # epoch lifecycle: no staging over a broker — every call re-publishes
+    def epoch_committed(self, prefix: str) -> bool:
+        return False
+
+    def begin_epoch(self, prefix: str) -> None:
+        pass
+
+    def commit_epoch(self, prefix: str) -> None:
+        pass
 
     def line_writer(self, fname_prefix: str | None = None):
         """Picklable foreachPartition sink: rows with a ``value`` column.
@@ -124,6 +170,7 @@ class KafkaTopic:
         status fragments are absorbed by the fan-in's last-write-wins;
         duplicate ENTITY fragments concat (the reference's own duplicate
         semantics, `NeelProcessedTweetWindowFunction.java:57-61`)."""
+        _warn_at_least_once(fname_prefix)
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:
@@ -141,6 +188,7 @@ class KafkaTopic:
         -> one request envelope per partition (or per ``chunk`` items).
         ``fname_prefix`` accepted for FileTopic parity, ignored (see
         ``line_writer``)."""
+        _warn_at_least_once(fname_prefix)
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:

@@ -174,6 +174,25 @@ def _entity_payload_struct(e: F.Column) -> F.Column:
     )
 
 
+def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
+    """Exactly-once epoch publish (r8-advisor fix): per-partition publish
+    NAMES alone cannot survive a restart that repartitions the replayed
+    batch (file-source packing depends on parallelism config — a replayed
+    epoch could skip a p0 with different content, silently losing rows, or
+    add extra pN duplicates). So the unit of commitment is the EPOCH:
+    skip it wholesale if its committed dir exists, otherwise discard any
+    partial staging from a crashed attempt, run the executor-side writes
+    into staging, and atomically promote. On a transport that cannot stage
+    (KafkaTopic: ``epoch_committed`` is always False, begin/commit are
+    no-ops) this degrades to the transport's own at-least-once guarantee,
+    which that transport logs once at writer-construction time."""
+    if topic.epoch_committed(prefix):
+        return
+    topic.begin_epoch(prefix)
+    df.foreachPartition(writer)
+    topic.commit_epoch(prefix)
+
+
 def start_topology(
     spark: SparkSession,
     root: str,
@@ -252,33 +271,43 @@ def start_topology(
     )
 
     def q1(batch_df: DataFrame, epoch_id: int) -> None:
+        pfx = f"q1-e{epoch_id}"
         bdf = batch_df.persist()
         try:
-            bdf.select(F.explode(q1_frag_lines).alias("value")).foreachPartition(
-                topics["fragments"].line_writer(f"q1-e{epoch_id}")
+            _epoch_publish(
+                topics["fragments"],
+                pfx,
+                bdf.select(F.explode(q1_frag_lines).alias("value")),
+                topics["fragments"].line_writer(pfx),
             )
-            bdf.select(
-                F.to_json(
-                    F.struct(F.col("id").alias("tag"), F.col("text"))
-                ).alias("item")
-            ).foreachPartition(
+            _epoch_publish(
+                topics["ner-requests"],
+                pfx,
+                bdf.select(
+                    F.to_json(
+                        F.struct(F.col("id").alias("tag"), F.col("text"))
+                    ).alias("item")
+                ),
                 topics["ner-requests"].envelope_writer(
-                    reply("ner-responses"), fname_prefix=f"q1-e{epoch_id}"
-                )
+                    reply("ner-responses"), fname_prefix=pfx
+                ),
             )
-            bdf.filter(has_loc).select(
-                F.to_json(
-                    F.struct(
-                        F.col("id").alias("tag"),
-                        F.col("user__location").alias("address"),
-                    )
-                ).alias("item")
-            ).foreachPartition(
+            _epoch_publish(
+                topics["geodecoder-requests"],
+                pfx,
+                bdf.filter(has_loc).select(
+                    F.to_json(
+                        F.struct(
+                            F.col("id").alias("tag"),
+                            F.col("user__location").alias("address"),
+                        )
+                    ).alias("item")
+                ),
                 topics["geodecoder-requests"].envelope_writer(
                     reply("geodecoder-responses"),
                     chunk=GEO_CHUNK,
-                    fname_prefix=f"q1-e{epoch_id}",
-                )
+                    fname_prefix=pfx,
+                ),
             )
         finally:
             bdf.unpersist()
@@ -294,12 +323,16 @@ def start_topology(
     # Executor-side end to end: parse envelopes, forward items as the NEL
     # request body (one envelope per partition, consumers are agnostic).
     def q2(batch_df: DataFrame, epoch_id: int) -> None:
-        _resp_items_df(batch_df, NER_RESP_ITEM).select(
-            F.to_json("it").alias("item")
-        ).foreachPartition(
+        pfx = f"q2-e{epoch_id}"
+        _epoch_publish(
+            topics["nel-requests"],
+            pfx,
+            _resp_items_df(batch_df, NER_RESP_ITEM).select(
+                F.to_json("it").alias("item")
+            ),
             topics["nel-requests"].envelope_writer(
-                reply("nel-responses"), fname_prefix=f"q2-e{epoch_id}"
-            )
+                reply("nel-responses"), fname_prefix=pfx
+            ),
         )
 
     q2_query = (
@@ -324,33 +357,43 @@ def start_topology(
             )
             # linkedTweet fragment always; empty-resource synth fragment when
             # no entity links (`TwitterStreamJob.java:327-331`)
-            items.select(
-                F.explode(
-                    F.array_compact(
-                        F.array(
-                            _frag_json(F.col("it.tag"), "linkedTweet", ent_payload),
-                            F.when(
-                                F.size(_linked_tokens) == 0,
+            pfx = f"q3-e{epoch_id}"
+            _epoch_publish(
+                topics["fragments"],
+                pfx,
+                items.select(
+                    F.explode(
+                        F.array_compact(
+                            F.array(
                                 _frag_json(
-                                    F.col("it.tag"), "resource", F.lit("[]")
+                                    F.col("it.tag"), "linkedTweet", ent_payload
                                 ),
-                            ),
+                                F.when(
+                                    F.size(_linked_tokens) == 0,
+                                    _frag_json(
+                                        F.col("it.tag"), "resource", F.lit("[]")
+                                    ),
+                                ),
+                            )
                         )
-                    )
-                ).alias("value")
-            ).foreachPartition(topics["fragments"].line_writer(f"q3-e{epoch_id}"))
-            items.filter(F.size(_linked_tokens) > 0).select(
-                F.to_json(
-                    F.struct(
-                        F.col("it.tag").alias("tag"),
-                        _linked_tokens.alias("tokens"),
-                    )
-                ).alias("item")
-            ).foreachPartition(
+                    ).alias("value")
+                ),
+                topics["fragments"].line_writer(pfx),
+            )
+            _epoch_publish(
+                topics["linkresolver-requests"],
+                pfx,
+                items.filter(F.size(_linked_tokens) > 0).select(
+                    F.to_json(
+                        F.struct(
+                            F.col("it.tag").alias("tag"),
+                            _linked_tokens.alias("tokens"),
+                        )
+                    ).alias("item")
+                ),
                 topics["linkresolver-requests"].envelope_writer(
-                    reply("linkresolver-responses"),
-                    fname_prefix=f"q3-e{epoch_id}",
-                )
+                    reply("linkresolver-responses"), fname_prefix=pfx
+                ),
             )
         finally:
             items.unpersist()
@@ -379,9 +422,17 @@ def start_topology(
                 ),
             )
         )
-        _resp_items_df(batch_df, RESOLVER_RESP_ITEM).select(
-            _frag_json(F.col("it.tag"), "resource", res_payload).alias("value")
-        ).foreachPartition(topics["fragments"].line_writer(f"q4-e{epoch_id}"))
+        pfx = f"q4-e{epoch_id}"
+        _epoch_publish(
+            topics["fragments"],
+            pfx,
+            _resp_items_df(batch_df, RESOLVER_RESP_ITEM).select(
+                _frag_json(F.col("it.tag"), "resource", res_payload).alias(
+                    "value"
+                )
+            ),
+            topics["fragments"].line_writer(pfx),
+        )
 
     q4_query = (
         topics["linkresolver-responses"].read_stream(spark)
@@ -400,11 +451,17 @@ def start_topology(
                 F.col("it.tag").alias("tag"),
             )
         )
-        _resp_items_df(batch_df, GEO_RESP_ITEM).select(
-            _frag_json(F.col("it.tag"), "decodedLocation", loc_payload).alias(
-                "value"
-            )
-        ).foreachPartition(topics["fragments"].line_writer(f"q5-e{epoch_id}"))
+        pfx = f"q5-e{epoch_id}"
+        _epoch_publish(
+            topics["fragments"],
+            pfx,
+            _resp_items_df(batch_df, GEO_RESP_ITEM).select(
+                _frag_json(
+                    F.col("it.tag"), "decodedLocation", loc_payload
+                ).alias("value")
+            ),
+            topics["fragments"].line_writer(pfx),
+        )
 
     q5_query = (
         topics["geodecoder-responses"].read_stream(spark)
@@ -430,11 +487,17 @@ def start_topology(
 
     def q6(batch_df: DataFrame, epoch_id: int) -> None:
         # result lines serialize and write on executors — never the driver
-        batch_df.select(
-            F.to_json(F.struct(F.col("payload"), F.col("is_partial"))).alias(
-                "value"
-            )
-        ).foreachPartition(topics["results"].line_writer(f"q6-e{epoch_id}"))
+        pfx = f"q6-e{epoch_id}"
+        _epoch_publish(
+            topics["results"],
+            pfx,
+            batch_df.select(
+                F.to_json(
+                    F.struct(F.col("payload"), F.col("is_partial"))
+                ).alias("value")
+            ),
+            topics["results"].line_writer(pfx),
+        )
 
     q6_query = (
         final.writeStream.foreachBatch(q6)

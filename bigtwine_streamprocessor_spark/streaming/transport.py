@@ -38,6 +38,9 @@ from pyspark.sql import functions as F
 from ..services_local import CATEGORIES, LEXICON, LINK_PREFIX, THUMB_PREFIX
 
 
+STAGING = ".staging"  # hidden from Spark file listings (dot-prefix rule)
+
+
 def append_lines_to_dir(
     topic_dir: str, lines: list[str], fname: str | None = None
 ) -> None:
@@ -47,21 +50,28 @@ def append_lines_to_dir(
     picklable into ``foreachPartition`` closures and safe to call
     concurrently from many executor Python workers.
 
-    With ``fname`` the publish is IDEMPOTENT: the caller supplies a name
-    that is deterministic for its unit of work (the topology uses
-    ``{query}-e{epoch}-p{partition}``), so a micro-batch replayed after a
-    crash/restart — or a retried task — republishes onto the SAME name and
-    is skipped if it already landed. That upgrades the foreachBatch sink
-    from Spark's at-least-once floor to effectively exactly-once, the
-    file-transport analog of a transactional/idempotent Kafka producer.
-    (The temp name stays unique per attempt; ``os.replace`` is atomic, so
-    a lost race leaves exactly one complete file with one attempt's bytes.)
+    With ``fname`` (a name or relative subpath, no ``.json``) the publish is
+    IDEMPOTENT: the caller supplies a name deterministic for its unit of
+    work, so a retried task — or a replayed service handler — republishes
+    onto the SAME name and is skipped if it already landed. (The temp name
+    stays unique per attempt; ``os.replace`` is atomic, so a lost race
+    leaves exactly one complete file with one attempt's bytes.)
+
+    Per-name dedup alone is NOT enough for epoch replays whose partitioning
+    can change across a restart (file-source batch packing depends on
+    parallelism/maxSplitBytes config): a replayed epoch with different
+    row-to-partition assignment would skip a p0 whose content differs
+    (silent row loss) or publish extra pN names (duplicates). Epoch
+    publishes therefore stage under ``.staging/<epoch>/`` — invisible to
+    every reader — and are atomically promoted as a WHOLE epoch by
+    ``FileTopic.commit_epoch`` (one dir rename); an incomplete attempt is
+    discarded wholesale and rerun. See ``FileTopic.begin_epoch``.
     """
     if not lines:
         return
-    target_name = f"{fname}.json" if fname else None
-    if target_name and os.path.exists(os.path.join(topic_dir, target_name)):
-        return  # replayed epoch / retried task: already published
+    target = os.path.join(topic_dir, f"{fname}.json") if fname else None
+    if target and os.path.exists(target):
+        return  # retried task / replayed handler: already published
     tmp_dir = os.path.join(
         os.path.dirname(topic_dir), f".tmp-{os.path.basename(topic_dir)}"
     )
@@ -70,18 +80,25 @@ def append_lines_to_dir(
     tmp = os.path.join(tmp_dir, attempt)
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
-    os.replace(tmp, os.path.join(topic_dir, target_name or attempt))
+    if target is None:
+        target = os.path.join(topic_dir, attempt)
+    else:
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+    os.replace(tmp, target)
 
 
 def _partition_fname(fname_prefix: str | None) -> str | None:
-    """Deterministic per-partition publish name (inside a Spark task)."""
+    """Deterministic per-partition STAGING subpath (inside a Spark task):
+    ``.staging/<prefix>/p<id>``. Stable within one attempt (task retries and
+    speculative twins collapse onto one name); the whole staged epoch is
+    promoted atomically by the driver after the action completes."""
     if fname_prefix is None:
         return None
     from pyspark import TaskContext
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else 0
-    return f"{fname_prefix}-p{pid}"
+    return f"{STAGING}/{fname_prefix}/p{pid}"
 
 
 def dir_line_writer(topic_dir: str, fname_prefix: str | None = None):
@@ -127,8 +144,39 @@ def dir_envelope_writer(
     return write
 
 
+def _visible_json_files(topic_dir: str) -> list[str]:
+    """Relative paths of every published .json file, recursing into
+    committed epoch dirs, skipping hidden (dot/underscore) entries — the
+    same visibility rule Spark's file listing applies, so the Python-side
+    readers (``read_all``, simulators, counters) and the streaming readers
+    agree on what exists."""
+    out: list[str] = []
+    for base, dirs, files in os.walk(topic_dir):
+        dirs[:] = sorted(
+            d for d in dirs if not d.startswith((".", "_"))
+        )
+        rel = os.path.relpath(base, topic_dir)
+        for fn in sorted(files):
+            if fn.endswith(".json") and not fn.startswith((".", "_")):
+                out.append(fn if rel == "." else f"{rel}/{fn}")
+    return sorted(out)
+
+
 class FileTopic:
-    """Append-only JSON-lines topic backed by a directory (atomic renames)."""
+    """Append-only JSON-lines topic backed by a directory (atomic renames).
+
+    Epoch publishes follow a stage-then-promote discipline (the transport's
+    exactly-once contract): executors write partition files under
+    ``.staging/<epoch>/`` (invisible to all readers), and the driver
+    promotes the COMPLETE epoch with one atomic dir rename
+    (``commit_epoch``). A replayed epoch either finds its committed dir
+    (skip — nothing republished, regardless of how the replay repartitions
+    the batch) or a partial staging dir (discarded and rewritten — no
+    reader ever saw it). ``exactly_once_replay`` advertises the guarantee
+    so a topology can log what its transport actually provides (the Kafka
+    twin is at-least-once; see ``KafkaTopic``)."""
+
+    exactly_once_replay = True
 
     def __init__(self, root: str, name: str):
         self.name = name
@@ -140,8 +188,8 @@ class FileTopic:
 
     def line_writer(self, fname_prefix: str | None = None):
         """Picklable executor-side writer (captures only the dir path).
-        ``fname_prefix`` (unique per query+epoch) makes epoch replays
-        idempotent — see ``append_lines_to_dir``."""
+        ``fname_prefix`` (unique per query+epoch) stages the partition
+        files for ``commit_epoch`` — see ``append_lines_to_dir``."""
         return dir_line_writer(self.dir, fname_prefix)
 
     def envelope_writer(
@@ -152,15 +200,51 @@ class FileTopic:
     ):
         return dir_envelope_writer(self.dir, out_topic, chunk, fname_prefix)
 
+    # ---- epoch lifecycle (driver side, inside foreachBatch) --------------
+
+    def epoch_committed(self, prefix: str) -> bool:
+        return os.path.isdir(os.path.join(self.dir, prefix))
+
+    def begin_epoch(self, prefix: str) -> None:
+        """Discard any staging left by a crashed prior attempt of this
+        epoch — its partitioning may differ from the rerun's, and no reader
+        ever saw the staged files, so wholesale removal is safe."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.dir, STAGING, prefix), ignore_errors=True
+        )
+
+    def commit_epoch(self, prefix: str) -> None:
+        """Atomically promote the staged epoch: one dir rename makes every
+        partition file visible at once. An epoch that published nothing
+        still commits (empty marker dir) so its replay is skipped."""
+        dst = os.path.join(self.dir, prefix)
+        if os.path.isdir(dst):
+            return
+        staged = os.path.join(self.dir, STAGING, prefix)
+        if os.path.isdir(staged):
+            os.rename(staged, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+
+    # ---- readers ----------------------------------------------------------
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        return spark.readStream.schema("value STRING").text(self.dir)
+        # recursive: committed epochs are subdirectories; .staging and the
+        # .tmp dirs are dot-prefixed, which Spark's listing skips at every
+        # level
+        return (
+            spark.readStream.schema("value STRING")
+            .option("recursiveFileLookup", "true")
+            .text(self.dir)
+        )
 
     def read_all(self) -> list[str]:
         out: list[str] = []
-        for fn in sorted(os.listdir(self.dir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(self.dir, fn)) as f:
-                    out += [ln for ln in f.read().splitlines() if ln.strip()]
+        for rel in _visible_json_files(self.dir):
+            with open(os.path.join(self.dir, rel)) as f:
+                out += [ln for ln in f.read().splitlines() if ln.strip()]
         return out
 
 
@@ -241,9 +325,18 @@ class ServiceSimulator(threading.Thread):
     group's committed offsets. Without it a restarted simulator re-answers
     every request file it has ever seen, and those duplicate responses
     arrive downstream as NEW epochs (new publish names), defeating the
-    topology's idempotent-replay guarantee. With it, restart recovery is
-    end-to-end exactly-once (pinned by
-    ``test_topology_restart_is_exactly_once``)."""
+    topology's idempotent-replay guarantee.
+
+    The offset commits AFTER the file's responses are produced, and each
+    response publishes under a name DERIVED FROM its request file+line —
+    so a crash mid-handling re-processes the file on restart and the
+    re-produced responses land on their already-published names (skipped):
+    exactly-once under hard crashes at any point, not just graceful stops.
+    (The r8 shape committed BEFORE producing, which silently dropped a
+    request on a crash between commit and publish — at-most-once, flagged
+    by the r8 advisor; the deterministic response naming is what makes the
+    commit-after ordering safe.) Pinned by
+    ``test_topology_restart_is_exactly_once``."""
 
     def __init__(
         self,
@@ -268,32 +361,33 @@ class ServiceSimulator(threading.Thread):
 
     def run(self):
         while not self._halt.is_set():
-            for fn_ in sorted(os.listdir(self.req.dir)):
-                if not fn_.endswith(".json") or fn_ in self._seen:
+            for fn_ in _visible_json_files(self.req.dir):
+                if fn_ in self._seen:
                     continue
-                self._seen.add(fn_)
-                if self._offsets_path:
-                    # commit the "offset" BEFORE producing, mirroring a
-                    # consumer that would rather drop a request on a crash
-                    # mid-handling than double-answer it after restart
-                    # (the fan-in's one-shot timeout turns a dropped reply
-                    # into a partial result, never a duplicate).
-                    with open(self._offsets_path, "a") as f:
-                        f.write(fn_ + "\n")
-                        f.flush()
+                # response names derive from (request file, line): a
+                # re-handled request file re-lands on the same names and
+                # dedups, so the offset can safely commit AFTER producing
+                tag = fn_[: -len(".json")].replace("/", "_")
                 with open(os.path.join(self.req.dir, fn_)) as f:
-                    for line in f.read().splitlines():
+                    for i, line in enumerate(f.read().splitlines()):
                         if not line.strip():
                             continue
                         env = json.loads(line)
                         items = self.fn(env["items"])
-                        self.resp.append_lines(
+                        append_lines_to_dir(
+                            self.resp.dir,
                             [
                                 json.dumps(
                                     {"requestId": env["requestId"], "items": items}
                                 )
-                            ]
+                            ],
+                            fname=f"r-{tag}-l{i}",
                         )
+                self._seen.add(fn_)
+                if self._offsets_path:
+                    with open(self._offsets_path, "a") as f:
+                        f.write(fn_ + "\n")
+                        f.flush()
             time.sleep(self.poll_s)
 
 
@@ -329,8 +423,8 @@ class TopicCounter:
         self._total = 0
 
     def count(self) -> int:
-        for fn in os.listdir(self._dir):
-            if not fn.endswith(".json") or fn in self._seen:
+        for fn in _visible_json_files(self._dir):
+            if fn in self._seen:
                 continue
             with open(os.path.join(self._dir, fn)) as f:
                 n = sum(1 for ln in f if ln.strip())

@@ -90,25 +90,68 @@ def test_async_topology_matches_batch(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_named_publish_is_idempotent(tmp_path):
-    """A replayed micro-batch (same query+epoch+partition name) must land
-    exactly once — the file-transport analog of an idempotent Kafka
-    producer. The reference restarts its Flink job from checkpoints and
-    relies on broker-side semantics (`TwitterStreamJob.java:227-229`); here
-    the deterministic publish name carries the guarantee."""
+    """A replayed micro-batch must land exactly once — the file-transport
+    analog of a transactional Kafka producer. The reference restarts its
+    Flink job from checkpoints and relies on broker-side semantics
+    (`TwitterStreamJob.java:227-229`); here the unit of commitment is the
+    EPOCH: writes stage (invisible to readers) until commit_epoch promotes
+    them atomically, a committed epoch's replay is skipped wholesale, and a
+    retried task within one attempt collapses onto its partition name."""
+    import os
+
     from bigtwine_streamprocessor_spark.streaming import transport
 
     topic = transport.FileTopic(str(tmp_path), "requests")
     writer = topic.line_writer(fname_prefix="q1-e7")
     rows = [{"value": "a"}, {"value": "b"}]
-    writer(iter(rows))          # original attempt
-    writer(iter(rows))          # task retry / epoch replay
-    writer(iter([{"value": "DIFFERENT"}]))  # late replay after partial work
+    writer(iter(rows))          # original attempt (staged)
+    writer(iter(rows))          # task retry within the attempt: same name
+    assert topic.read_all() == []  # staged = invisible until commit
+    topic.commit_epoch("q1-e7")
     assert topic.read_all() == ["a", "b"]
-    # exactly one published file, named by (prefix, partition)
-    import os
+    # committed epoch: the whole replay is skipped by the driver guard...
+    assert topic.epoch_committed("q1-e7")
+    # ...and even a stray late write cannot disturb the committed files
+    topic.begin_epoch("q1-e7")
+    writer(iter([{"value": "DIFFERENT"}]))
+    topic.commit_epoch("q1-e7")  # no-op: already committed
+    assert topic.read_all() == ["a", "b"]
+    files = [f for f in os.listdir(os.path.join(topic.dir, "q1-e7"))]
+    assert files == ["p0.json"]
 
-    files = [f for f in os.listdir(topic.dir) if f.endswith(".json")]
-    assert files == ["q1-e7-p0.json"]
+
+def test_replayed_epoch_with_different_partitioning_is_exact(tmp_path):
+    """The r8-advisor hole: a crash mid-epoch followed by a restart that
+    REPARTITIONS the batch (different parallelism) must neither lose rows
+    nor duplicate them. Partition-name dedup alone fails both ways; the
+    stage-discard-rerun discipline recovers exactly the replay's rows."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "t")
+    # attempt 1: two partitions, crash before commit (p1 never ran)
+    transport.append_lines_to_dir(
+        topic.dir, ["a"], fname=f"{transport.STAGING}/q1-e3/p0"
+    )
+    assert topic.read_all() == []  # nothing visible
+    # restart: the SAME epoch arrives repacked as ONE partition with a
+    # different row order; the driver guard discards the stale staging
+    assert not topic.epoch_committed("q1-e3")
+    topic.begin_epoch("q1-e3")
+    transport.append_lines_to_dir(
+        topic.dir, ["b", "a"], fname=f"{transport.STAGING}/q1-e3/p0"
+    )
+    topic.commit_epoch("q1-e3")
+    assert topic.read_all() == ["b", "a"]  # replay's rows, exactly once
+
+
+def test_empty_epoch_commits_a_skip_marker(tmp_path):
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    topic = transport.FileTopic(str(tmp_path), "t")
+    topic.begin_epoch("q2-e0")
+    topic.commit_epoch("q2-e0")  # no partition published anything
+    assert topic.epoch_committed("q2-e0")
+    assert topic.read_all() == []
 
 
 def test_unnamed_publish_stays_at_least_once(tmp_path):
@@ -125,14 +168,13 @@ def test_unnamed_publish_stays_at_least_once(tmp_path):
 def test_distinct_epochs_and_partitions_do_not_collide(tmp_path):
     from bigtwine_streamprocessor_spark.streaming import transport
 
-    d = str(tmp_path / "t")
-    import os
-
-    os.makedirs(d, exist_ok=True)
-    transport.append_lines_to_dir(d, ["e0"], fname="q3-e0-p0")
-    transport.append_lines_to_dir(d, ["e1"], fname="q3-e1-p0")
-    transport.append_lines_to_dir(d, ["p1"], fname="q3-e1-p1")
     topic = transport.FileTopic(str(tmp_path), "t")
+    st = transport.STAGING
+    transport.append_lines_to_dir(topic.dir, ["e0"], fname=f"{st}/q3-e0/p0")
+    transport.append_lines_to_dir(topic.dir, ["e1"], fname=f"{st}/q3-e1/p0")
+    transport.append_lines_to_dir(topic.dir, ["p1"], fname=f"{st}/q3-e1/p1")
+    topic.commit_epoch("q3-e0")
+    topic.commit_epoch("q3-e1")
     assert sorted(topic.read_all()) == ["e0", "e1", "p1"]
 
 
@@ -147,7 +189,8 @@ def test_envelope_writer_replay_single_shot(tmp_path):
     writer = topic.envelope_writer("reply.topic", fname_prefix="q2-e3")
     rows = [{"item": _json.dumps({"tag": "t1", "text": "hi"})}]
     writer(iter(rows))
-    writer(iter(rows))  # replay: new requestId inside, same publish name
+    writer(iter(rows))  # task retry: new requestId inside, same staged name
+    topic.commit_epoch("q2-e3")
     lines = topic.read_all()
     assert len(lines) == 1
     env = _json.loads(lines[0])
@@ -266,8 +309,13 @@ def test_topic_counter_matches_read_all(tmp_path):
     assert counter.count() == 0
     topic.append_lines(["a", "b"])
     assert counter.count() == len(topic.read_all()) == 2
-    transport.append_lines_to_dir(topic.dir, ["c"], fname="q1-e0-p0")
-    transport.append_lines_to_dir(topic.dir, ["dup"], fname="q1-e0-p0")  # skipped
+    st = transport.STAGING
+    transport.append_lines_to_dir(topic.dir, ["c"], fname=f"{st}/q1-e0/p0")
+    assert counter.count() == 2  # staged files are invisible to pollers too
+    transport.append_lines_to_dir(
+        topic.dir, ["dup"], fname=f"{st}/q1-e0/p0"
+    )  # skipped
+    topic.commit_epoch("q1-e0")
     assert counter.count() == len(topic.read_all()) == 3
     topic.append_lines(["d", "e", "f"])
     assert counter.count() == len(topic.read_all()) == 6
