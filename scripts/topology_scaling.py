@@ -31,10 +31,183 @@ from bench import bench_topology  # noqa: E402
 from bigtwine_streamprocessor_spark.session import get_spark  # noqa: E402
 
 
+def restart_soak(
+    spark,
+    sf_dir: str,
+    amplify: int = 80,
+    n_files: int = 256,
+    max_files_per_trigger: int = 8,
+    min_inflight: int = 10_000,
+    timeout_s: int = 900,
+) -> dict:
+    """Restart-under-load soak (r8 verdict task 8): hard-kill the x80 bench
+    feed mid-stream with >= ``min_inflight`` keys in flight, restart the
+    topology from the same root (checkpoints + topics + service offsets),
+    and require the final result set to EQUAL the in-process batch golden —
+    the `test_topology_restart_is_exactly_once` proof at bench scale
+    instead of unit scale. The kill is q.stop() on every live query without
+    draining (tasks are interrupted mid-epoch; staged epochs are left
+    partial on purpose)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from bigtwine_streamprocessor_spark import corpus, fragments
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.streaming import fanin, topology
+    from bigtwine_streamprocessor_spark.streaming.transport import TopicCounter
+
+    root = tempfile.mkdtemp(prefix="soak-")
+    try:
+        base = parse_tweets(corpus.tweets_df(spark, sf_dir), skip_retweets=True)
+        rep = F.explode(F.array(*[F.lit(i) for i in range(amplify)]))
+        parsed = (
+            base.withColumn("_rep", rep)
+            .withColumn(
+                "id",
+                F.when(F.col("_rep") == 0, F.col("id")).otherwise(
+                    F.concat(F.col("id"), F.lit("_r"), F.col("_rep"))
+                ),
+            )
+            .drop("_rep")
+            .cache()
+        )
+        n = parsed.count()
+        indir = os.path.join(root, "in")
+        parsed.repartition(n_files).write.json(indir)
+
+        # batch golden BEFORE any streaming work (driver-held: this is the
+        # verification script, not the engine)
+        want_df = fragments.finalize_results(
+            fanin.fanin_batch(fragments.build_fragments(parsed))
+        )
+        want = {
+            r["tag"]: r["value"]
+            for r in want_df.select(
+                F.col("tag"),
+                F.to_json(F.struct(F.col("payload"))).alias("value"),
+            ).collect()
+        }
+
+        def make_stream():
+            return (
+                spark.readStream.schema(parsed.schema)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .json(indir)
+            )
+
+        topics_root = os.path.join(root, "topics")
+
+        # ---- first life: run until the pipeline is warm with a big ------
+        # ---- in-flight population, then hard-kill ------------------------
+        queries, sims, topics = topology.start_topology(
+            spark, topics_root, make_stream(), "soak", timeout_ms=120_000
+        )
+        counter = TopicCounter(topics["results"])
+        t0 = _time.perf_counter()
+        mid = 0
+        try:
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline:
+                mid = counter.count()
+                if mid >= n // 8 and (n - mid) >= min_inflight:
+                    break  # warm AND loaded: kill here
+                if n - mid < min_inflight:
+                    break  # corpus too small for the requested in-flight
+                _time.sleep(0.25)
+        finally:
+            spark.sparkContext.setLogLevel("OFF")
+            for q in queries:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            for s in sims:
+                try:
+                    s.stop()
+                except Exception:
+                    pass
+            spark.sparkContext.setLogLevel("WARN")
+        kill_at = _time.perf_counter() - t0
+        inflight = n - mid
+
+        # ---- second life: same root, run to completion -------------------
+        t1 = _time.perf_counter()
+        queries, sims, topics = topology.start_topology(
+            spark, topics_root, make_stream(), "soak", timeout_ms=120_000
+        )
+        counter2 = TopicCounter(topics["results"])
+        got = 0
+        try:
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline and got < n:
+                got = counter2.count()
+                _time.sleep(0.5)
+        finally:
+            spark.sparkContext.setLogLevel("OFF")
+            for q in queries:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            for s in sims:
+                try:
+                    s.stop()
+                except Exception:
+                    pass
+            spark.sparkContext.setLogLevel("WARN")
+        recovery_s = _time.perf_counter() - t1
+        parsed.unpersist()
+
+        results = [json.loads(r) for r in topics["results"].read_all()]
+        tags = [r["payload"]["status"]["id"] for r in results]
+        got_map = {
+            t: json.dumps(r["payload"], sort_keys=True)
+            for t, r in zip(tags, results)
+        }
+        want_map = {
+            t: json.dumps(json.loads(v)["payload"], sort_keys=True)
+            for t, v in want.items()
+        }
+        mismatches = sum(
+            1 for t in want_map if got_map.get(t) != want_map[t]
+        )
+        return {
+            "metric": "topology_restart_soak",
+            "tweets": n,
+            "killed_at_completed": mid,
+            "keys_in_flight_at_kill": inflight,
+            "kill_at_s": round(kill_at, 1),
+            "recovery_to_complete_s": round(recovery_s, 1),
+            "results": len(results),
+            "unique_tags": len(set(tags)),
+            "partials": sum(1 for r in results if r["is_partial"]),
+            "payload_mismatches_vs_batch_golden": mismatches,
+            "exactly_once": (
+                len(results) == n
+                and len(set(tags)) == n
+                and mismatches == 0
+                and not any(r["is_partial"] for r in results)
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--points", type=int, nargs="*", default=[8, 16, 32])
+    ap.add_argument(
+        "--restart-soak",
+        action="store_true",
+        help="instead of the scaling curve: hard-kill the x80 feed "
+        "mid-stream (>=10k keys in flight) and verify exactly-once "
+        "recovery against the batch golden",
+    )
+    ap.add_argument("--min-inflight", type=int, default=10_000)
     ap.add_argument(
         "--double-shuffle-at-max",
         action=argparse.BooleanOptionalAction,
@@ -45,6 +218,13 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="topology-scaling")
+    if args.restart_soak:
+        report = restart_soak(
+            spark, args.sf_dir, min_inflight=args.min_inflight
+        )
+        print(json.dumps(report), flush=True)
+        spark.stop()
+        return
     base_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     curve = []
     runs = [(p, None) for p in args.points]
