@@ -310,3 +310,56 @@ def test_ingest_compact_refuses_uncommitted_epochs(spark, sf_dir, tmp_path):
     assert ingest_corpus_job.uncommitted_epochs(out) == []
     rep = ingest_corpus_job.run(["--op", "compact", "--out-root", out])
     assert rep["corpus"]["rows"] > 0
+
+
+def test_composed_lifecycle_matches_batch_funnel(spark, sf_dir, tmp_path):
+    """r8 verdict task 6 (pinned at test scale; the sf10 run is in
+    PERF.md): the full lifecycle — N ingest epochs -> compact corpus +
+    index -> batch funnel over the accumulated corpus (resumable workdir)
+    — must produce funnel counts and an output row set IDENTICAL to a
+    from-scratch batch curate over the same surviving docs (no workdir,
+    no compaction). Compaction is pure re-layout and the stage
+    checkpoints are pure persistence, so any divergence is a bug in one
+    of them."""
+    from bigtwine_streamprocessor_spark.jobs import curate_corpus_job
+    from bigtwine_streamprocessor_spark.operators import (
+        dedup_index as dedup_index_mod,
+    )
+
+    out = str(tmp_path / "out")
+    corpus_dir, index_dir, ledger_dir = (
+        os.path.join(out, d) for d in ("corpus", "dedup_index", "ledger")
+    )
+    # three epochs with a dup mix so the ingest-side funnel is non-vacuous
+    b1 = _docs(spark, sf_dir, 0, 3)
+    ingest_corpus_job.ingest_batch(b1, 0, corpus_dir, index_dir, ledger_dir)
+    ingest_corpus_job.ingest_batch(
+        b1.withColumn("doc_id", F.col("doc_id") + F.lit(30_000_000)),
+        1,
+        corpus_dir,
+        index_dir,
+        ledger_dir,
+    )
+    ingest_corpus_job.ingest_batch(
+        _docs(spark, sf_dir, 3, 7), 2, corpus_dir, index_dir, ledger_dir
+    )
+
+    assert ingest_corpus_job.uncommitted_epochs(out) == []
+    ingest_corpus_job.compact_corpus(spark, corpus_dir)
+    dedup_index_mod.compact_dedup_index(spark, index_dir)
+
+    accumulated = ingest_corpus_job.read_corpus(spark, corpus_dir)
+    out_a, funnel_a = curate_corpus_job.curate(
+        accumulated, workdir=str(tmp_path / "wd")
+    )
+    rows_a = sorted(r["doc_id"] for r in out_a.select("doc_id").collect())
+
+    out_b, funnel_b = curate_corpus_job.curate(accumulated)
+    rows_b = sorted(r["doc_id"] for r in out_b.select("doc_id").collect())
+
+    assert rows_a == rows_b and len(rows_a) > 0
+    drop = {"wall_s", "written"}
+    assert {k: v for k, v in funnel_a.items() if k not in drop} == {
+        k: v for k, v in funnel_b.items() if k not in drop
+    }
+    spark.catalog.clearCache()
