@@ -119,6 +119,12 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
     base = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
+    # parallelism floor: the interpreted dot-product folds run on the scan
+    # side of the broadcast join, and a low-split parquet read caps them
+    # (13 splits serving 32 cores at 200k vectors) — same fix as _scored
+    sc = emb.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1196,14 +1202,42 @@ neardup_pairs AS (
 
 
 def _scored(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Cosine of every vector against every centroid (centroids broadcast)."""
-    return emb.join(F.broadcast(centroids)).select(
+    """Cosine of every vector against every centroid (centroids broadcast).
+
+    Norms are projected per SIDE below the join, not inside the post-join
+    cosine expression: HOF folds are interpreted (CodegenFallback), so a
+    ``_norm`` written into the pair projection pays n x n_cells folds
+    where n + n_cells suffice — at 200k x 448 the r9 probe measured the
+    difference as 127.8 s vs 4.1 s for one TRUE scoring pass (earlier
+    timings that looked fine were count()-pruned illusions: count over
+    the downstream aggregate never evaluates c_cos). The emb side also
+    gets a repartition floor, because the heavy interpreted map runs ON
+    THE SCAN side of the broadcast join and a 13-split parquet read was
+    serving 32 cores. The floor only engages when the input has fewer
+    partitions than the session default — at real scale the scan's split
+    planning already provides parallelism and no extra shuffle is paid."""
+    cents = centroids
+    if "c_nrm" not in cents.columns:
+        cents = cents.select(
+            "cid", "c_emb", _norm(F.col("c_emb")).alias("c_nrm")
+        )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.col("nrm") if "nrm" in emb.columns else _norm(F.col("embedding"))
+        ).alias("_e_nrm"),
+    )
+    sc = emb.sparkSession.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
+    return e.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cid",
         _rd(
             _dot(F.col("embedding"), F.col("c_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
+            / (F.col("_e_nrm") * F.col("c_nrm")),
             COS_ROUND,
         ).alias("c_cos"),
     )
@@ -1212,6 +1246,30 @@ def _scored(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 def _best_cells(scored: DataFrame, n_best: int) -> DataFrame:
     from pyspark.sql import Window as W
 
+    if n_best == 1:
+        # argmax via max_by: the n_best=1 case is the FULL-CORPUS cell
+        # assignment (run once per Lloyd iteration and once at layout
+        # write), i.e. n x n_cells rows — a row_number window there is a
+        # global sort of the entire scored cross frame (89.6M rows at
+        # 200k x 448), where max_by is one partial-aggregatable groupBy
+        # with map-side combine. Tie-break matches the window's
+        # (c_cos DESC, cid ASC): max over (c_cos, -cid).
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "embedding", "c_cos"),
+                    F.struct(F.col("c_cos"), -F.col("cid")),
+                ).alias("_b")
+            )
+            .select(
+                "vec_id",
+                F.col("_b.embedding").alias("embedding"),
+                F.col("_b.cid").alias("cid"),
+                F.col("_b.c_cos").alias("c_cos"),
+                F.lit(1).alias("c_rank"),
+            )
+        )
     w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
     return scored.withColumn("c_rank", F.row_number().over(w)).filter(
         F.col("c_rank") <= n_best
@@ -1255,6 +1313,16 @@ def kmeans_centroids(
                 F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
             ).alias("c_emb")
         )
+        # Materialize each step (a centroid-count-sized frame): without
+        # this, iteration k's plan CONTAINS iterations 1..k-1 — every
+        # broadcast re-executes the whole chain (quadratic in n_iters) —
+        # and worse, a downstream single-partition write (the r9
+        # coalesce(1) centroid write at sqrt-n cells) collapses the entire
+        # Lloyd lineage, including the n x n_cells assignment window, into
+        # ONE task: measured 30+ min single-threaded at 200k x 448 vs ~2
+        # min parallel. Values are identical — this is execution shape
+        # only, so the DuckDB unrolled twin is unaffected.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

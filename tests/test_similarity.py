@@ -227,8 +227,13 @@ def test_ivf_index_materialized_matches_onthefly(spark, clustered_emb, tmp_path)
     assert len(as_set(fly)) > 0
 
     plan = lambda df: df._jdf.queryExecution().optimizedPlan().toString()  # noqa: E731
-    assert "posexplode" in plan(fly)  # Lloyd step present on the fly
-    assert "posexplode" not in plan(mat)  # trained once at ingest
+    # Lloyd training feeds the on-the-fly plan through a checkpointed
+    # centroid frame (LogicalRDD — the r9 lineage-truncation fix); the
+    # materialized plan reads BOTH centroids and corpus from parquet, so
+    # no RDD scan and no training appear anywhere in it
+    assert "LogicalRDD" in plan(fly)
+    assert "posexplode" not in plan(mat)
+    assert "LogicalRDD" not in plan(mat)
 
 
 def test_bucketed_width_guard(spark):
