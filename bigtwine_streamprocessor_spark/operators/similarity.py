@@ -864,10 +864,20 @@ def ann_lsh_topk(
     plane-dot work — buckets and norms come straight off the parquet scan.
     On-the-fly (default) stays the oracle-gated shape.
 
+    SCOPE (r9, measured): sign-LSH is the DEDUP CANDIDATE GENERATOR, not
+    the ANN serving path. Near-duplicates (cos ~1) collide reliably, which
+    is all dedup needs; top-k NEIGHBOR recall at serving-grade candidate
+    budgets is weak on both replica corpora (PERF.md round-9
+    recall-vs-budget table: 0.21-0.31 clumped / 0.04-0.13 decorrelated at
+    <=0.2% of corpus scanned) — serve ANN from the IVF index
+    (``ivf_topk``), whose ``n_probe`` knob buys recall smoothly
+    (0.20->0.75 at 0.9->14% scanned on the realistic corpus).
+
     ``n_tables > 1`` ORs candidates across independent plane families (see
-    ``bucket_col``) — the recall lever for the SERVING path (PERF.md round-9
-    recall-vs-budget table: tables buy recall ~linearly in candidate volume
-    where radius widening buys almost none). Candidates are generated from a
+    ``bucket_col``) — the EFFICIENT recall lever when an LSH-only
+    deployment must serve: matched-recall candidate volume is ~5x smaller
+    than radius widening (L=8 at 136 probes == radius 3 at 697 probes on
+    the realistic corpus). Candidates are generated from a
     column-pruned (vec_id, tagged-bucket) scan — tags offset table t's bucket
     by ``t * 2^n_bits`` so tables can't cross-match — deduped on the pair key
     (a neighbor found by several tables scores once), then scored via two
