@@ -690,6 +690,9 @@ def retrain_ivf_index(
         if sample_mod <= 1
         else emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), sample_mod) == 0)
     )
+    # counted BEFORE the swap: this plan's resolved file list points at the
+    # pre-swap corpus files, which the swap deletes
+    n_train = train.count() if sample_mod > 1 else None
     cents = kmeans_centroids(train, n_cells, n_iters)
     staging = path.rstrip("/") + ".retraining"
     shutil.rmtree(staging, ignore_errors=True)
@@ -703,10 +706,17 @@ def retrain_ivf_index(
     fit_after = _mean_fit(new_corpus, new_cents)
     shutil.rmtree(path)
     os.rename(staging, path)
+    # drop the session's cached file listings for both dirs: the swap
+    # replaced every part file, and a stale FileStatusCache entry makes the
+    # next read of `path` chase deleted files (surfaced by the r9 sf10
+    # drive, where build/drift/retrain/recall share one long session —
+    # the CLI verbs each ran in fresh processes and never saw it)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(staging)
     return {
         "rows": n_src,
         "n_cells": n_cells,
-        "trained_on": train.count() if sample_mod > 1 else n_src,
+        "trained_on": n_train if n_train is not None else n_src,
         "mean_assigned_cos_before": fit_before,
         "mean_assigned_cos_after": fit_after,
     }
@@ -794,6 +804,10 @@ def _staged_compact(spark, path: str, reader, write_clustered) -> dict:
     files_after = dst.select(F.input_file_name()).distinct().count()
     shutil.rmtree(path)
     os.rename(staging, path)
+    # same-session reads after the swap must not chase deleted part files
+    # via a stale FileStatusCache listing (see retrain_ivf_index)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(staging)
     return {
         "rows": n_src,
         "files_before": files_before,
