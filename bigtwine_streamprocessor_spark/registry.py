@@ -493,13 +493,18 @@ def similarity_bruteforce_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir))
 
 
-@register("similarity_ann_lsh", similarity.ann_lsh_topk_sql(n_bits=8))
+@register(
+    "similarity_ann_lsh", similarity.ann_lsh_topk_sql(n_bits=8, n_tables=2)
+)
 def similarity_ann_lsh(spark, sf_dir):
-    """Sign-LSH multiprobed approximate top-5 (scale path: bucket-local
-    search). 8 bits here keeps candidates non-trivial at test scale; the
-    operator defaults to 16 bits (65k buckets) and the oracle SQL is
-    generated from whatever bit count is passed."""
-    return similarity.ann_lsh_topk(_emb(spark, sf_dir), n_bits=8)
+    """Sign-LSH multiprobed approximate top-5 with 2-table OR-amplification
+    (r9: the recall lever the serving scope documents — candidates union
+    across independent plane families, DISTINCT on the pair key, scored
+    once). 8 bits keeps candidates non-trivial at test scale; the operator
+    defaults to 16 bits (65k buckets) and the oracle SQL mirrors whatever
+    bit/table counts are passed. The single-table shape stays oracle-gated
+    in tests/test_similarity.py (radius-2 and materialized-index pins)."""
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), n_bits=8, n_tables=2)
 
 
 @register(
