@@ -164,3 +164,27 @@ def test_topology_runs_on_kafka(spark, sf_dir, tmp_path):
         q.stop()
     for s in sims:
         s.stop()
+
+
+def test_epoch_discipline_degradation_warns_once(tmp_path):
+    """KafkaTopic accepts the epoch lifecycle as no-ops and must SAY so:
+    requesting an epoch-disciplined writer (fname_prefix) warns once per
+    process that broker replays are at-least-once (r8-advisor item)."""
+    import warnings
+
+    kt._WARNED_AT_LEAST_ONCE = False
+    spool = kt.SpoolProducerFactory(str(tmp_path / "spool"))
+    topic = kt.KafkaTopic("fake:9092", "t", producer_factory=spool)
+    # lifecycle no-ops: never committed, begin/commit accepted
+    assert topic.exactly_once_replay is False
+    assert topic.epoch_committed("q1-e0") is False
+    topic.begin_epoch("q1-e0")
+    topic.commit_epoch("q1-e0")
+    assert topic.epoch_committed("q1-e0") is False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        topic.line_writer(fname_prefix="q1-e0")
+        topic.envelope_writer("reply", fname_prefix="q1-e0")  # no 2nd warn
+        topic.line_writer()  # no prefix -> no warning either
+    at_least_once = [x for x in w if "AT-LEAST-ONCE" in str(x.message)]
+    assert len(at_least_once) == 1
