@@ -117,6 +117,14 @@ def append_stream_batch(
             )
         else:
             similarity.append_to_ivf_index(batch_df, index_path, subdir=subdir)
+        if neardup_threshold is not None:
+            # embedding_neardup_pairs persists its bucketed frame for the
+            # multi-action pairing; a continuously-running stream (1 s
+            # triggers) would otherwise accumulate one cached DataFrame per
+            # non-empty epoch. All of this batch's actions are done — drop
+            # the whole cache, mirroring ingest_corpus_job's per-batch
+            # discipline.
+            batch_df.sparkSession.catalog.clearCache()
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(counts, f)

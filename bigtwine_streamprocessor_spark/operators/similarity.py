@@ -648,7 +648,16 @@ def ivf_drift_stats(spark, path: str) -> dict:
             "mean_assigned_cos": round(float(r["fit"] or 0.0), 4),
             "n_vectors": int(r["n"]),
         }
-        for r in sorted(per, key=lambda r: r["epoch"])
+        # numeric epoch order ("base" first, then delta-e2 < delta-e10):
+        # lexicographic sort misorders past 9 appends and makes a genuine
+        # decline look non-monotone
+        for r in sorted(
+            per,
+            key=lambda r: (
+                r["epoch"] != "base",
+                int(r["epoch"].rsplit("-e", 1)[-1]) if r["epoch"] != "base" else -1,
+            ),
+        )
     }
     total = sum(e["n_vectors"] for e in epochs.values()) or 1
     overall = (
@@ -676,7 +685,6 @@ def retrain_ivf_index(
     way). Returns the before/after quantizer fit so the caller sees what
     the retrain bought; recall measurement stays the ``--op recall``
     verb's job."""
-    import os
     import shutil
 
     _reject_remote_compaction(path)
@@ -704,15 +712,7 @@ def retrain_ivf_index(
             f"retrain row-count mismatch at {staging}: {n_dst} != {n_src}"
         )
     fit_after = _mean_fit(new_corpus, new_cents)
-    shutil.rmtree(path)
-    os.rename(staging, path)
-    # drop the session's cached file listings for both dirs: the swap
-    # replaced every part file, and a stale FileStatusCache entry makes the
-    # next read of `path` chase deleted files (surfaced by the r9 sf10
-    # drive, where build/drift/retrain/recall share one long session —
-    # the CLI verbs each ran in fresh processes and never saw it)
-    spark.catalog.refreshByPath(path)
-    spark.catalog.refreshByPath(staging)
+    _swap_staged(spark, path, staging)
     return {
         "rows": n_src,
         "n_cells": n_cells,
@@ -785,10 +785,32 @@ def _reject_remote_compaction(path: str) -> None:
         )
 
 
-def _staged_compact(spark, path: str, reader, write_clustered) -> dict:
+def _swap_staged(spark, path: str, staging: str) -> None:
+    """Promote a verified staging dir over the live layout with no window
+    where ``path`` has NO live data: rename the old dir aside (atomic),
+    rename staging into place (atomic), THEN delete the old copy. A crash
+    between the renames leaves either the old or the new layout live at a
+    recoverable sibling — never a half-deleted tree (the r9 advisor's
+    rmtree-then-rename hole, whose delete window spanned a full recursive
+    remove). Refreshes the session FileStatusCache for both dirs so a
+    long-lived session's next read doesn't chase deleted part files."""
     import os
     import shutil
 
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back: old layout stays live
+        raise
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(staging)
+
+
+def _staged_compact(spark, path: str, reader, write_clustered) -> dict:
     _reject_remote_compaction(path)
     src = reader(spark, path)
     files_before = src.select(F.input_file_name()).distinct().count()
@@ -802,12 +824,7 @@ def _staged_compact(spark, path: str, reader, write_clustered) -> dict:
             f"compaction row-count mismatch at {staging}: {n_dst} != {n_src}"
         )
     files_after = dst.select(F.input_file_name()).distinct().count()
-    shutil.rmtree(path)
-    os.rename(staging, path)
-    # same-session reads after the swap must not chase deleted part files
-    # via a stale FileStatusCache listing (see retrain_ivf_index)
-    spark.catalog.refreshByPath(path)
-    spark.catalog.refreshByPath(staging)
+    _swap_staged(spark, path, staging)
     return {
         "rows": n_src,
         "files_before": files_before,

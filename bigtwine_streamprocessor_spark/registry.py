@@ -1241,13 +1241,36 @@ def _gate_index_path(kind: str, sf_dir: str) -> str:
     """Deterministic scratch dir for index-backed gate queries: the build
     step runs INSIDE the callable (overwrite semantics) so the driver
     harness stays self-contained; keyed by sf_dir so different scales
-    can't cross-read each other's layouts."""
+    can't cross-read each other's layouts, and by PID so two concurrent
+    driver/bench processes on the same sf_dir can't overwrite each other's
+    layout mid-read (the build is cheap and runs inside the callable).
+    The per-PID name also stops another user pre-creating the predictable
+    /tmp path on a shared machine."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"spark-graft-gate-{kind}-{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-gate-{kind}-{tag}-p{os.getpid()}"
+    )
+    _gate_scratch_cleanup(path)
+    return path
+
+
+def _gate_scratch_cleanup(path: str) -> None:
+    """Register a per-PID scratch dir for atexit removal (per-PID names fix
+    the concurrent-overwrite race but would otherwise accumulate one layout
+    per process in /tmp)."""
+    import atexit
+    import shutil
+
+    if path not in _GATE_SCRATCH_DIRS:
+        _GATE_SCRATCH_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+_GATE_SCRATCH_DIRS: set[str] = set()
 
 
 @register("similarity_ivf_topk", similarity.ivf_topk_sql())
