@@ -300,6 +300,7 @@ def main() -> None:
         return emb, e
 
     timings: dict[str, float] = {}
+    subtimings: dict[str, dict] = {}
     for name in names:
         # Production shape for the clustering family: connected components
         # consume CACHED near-dup pairs — the candidate chains are timed
@@ -345,6 +346,35 @@ def main() -> None:
                 .save()
             )
             timings[name] = round(time.perf_counter() - t0, 3)
+            continue
+        if name == "dedup_incremental":
+            # Decomposed (r9 verdict task 2): the gate composite is
+            # build-the-index + O(delta) scan; the total is the honest
+            # ingest->index->serve cost, but the SCAN half is what a
+            # steady-state deployment pays per batch — record both.
+            from bigtwine_streamprocessor_spark.operators import (
+                corpus_prep,
+                dedup_index,
+            )
+
+            docs = registry._docs(spark, sf_dir).select("doc_id", "text")
+            seeded = corpus_prep.with_seeded_incremental(docs)
+            delta = seeded.filter(
+                F.col("doc_id") >= corpus_prep.INC_EXACT_OFFSET
+            )
+            path = registry._gate_index_path("dedup", sf_dir)
+            t0 = time.perf_counter()
+            dedup_index.build_dedup_index(docs, path, n_files=8)
+            t1 = time.perf_counter()
+            dedup_index.scan_delta(delta, path).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t2 = time.perf_counter()
+            timings[name] = round(t2 - t0, 3)
+            subtimings[name] = {
+                "build_index_s": round(t1 - t0, 3),
+                "scan_delta_s": round(t2 - t1, 3),
+            }
             continue
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
@@ -428,6 +458,7 @@ def main() -> None:
         "load1": load1,
         "loaded": loaded,
         "queries": timings,
+        "subtimings": subtimings,
         "steady": steady,
         "streaming": streaming,
         "streaming_capacity": streaming_cap,

@@ -420,7 +420,12 @@ def _write_bucket_clustered(
 def _write_index_meta(spark, path: str, meta: dict) -> None:
     import json
 
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+    # JVM-native 1-row frame, NOT createDataFrame: coalesce(1) over a
+    # Python LocalRelation pays a ~5 s Arrow-fallback serialization in this
+    # environment (measured r10 — it was the single largest line in the
+    # dedup_incremental gate composite); range(1).select(lit) writes the
+    # same sidecar in ~0.3 s
+    spark.range(1).select(F.lit(json.dumps(meta)).alias("meta")).coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/_index_meta")
 
