@@ -9,10 +9,16 @@ hold only (bootstrap, topic, factory) — picklable — and reuse one producer
 per executor process via a process-local cache (creating a producer per
 partition per micro-batch is the classic throughput killer).
 
+Epoch publishes carry the SAME exactly-once stage-then-promote contract as
+the file transport (see ``KafkaTopic`` — staged sends land under a shared
+``stage_root`` and only ``commit_epoch`` produces), so a topology swapped
+onto Kafka keeps its replay guarantee instead of silently degrading to
+at-least-once (r9 verdict task 4).
+
 No broker ships in this sandbox, so:
 
-* unit tests inject a fake producer factory (the closures and caching are
-  fully exercised);
+* unit tests inject a fake producer factory (the closures, caching, and
+  staged-epoch replay dedup are fully exercised);
 * ``read_stream`` builds the standard ``format("kafka")`` source
   (construct-only here — needs the spark-sql-kafka package + a broker);
 * the end-to-end topology test skips unless ``KAFKA_BOOTSTRAP`` is set.
@@ -21,10 +27,17 @@ No broker ships in this sandbox, so:
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .transport import chunked, make_envelope
+from .transport import (
+    STAGING,
+    chunked,
+    dir_envelope_writer,
+    dir_line_writer,
+    make_envelope,
+)
 
 
 def default_producer_factory(bootstrap: str):
@@ -98,79 +111,130 @@ def kafka_append(bootstrap: str, topic: str, lines: list[str], factory) -> None:
     producer.flush()
 
 
-_WARNED_AT_LEAST_ONCE = False
-
-
-def _warn_at_least_once(fname_prefix: str | None) -> None:
-    """One-time runtime notice that the epoch-replay discipline the caller
-    asked for (an ``fname_prefix``) cannot be honored over a broker: Kafka
-    deployments of the topology run at-least-once across foreachBatch
-    replays."""
-    global _WARNED_AT_LEAST_ONCE
-    if fname_prefix is None or _WARNED_AT_LEAST_ONCE:
-        return
-    _WARNED_AT_LEAST_ONCE = True
-    import warnings
-
-    warnings.warn(
-        "KafkaTopic cannot stage/dedup epoch replays (fname_prefix "
-        f"{fname_prefix!r} ignored): this transport is AT-LEAST-ONCE across "
-        "foreachBatch replays — a restarted epoch may duplicate entity "
-        "fragments (which concat downstream). The file transport provides "
-        "exactly-once; over Kafka, use a transactional producer keyed by "
-        "query+epoch if replays must dedup.",
-        RuntimeWarning,
-        stacklevel=3,
-    )
-
-
 class KafkaTopic:
     """Same contract as transport.FileTopic, over a Kafka broker.
 
-    ``exactly_once_replay`` is False: the epoch lifecycle methods are
-    accepted no-ops (``epoch_committed`` never reports committed, so the
-    topology always re-runs a replayed epoch's writes), and the writers
-    cannot dedup — see ``line_writer``. The degradation is logged ONCE per
-    process when an epoch-disciplined writer is requested, so a Kafka
-    deployment knows its replays are at-least-once instead of silently
-    assuming the file transport's guarantee (r8-advisor item)."""
+    ``exactly_once_replay`` is True (r9 verdict task 4 — previously this
+    transport degraded to at-least-once with a one-time warning): epoch
+    publishes follow the SAME stage-then-promote discipline as FileTopic.
+    Writers given an ``fname_prefix`` buffer their partition's lines under
+    ``<stage_root>/<topic>/.staging/<epoch>/`` instead of producing
+    immediately; ``commit_epoch`` drains the staged epoch through the
+    producer in one flush and lands an atomic marker file, and
+    ``epoch_committed`` consults the marker — so a replayed epoch (however
+    Spark repartitions the rerun) either finds its marker and publishes
+    NOTHING, or discards the partial staging and re-stages from scratch.
 
-    exactly_once_replay = False
+    This is the transactional-producer shape realized over a shared
+    filesystem: staged sends are invisible until commit, commit is the only
+    produce. ``stage_root`` must be visible to executors and the driver and
+    survive restarts — point it next to the topology's checkpoint dir on a
+    cluster (same storage-class requirement as the checkpoint itself). The
+    irreducible window is a crash INSIDE ``commit_epoch`` between the
+    producer flush and the marker rename, which replays the one epoch; a
+    real broker closes even that by sending the epoch's records and a
+    marker record in one Kafka transaction (producer
+    ``init_transactions``/``commit_transaction`` keyed by query+epoch) —
+    the drain loop below is where that transaction would wrap."""
 
-    def __init__(self, bootstrap: str, name: str, producer_factory=None):
+    exactly_once_replay = True
+
+    def __init__(
+        self,
+        bootstrap: str,
+        name: str,
+        producer_factory=None,
+        stage_root: str | None = None,
+    ):
+        import hashlib
+        import tempfile
+
         self.bootstrap = bootstrap
         self.name = name
         self._factory = producer_factory or default_producer_factory
+        if stage_root is None:
+            # stable per bootstrap (NOT per PID: the stage is shared state
+            # between executor writers, the committing driver, and a
+            # restarted topology's replay check)
+            tag = hashlib.md5(bootstrap.encode()).hexdigest()[:10]
+            stage_root = os.path.join(
+                tempfile.gettempdir(), f"spark-graft-kafka-stage-{tag}"
+            )
+        self.stage_root = stage_root
+
+    # ---- staged-epoch layout ----------------------------------------------
+
+    def _topic_stage(self) -> str:
+        return os.path.join(self.stage_root, self.name)
+
+    def _staging_dir(self, prefix: str) -> str:
+        return os.path.join(self._topic_stage(), STAGING, prefix)
+
+    def _marker(self, prefix: str) -> str:
+        return os.path.join(self._topic_stage(), "_committed", f"{prefix}.json")
 
     def append_lines(self, lines: list[str]) -> None:
         kafka_append(self.bootstrap, self.name, lines, self._factory)
 
-    # epoch lifecycle: no staging over a broker — every call re-publishes
+    # ---- epoch lifecycle (driver side, inside foreachBatch) ---------------
+
     def epoch_committed(self, prefix: str) -> bool:
-        return False
+        return os.path.exists(self._marker(prefix))
 
     def begin_epoch(self, prefix: str) -> None:
-        pass
+        """Discard staging left by a crashed prior attempt — its
+        partitioning may differ from the rerun's, and nothing staged was
+        ever produced, so wholesale removal is safe (FileTopic's rule)."""
+        import shutil
+
+        shutil.rmtree(self._staging_dir(prefix), ignore_errors=True)
 
     def commit_epoch(self, prefix: str) -> None:
-        pass
+        """Drain the staged epoch through the producer (one flush) and land
+        the atomic marker. An epoch that staged nothing still commits (an
+        empty marker) so its replay is skipped — FileTopic parity."""
+        import shutil
+
+        marker = self._marker(prefix)
+        if os.path.exists(marker):
+            return
+        staged = self._staging_dir(prefix)
+        lines: list[str] = []
+        if os.path.isdir(staged):
+            for fn in sorted(os.listdir(staged)):
+                if fn.endswith(".json") and not fn.startswith((".", "_")):
+                    with open(os.path.join(staged, fn)) as f:
+                        lines += [
+                            ln for ln in f.read().splitlines() if ln.strip()
+                        ]
+        # a real broker wraps this produce + the marker in one Kafka
+        # transaction; over the fake/local producer the flush-then-marker
+        # order leaves only the crash-inside-commit replay window
+        kafka_append(self.bootstrap, self.name, lines, self._factory)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": prefix, "lines": len(lines)}, f)
+        os.replace(tmp, marker)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    # ---- writers (executor side, picklable) --------------------------------
 
     def line_writer(self, fname_prefix: str | None = None):
         """Picklable foreachPartition sink: rows with a ``value`` column.
 
-        ``fname_prefix`` is accepted for contract parity with
-        ``FileTopic.line_writer`` and ignored — which means the Kafka
-        transport is AT-LEAST-ONCE across foreachBatch replays, not
-        exactly-once like the file transport. ``enable.idempotence=true``
-        does NOT close the gap (producer idempotence dedups broker-level
-        retries within one producer session, not a re-executed epoch);
-        closing it needs a transactional producer keyed by query+epoch
-        committing offsets with the write, which this sandbox's fake
-        transport cannot model. Downstream, a replayed epoch's duplicate
-        status fragments are absorbed by the fan-in's last-write-wins;
-        duplicate ENTITY fragments concat (the reference's own duplicate
-        semantics, `NeelProcessedTweetWindowFunction.java:57-61`)."""
-        _warn_at_least_once(fname_prefix)
+        With ``fname_prefix`` (query+epoch) the partition STAGES its lines
+        for ``commit_epoch`` — the same ``.staging/<epoch>/p<id>`` discipline
+        as the file transport (the writer closure is literally
+        ``dir_line_writer`` pointed at this topic's stage dir). Without a
+        prefix the write produces immediately (fire-and-forget paths).
+        Downstream semantics of duplicates, were the commit window ever
+        hit: a replayed epoch's status fragments are absorbed by the
+        fan-in's last-write-wins; entity fragments concat (the reference's
+        own duplicate semantics,
+        `NeelProcessedTweetWindowFunction.java:57-61`)."""
+        if fname_prefix is not None:
+            return dir_line_writer(self._topic_stage(), fname_prefix)
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:
@@ -186,9 +250,14 @@ class KafkaTopic:
     ):
         """Picklable foreachPartition sink: rows with an ``item`` JSON column
         -> one request envelope per partition (or per ``chunk`` items).
-        ``fname_prefix`` accepted for FileTopic parity, ignored (see
-        ``line_writer``)."""
-        _warn_at_least_once(fname_prefix)
+        With ``fname_prefix``, envelopes stage for ``commit_epoch`` exactly
+        like ``line_writer`` (envelopes carry a fresh requestId per attempt,
+        so epoch-level — not content-level — dedup is what keeps a replayed
+        request batch single-shot)."""
+        if fname_prefix is not None:
+            return dir_envelope_writer(
+                self._topic_stage(), out_topic, chunk, fname_prefix
+            )
         bootstrap, name, factory = self.bootstrap, self.name, self._factory
 
         def write(rows) -> None:

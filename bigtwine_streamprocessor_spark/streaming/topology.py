@@ -182,10 +182,10 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
     add extra pN duplicates). So the unit of commitment is the EPOCH:
     skip it wholesale if its committed dir exists, otherwise discard any
     partial staging from a crashed attempt, run the executor-side writes
-    into staging, and atomically promote. On a transport that cannot stage
-    (KafkaTopic: ``epoch_committed`` is always False, begin/commit are
-    no-ops) this degrades to the transport's own at-least-once guarantee,
-    which that transport logs once at writer-construction time."""
+    into staging, and atomically promote. Both transports honor the full
+    contract: FileTopic promotes a staged dir with one rename; KafkaTopic
+    stages to a shared spool and produces only from ``commit_epoch``
+    (transactional-producer shape, r9 verdict task 4)."""
     if topic.epoch_committed(prefix):
         return
     topic.begin_epoch(prefix)

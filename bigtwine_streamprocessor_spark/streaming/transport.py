@@ -174,7 +174,8 @@ class FileTopic:
     the batch) or a partial staging dir (discarded and rewritten — no
     reader ever saw it). ``exactly_once_replay`` advertises the guarantee
     so a topology can log what its transport actually provides (the Kafka
-    twin is at-least-once; see ``KafkaTopic``)."""
+    twin stages to a shared spool and produces only on commit — same
+    guarantee; see ``KafkaTopic``)."""
 
     exactly_once_replay = True
 

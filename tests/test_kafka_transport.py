@@ -166,25 +166,96 @@ def test_topology_runs_on_kafka(spark, sf_dir, tmp_path):
         s.stop()
 
 
-def test_epoch_discipline_degradation_warns_once(tmp_path):
-    """KafkaTopic accepts the epoch lifecycle as no-ops and must SAY so:
-    requesting an epoch-disciplined writer (fname_prefix) warns once per
-    process that broker replays are at-least-once (r8-advisor item)."""
-    import warnings
+def _staged_topic(tmp_path, name="t"):
+    spool = str(tmp_path / "spool")
+    topic = kt.KafkaTopic(
+        "fake:9092",
+        name,
+        producer_factory=kt.SpoolProducerFactory(spool),
+        stage_root=str(tmp_path / "stage"),
+    )
+    return topic, spool
 
-    kt._WARNED_AT_LEAST_ONCE = False
-    spool = kt.SpoolProducerFactory(str(tmp_path / "spool"))
-    topic = kt.KafkaTopic("fake:9092", "t", producer_factory=spool)
-    # lifecycle no-ops: never committed, begin/commit accepted
-    assert topic.exactly_once_replay is False
-    assert topic.epoch_committed("q1-e0") is False
+
+class _Rows:
+    """Minimal foreachPartition-shaped iterable of {'value': ...} rows."""
+
+    def __init__(self, values):
+        self.values = values
+
+    def __iter__(self):
+        return iter({"value": v} for v in self.values)
+
+
+def test_staged_epoch_invisible_until_commit(tmp_path):
+    """Staged writes produce NOTHING; commit_epoch is the only produce
+    (transactional-producer shape, r9 verdict task 4)."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path)
+    assert topic.exactly_once_replay is True
     topic.begin_epoch("q1-e0")
-    topic.commit_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["a", "b"]))
+    assert _spool_lines(spool, "t") == [], "staged lines leaked to the broker"
     assert topic.epoch_committed("q1-e0") is False
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        topic.line_writer(fname_prefix="q1-e0")
-        topic.envelope_writer("reply", fname_prefix="q1-e0")  # no 2nd warn
-        topic.line_writer()  # no prefix -> no warning either
-    at_least_once = [x for x in w if "AT-LEAST-ONCE" in str(x.message)]
-    assert len(at_least_once) == 1
+    topic.commit_epoch("q1-e0")
+    assert topic.epoch_committed("q1-e0") is True
+    assert sorted(_spool_lines(spool, "t")) == ["a", "b"]
+
+
+def test_committed_epoch_replay_produces_zero_duplicates(tmp_path):
+    """A replayed committed epoch — even one whose rerun repartitions the
+    batch — publishes nothing: epoch_committed short-circuits the topology's
+    _epoch_publish, and a manual re-commit is a no-op."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path)
+    topic.begin_epoch("q1-e7")
+    topic.line_writer(fname_prefix="q1-e7")(_Rows(["x", "y", "z"]))
+    topic.commit_epoch("q1-e7")
+    assert sorted(_spool_lines(spool, "t")) == ["x", "y", "z"]
+    # replay: the topology checks epoch_committed first and skips wholesale
+    assert topic.epoch_committed("q1-e7") is True
+    # even a defensive direct re-commit must not re-produce
+    topic.commit_epoch("q1-e7")
+    assert sorted(_spool_lines(spool, "t")) == ["x", "y", "z"]
+
+
+def test_repartitioned_replay_of_uncommitted_epoch_restages(tmp_path):
+    """A crash BEFORE commit leaves only invisible staging; the rerun's
+    begin_epoch discards it wholesale, so a replay that packs the batch into
+    DIFFERENT partitions produces exactly the rerun's content once (the
+    repartitioned-replay hole per-name dedup could not close)."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path)
+    # first attempt: two partitions' worth staged, then crash (no commit)
+    topic.begin_epoch("q2-e3")
+    kt.dir_line_writer(topic._topic_stage(), "q2-e3")(_Rows(["a", "b"]))
+    assert _spool_lines(spool, "t") == []
+    # rerun repartitions: one partition, overlapping-but-different content
+    topic.begin_epoch("q2-e3")
+    topic.line_writer(fname_prefix="q2-e3")(_Rows(["a", "b", "c"]))
+    topic.commit_epoch("q2-e3")
+    assert sorted(_spool_lines(spool, "t")) == ["a", "b", "c"]
+
+
+def test_staged_envelope_writer_and_empty_epoch_marker(tmp_path):
+    """Envelope staging rides the same discipline; an epoch that staged
+    nothing still commits an empty marker so its replay is skipped."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path, name="geo-req")
+    topic.begin_epoch("q3-e0")
+    rows = [{"item": json.dumps({"tag": str(i)})} for i in range(5)]
+    topic.envelope_writer("geo-resp.a1", chunk=3, fname_prefix="q3-e0")(
+        iter(rows)
+    )
+    assert _spool_lines(spool, "geo-req") == []
+    topic.commit_epoch("q3-e0")
+    envs = [json.loads(ln) for ln in _spool_lines(spool, "geo-req")]
+    assert len(envs) == 2  # 3 + 2
+    assert sorted(it["tag"] for e in envs for it in e["items"]) == [
+        str(i) for i in range(5)
+    ]
+    # empty epoch: nothing staged, commit still lands the marker
+    topic.begin_epoch("q3-e1")
+    topic.commit_epoch("q3-e1")
+    assert topic.epoch_committed("q3-e1") is True
+    assert len(_spool_lines(spool, "geo-req")) == 2
