@@ -41,6 +41,7 @@ def bench_topology(
     shuffle_partitions: int | None = None,
     amplify: int = 80,
     n_files: int = 256,
+    warm_frac: float = 0.25,
 ) -> dict:
     """End-to-end async topology throughput, measured two ways:
 
@@ -165,28 +166,34 @@ def bench_topology(
         steady_rate = 0.0
         steady_window = 0.0
         sub_rates: list[float] = []
-        warm = [(t, c) for t, c in samples if c >= max(1, n // 4)]
-        if len(warm) >= 2:
-            (t_a, c_a), (t_b, c_b) = warm[0], warm[-1]
+        warm = [(t, c) for t, c in samples if c >= max(1, int(n * warm_frac))]
+        # Results land in ATOMIC whole-epoch bursts (the staged-epoch
+        # transport promotes an epoch's results with one dir rename), so the
+        # completion series is a step function and any WALL-CLOCK sub-window
+        # boundary cuts mid-plateau: a window that happens to end just
+        # before a promotion under-counts by a whole epoch (the r9 official
+        # capacity record read band_frac 0.224 with halves 976 vs 1221/s —
+        # ramp quantization, not drift). Align everything to the STEP
+        # POINTS (the commit timestamps as the sampler observed them): the
+        # slope runs first-step..last-step, and the two halves split at a
+        # step index, so every window begins and ends exactly at an epoch
+        # promotion and burst packing cancels out of the rate.
+        steps = [
+            (t, c)
+            for i, (t, c) in enumerate(warm)
+            if i == 0 or c > warm[i - 1][1]
+        ]
+        if len(steps) >= 2:
+            (t_a, c_a), (t_b, c_b) = steps[0], steps[-1]
             if t_b > t_a and c_b > c_a:
                 steady_window = t_b - t_a
                 steady_rate = (c_b - c_a) / steady_window
-                # 2 sub-windows (first half vs second half, ~25 s each at
-                # x80): fan-in completions land in multi-second bursts, so a
-                # sub-window's rate is quantized by how many ~3 s trigger
-                # bursts it catches — at ~17 s thirds that is ~6 bursts and
-                # ONE extra burst is +/-17% on its own (observed flapping
-                # 1.0 -> 0.67 between identical-code runs; 5 windows caught
-                # single stall/burst cells: [548, 506, 545, 337, 624]).
-                # Halves hold ~8+ bursts each, so the +/-20% consistency
-                # check detects real first-vs-second-half drift instead of
-                # burst quantization.
-                n_sub = 2
-                bounds = [t_a + steady_window * i / n_sub for i in range(n_sub + 1)]
-                for lo, hi in zip(bounds, bounds[1:]):
-                    win = [(t, c) for t, c in warm if lo <= t <= hi]
-                    if len(win) >= 2 and win[-1][0] > win[0][0]:
-                        r = (win[-1][1] - win[0][1]) / (win[-1][0] - win[0][0])
+                mid = len(steps) // 2
+                for half in (steps[: mid + 1], steps[mid:]):
+                    if len(half) >= 2 and half[-1][0] > half[0][0]:
+                        r = (half[-1][1] - half[0][1]) / (
+                            half[-1][0] - half[0][0]
+                        )
                         if r > 0:
                             sub_rates.append(r)
         band = (
@@ -223,8 +230,9 @@ def bench_topology(
             "steady_consistency": consistency,
             "max_files_per_trigger": max_files_per_trigger,
             "rows_per_trigger": round(n / n_files * max_files_per_trigger),
-            "method": "slope over the full 25%-complete..last-result region"
-            " (sub-window rates kept as variance diagnostic), continuous"
+            "method": "slope over epoch-commit step points in the"
+            " 25%-complete..last-result region (half-windows split at a"
+            " step index so no boundary cuts a promotion burst), continuous"
             f" feed (x{amplify} replay-amplified corpus, {n_files} files,"
             f" maxFilesPerTrigger={max_files_per_trigger})",
         }
@@ -441,6 +449,18 @@ def main() -> None:
             n_files=768,
         )
         streaming_cap["shuffle_partitions"] = cap_shuffle
+        # Capacity mode's comparable number is the ONE-SHOT plateau
+        # (877/844/833 across r8-r9 records; r10 step-aligned reruns 913/857):
+        # even with the estimator aligned to epoch-commit steps, a 24-epoch
+        # run's half-window slopes swing up to 50% run-to-run (epoch
+        # durations vary with GC/burst packing), so the steady slope fails
+        # its own band check more often than not. The steady fields stay in
+        # BENCH_DETAIL as variance diagnostics; the compact record carries
+        # only the one-shot plateau (r9 verdict task 5).
+        streaming_cap["steady_note"] = (
+            "diagnostic only — capacity headline is the one-shot plateau"
+            " (tweets_per_s); steady slope is epoch-quantized at 24 epochs"
+        )
     except Exception as exc:
         streaming_cap = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
@@ -490,8 +510,6 @@ def main() -> None:
         k: streaming_cap[k]
         for k in (
             "tweets_per_s",
-            "steady_tweets_per_s",
-            "steady_consistency",
             "max_files_per_trigger",
             "shuffle_partitions",
             "error",
