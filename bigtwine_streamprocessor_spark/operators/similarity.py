@@ -1489,8 +1489,16 @@ def ivf_topk(
 
     At scale this is the classic IVF layout: the corpus partitions by cell id
     (each cell a shard), queries fan out to n_probe shards — candidate count
-    is ~n_probe/n_cells of the corpus; size ``n_cells ~ sqrt(n)``. A corpus
-    vector lives in exactly one cell, so no candidate dedup is needed.
+    is ~n_probe/n_cells of the corpus. A corpus vector lives in exactly one
+    cell, so no candidate dedup is needed.
+
+    Serving-shape guidance (r10 sweep on the realistic sf10 replica, grid
+    in PERF.md): size ``n_cells ~ 2-5x sqrt(n)`` and train with ``n_iters
+    ~ 6`` on a hash sample — recall@5 at a fixed 5%-scanned budget went
+    0.48 (sqrt-n cells, 2 iters) -> 0.58 (1024 cells, 6 iters) on 200k
+    vectors; training quality bought as much as cell count. The module
+    defaults (IVF_CELLS/IVF_ITERS) stay small for the DuckDB-unrolled
+    oracle pin, not for serving.
 
     Pass ``index=read_ivf_index(...)`` to start from an ingest-time
     materialized index: no Lloyd iterations, no corpus re-scoring — only

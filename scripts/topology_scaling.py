@@ -31,6 +31,17 @@ from bench import bench_topology  # noqa: E402
 from bigtwine_streamprocessor_spark.session import get_spark  # noqa: E402
 
 
+def _du_bytes(path: str) -> int:
+    total = 0
+    for base, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(base, fn))
+            except OSError:
+                pass
+    return total
+
+
 def restart_soak(
     spark,
     sf_dir: str,
@@ -132,6 +143,10 @@ def restart_soak(
             spark.sparkContext.setLogLevel("WARN")
         kill_at = _time.perf_counter() - t0
         inflight = n - mid
+        # state-store footprint AT the kill: the checkpointed state the
+        # second life must reload before it can make progress (task 7's
+        # recovery-SLO denominator)
+        state_bytes = _du_bytes(os.path.join(topics_root, "_chk"))
 
         # ---- second life: same root, run to completion -------------------
         t1 = _time.perf_counter()
@@ -180,6 +195,7 @@ def restart_soak(
             "killed_at_completed": mid,
             "keys_in_flight_at_kill": inflight,
             "kill_at_s": round(kill_at, 1),
+            "state_bytes_at_kill": state_bytes,
             "recovery_to_complete_s": round(recovery_s, 1),
             "results": len(results),
             "unique_tags": len(set(tags)),
@@ -209,6 +225,25 @@ def main() -> None:
     )
     ap.add_argument("--min-inflight", type=int, default=10_000)
     ap.add_argument(
+        "--amplify",
+        type=int,
+        default=80,
+        help="replay amplification for the soak feed (x80 ~ 376k tweets "
+        "at sf0.1; x240 ~ 1.13M for the second recovery-curve point)",
+    )
+    ap.add_argument(
+        "--soak-n-files",
+        type=int,
+        default=256,
+        help="feed file count (scale with --amplify to hold rows/trigger)",
+    )
+    ap.add_argument(
+        "--rocksdb",
+        action="store_true",
+        help="RocksDB state store for the soak session (the >=1M-key "
+        "point needs state off-heap)",
+    )
+    ap.add_argument(
         "--double-shuffle-at-max",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -217,10 +252,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="topology-scaling")
+    spark = get_spark(
+        app_name="topology-scaling", rocksdb_state=getattr(args, "rocksdb", False)
+    )
     if args.restart_soak:
         report = restart_soak(
-            spark, args.sf_dir, min_inflight=args.min_inflight
+            spark,
+            args.sf_dir,
+            amplify=args.amplify,
+            n_files=args.soak_n_files,
+            min_inflight=args.min_inflight,
         )
         print(json.dumps(report), flush=True)
         spark.stop()
