@@ -414,7 +414,14 @@ def _write_bucket_clustered(
         if n_files is not None
         else out.repartition(F.col("bucket"))
     )
-    out.sortWithinPartitions("bucket").write.mode(mode).parquet(path)
+    # (bucket, vec_id): vec_id breaks ties so the layout is CANONICAL —
+    # two histories holding the same rows (streamed appends+compact vs a
+    # batch rebuild) compact to byte-identical files (r10 sf10 drive:
+    # bucket-only sort left tie order history-dependent). Row-group
+    # bucket stats are unchanged; the extra sort key is free at write.
+    out.sortWithinPartitions("bucket", "vec_id").write.mode(mode).parquet(
+        path
+    )
 
 
 def _write_index_meta(spark, path: str, meta: dict) -> None:
