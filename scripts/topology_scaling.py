@@ -238,6 +238,12 @@ def main() -> None:
         help="feed file count (scale with --amplify to hold rows/trigger)",
     )
     ap.add_argument(
+        "--soak-timeout",
+        type=int,
+        default=900,
+        help="per-life timeout seconds (the 1M-key recovery needs ~3600)",
+    )
+    ap.add_argument(
         "--rocksdb",
         action="store_true",
         help="RocksDB state store for the soak session (the >=1M-key "
@@ -262,6 +268,7 @@ def main() -> None:
             amplify=args.amplify,
             n_files=args.soak_n_files,
             min_inflight=args.min_inflight,
+            timeout_s=args.soak_timeout,
         )
         print(json.dumps(report), flush=True)
         spark.stop()
