@@ -187,6 +187,27 @@ class _Rows:
         return iter({"value": v} for v in self.values)
 
 
+def test_staged_epoch_through_foreachpartition(spark, tmp_path):
+    """The staged writer is executor-side (separate Python worker
+    processes in local mode): partitions stage via the shared filesystem,
+    the driver's commit_epoch drains them — nothing reaches the producer
+    until then, across process boundaries."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path, name="results")
+    df = spark.range(40).repartition(4).selectExpr("concat('v-', id) AS value")
+    topic.begin_epoch("q1-e0")
+    df.foreachPartition(topic.line_writer(fname_prefix="q1-e0"))
+    assert _spool_lines(spool, "results") == []
+    topic.commit_epoch("q1-e0")
+    assert sorted(_spool_lines(spool, "results")) == sorted(
+        f"v-{i}" for i in range(40)
+    )
+    # replayed epoch (repartitioned): epoch_committed short-circuits
+    assert topic.epoch_committed("q1-e0") is True
+    topic.commit_epoch("q1-e0")
+    assert len(_spool_lines(spool, "results")) == 40
+
+
 def test_staged_epoch_invisible_until_commit(tmp_path):
     """Staged writes produce NOTHING; commit_epoch is the only produce
     (transactional-producer shape, r9 verdict task 4)."""
