@@ -410,21 +410,23 @@ def main() -> None:
     try:
         streaming = bench_topology(spark, stream_sf)
         timings["topology_stream"] = streaming["elapsed_s"]
-        # Streaming regression band (PERF.md round-9 band refresh): the r8
-        # sub-400 "slow mode" (366-391/s, ~1 in 3 idle runs) was the bench
-        # sampler's own O(files^2) results re-read; since that fix, 14
-        # consecutive samples (4 in r8 + 10 in r9) all landed 438-596/s at
-        # consistency 1.0. The two-consecutive-breach caveat is RETIRED:
-        # a single sub-400 reading that load1 can't explain is now a real
-        # regression signal. Warn-level so the run still records.
-        if 0 < streaming.get("steady_tweets_per_s", 0) < 400:
-            streaming["below_400_floor"] = True
+        # Streaming regression band (PERF.md round-10 refresh): the r9 band
+        # was 440-600/s under the wall-clock sub-window estimator; the r10
+        # step-aligned estimator (slopes over epoch-commit points) reads
+        # ~5-10% higher because it no longer cuts promotion bursts at
+        # window boundaries — 7 samples under it landed 540-639/s at
+        # consistency 1.0 (plus the 508.3 first post-fix check). Band is
+        # now 500-650/s; floor raised 400 -> 450. A single sub-450 reading
+        # that load1 can't explain is a real regression signal (the pre-r9
+        # 1-in-3 slow mode stays retired). Warn-level so the run records.
+        if 0 < streaming.get("steady_tweets_per_s", 0) < 450:
+            streaming["below_450_floor"] = True
             print(
                 "WARN: latency-mode steady rate "
-                f"{streaming['steady_tweets_per_s']}/s is below the 400/s "
+                f"{streaming['steady_tweets_per_s']}/s is below the 450/s "
                 "floor. Check load1 first; if idle, treat as a REAL "
-                "regression — the pre-r9 1-in-3 slow mode is retired "
-                "(PERF.md round-9 band refresh, n=14 without one)",
+                "regression (PERF.md round-10 band refresh: 500-650/s "
+                "under the step-aligned estimator)",
                 file=sys.stderr,
             )
     except Exception as exc:  # still emit the JSON line on a streaming crash
