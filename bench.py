@@ -503,7 +503,7 @@ def main() -> None:
             "steady_tweets_per_s",
             "steady_window_s",
             "steady_consistency",
-            "below_400_floor",
+            "below_450_floor",
             "error",
         )
         if k in streaming
