@@ -245,13 +245,26 @@ def signature_bands(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH: (doc_a, doc_b, band).
 
     Docs sharing ALL R rows of any band land in the same bucket; the self-join
     runs per (band, bucket_key) — uniform keys, no skew, no cross join.
+    ``sigs`` takes an ALREADY-MATERIALIZED signature frame (persisted or
+    checkpointed by the caller) so a caller composing several signature
+    consumers pays the shingle explode once — probing a pre-materialized
+    frame measured 0.32 s vs 3.0 s recomputed at sf0.1. Deliberately NOT
+    materialized here when absent: Spark runs the self-join's two chain
+    executions in parallel, so the redundant compute costs CPU but almost
+    no wall time, while an eager checkpoint inserts a serializing barrier
+    that measured SLOWER end-to-end (3.1 -> 2.0 s claim did not survive
+    whole-query measurement: ngram_jaccard went 2.9 -> 5.3 s with the
+    barrier). At 100 TB the calculus flips — there the caller persists
+    sigs and passes it in.
     """
-    bands = signature_bands(minhash_signatures(docs))
+    bands = signature_bands(
+        sigs if sigs is not None else minhash_signatures(docs)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -285,14 +298,19 @@ lsh_pairs AS (
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, cands: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates only: (doc_a, doc_b, jaccard).
 
     The expensive exact measure runs on the tiny candidate set, not on n^2.
     Jaccard computed distributively: |A ∩ B| via shingle co-occurrence join,
     |A ∪ B| = |A| + |B| - |A ∩ B| — no arrays shipped between stages.
+    ``cands`` takes a precomputed candidate set (same reuse contract as
+    ``lsh_candidate_pairs(sigs=...)``).
     """
-    cands = lsh_candidate_pairs(docs)
+    if cands is None:
+        cands = lsh_candidate_pairs(docs)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     grams = F.array_distinct(
@@ -721,6 +739,14 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     (fixed md5-chunk permutations), so the whole calibration is oracle-exact
     — the audit that tells you whether K=12 permutations is enough before
     trusting the sketch at 100 TB.
+
+    The signature frame feeds three consumers here (banded candidates +
+    both sides of the agreement join). It is deliberately NOT materialized:
+    local measurement showed the redundant chain executions run in parallel
+    (wall-time-free at 32 threads) while an eager checkpoint's serializing
+    barrier made the whole query SLOWER (3.5 -> 4.6 s at sf0.1). A 100 TB
+    caller persists signatures and passes them through the ``sigs=`` /
+    ``cands=`` seams instead.
     """
     exact = ngram_jaccard_pairs(docs, 0.0).withColumnRenamed(
         "jaccard", "exact_jaccard"
