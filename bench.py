@@ -366,10 +366,7 @@ def main() -> None:
             )
 
             docs = registry._docs(spark, sf_dir).select("doc_id", "text")
-            seeded = corpus_prep.with_seeded_incremental(docs)
-            delta = seeded.filter(
-                F.col("doc_id") >= corpus_prep.INC_EXACT_OFFSET
-            )
+            delta = corpus_prep.seeded_delta(docs)
             path = registry._gate_index_path("dedup", sf_dir)
             t0 = time.perf_counter()
             dedup_index.build_dedup_index(docs, path, n_files=8)

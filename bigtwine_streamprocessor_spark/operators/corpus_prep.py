@@ -577,6 +577,28 @@ def with_seeded_incremental(docs: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(near)
 
 
+def seeded_delta(docs: DataFrame) -> DataFrame:
+    """JUST the synthetic incoming batch (the exact + near derived rows of
+    ``with_seeded_incremental``, without the corpus). The index-backed gate
+    query scans THIS against the corpus index: deriving the delta directly
+    mirrors the oracle's ``_INC_DELTA_SQL`` construction at any doc_id
+    distribution — filtering the seeded union by ``doc_id >=
+    INC_EXACT_OFFSET`` instead silently reclassified 45k CORPUS docs as
+    incoming on the sf1 replica, whose stride-shifted ids (replica i adds
+    i x 10M) all clear the 1M offset (caught by the r10 sf1 oracle
+    sweep)."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % INC_EXACT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + INC_EXACT_OFFSET
+    )
+    near = (
+        base.filter(F.col("doc_id") % INC_NEAR_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + INC_NEAR_OFFSET)
+        .withColumn("text", F.concat(F.col("text"), F.lit(INC_NEAR_SUFFIX)))
+    )
+    return exact.unionByName(near)
+
+
 def incremental_dedup(corpus: DataFrame) -> DataFrame:
     """Incremental dedup: flag INCOMING docs (doc_id >= INC_EXACT_OFFSET)
     that duplicate the EXISTING corpus (doc_id below it) — the scan every

@@ -2144,8 +2144,11 @@ def dedup_incremental(spark, sf_dir):
     ``corpus_prep.incremental_dedup``, oracle-gated in
     tests/test_corpus_prep.py."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    seeded = corpus_prep.with_seeded_incremental(docs)
-    delta = seeded.filter(F.col("doc_id") >= corpus_prep.INC_EXACT_OFFSET)
+    # delta derived directly (corpus_prep.seeded_delta), mirroring the
+    # oracle's construction — the old >=INC_EXACT_OFFSET filter on the
+    # seeded union reclassified corpus docs as incoming on stride-shifted
+    # replicas (r10 sf1 sweep catch)
+    delta = corpus_prep.seeded_delta(docs)
     path = _gate_index_path("dedup", sf_dir)
     # n_files sized for the gate/bench SFs: the default (one file per
     # shuffle partition per table) pays ~2x in file churn at 5k docs
