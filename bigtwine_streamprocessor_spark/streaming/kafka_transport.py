@@ -128,12 +128,22 @@ class KafkaTopic:
     This is the transactional-producer shape realized over a shared
     filesystem: staged sends are invisible until commit, commit is the only
     produce. ``stage_root`` must be visible to executors and the driver and
-    survive restarts — point it next to the topology's checkpoint dir on a
-    cluster (same storage-class requirement as the checkpoint itself). The
-    irreducible window is a crash INSIDE ``commit_epoch`` between the
-    producer flush and the marker rename, which replays the one epoch; a
-    real broker closes even that by sending the epoch's records and a
-    marker record in one Kafka transaction (producer
+    survive restarts — the same storage-class requirement as the streaming
+    checkpoint itself, which is why ``start_topology`` binds an unset
+    ``stage_root`` UNDER the topology's checkpoint root (``<root>/
+    _kafka_stage``). There is deliberately no ambient default: a stable
+    ``/tmp`` path keyed by bootstrap (the pre-r11 behavior) let a NEW run
+    with a fresh checkpoint — whose epoch prefixes restart at ``q1-e0`` —
+    find a previous run's commit markers, report ``epoch_committed`` and
+    publish NOTHING (silent loss), and on a multi-node cluster a node-local
+    default hid executor-staged files from the committing driver. Staged
+    operations now fail loudly until ``stage_root`` is set (constructor /
+    ``bind_stage_root``); ``bind_stage_root(fresh_checkpoint=True)`` purges
+    the topic's stage state so restarted epoch numbering can never meet a
+    stale marker. The irreducible window is a crash INSIDE ``commit_epoch``
+    between the producer flush and the marker rename, which replays the one
+    epoch; a real broker closes even that by sending the epoch's records
+    and a marker record in one Kafka transaction (producer
     ``init_transactions``/``commit_transaction`` keyed by query+epoch) —
     the drain loop below is where that transaction would wrap."""
 
@@ -146,25 +156,40 @@ class KafkaTopic:
         producer_factory=None,
         stage_root: str | None = None,
     ):
-        import hashlib
-        import tempfile
-
         self.bootstrap = bootstrap
         self.name = name
         self._factory = producer_factory or default_producer_factory
-        if stage_root is None:
-            # stable per bootstrap (NOT per PID: the stage is shared state
-            # between executor writers, the committing driver, and a
-            # restarted topology's replay check)
-            tag = hashlib.md5(bootstrap.encode()).hexdigest()[:10]
-            stage_root = os.path.join(
-                tempfile.gettempdir(), f"spark-graft-kafka-stage-{tag}"
-            )
         self.stage_root = stage_root
 
     # ---- staged-epoch layout ----------------------------------------------
 
+    def bind_stage_root(
+        self, stage_root: str, fresh_checkpoint: bool = False
+    ) -> None:
+        """Adopt ``stage_root`` unless the constructor already set one
+        (explicit wins). With ``fresh_checkpoint=True`` — the caller saw no
+        existing streaming checkpoint, so epoch ids restart at 0 — any
+        surviving stage state (markers included) belongs to a DEAD run and
+        is purged wholesale; keeping it is the silent-skip hazard this
+        method exists to close."""
+        import shutil
+
+        if self.stage_root is None:
+            self.stage_root = stage_root
+        if fresh_checkpoint:
+            shutil.rmtree(self._topic_stage(), ignore_errors=True)
+
     def _topic_stage(self) -> str:
+        if self.stage_root is None:
+            raise RuntimeError(
+                f"KafkaTopic({self.name!r}): staged-epoch publish needs a "
+                "stage_root on driver+executor-visible storage (same class "
+                "as the streaming checkpoint). Pass stage_root= to the "
+                "constructor / make_kafka_topics, or let start_topology "
+                "bind it under the topology root. There is no implicit "
+                "default: a stable node-local path silently skips or "
+                "loses replayed epochs."
+            )
         return os.path.join(self.stage_root, self.name)
 
     def _staging_dir(self, prefix: str) -> str:
@@ -189,10 +214,28 @@ class KafkaTopic:
 
         shutil.rmtree(self._staging_dir(prefix), ignore_errors=True)
 
+    def staged_partition_count(self, prefix: str) -> int:
+        """Staged partition files VISIBLE TO THE DRIVER for this epoch.
+        ``_epoch_publish`` cross-checks this against an accumulator of
+        non-empty partitions counted on the executors — a shortfall means
+        ``stage_root`` is not actually shared storage (node-local tmp on a
+        cluster) and committing would silently drop rows (advisor r10)."""
+        staged = self._staging_dir(prefix)
+        if not os.path.isdir(staged):
+            return 0
+        return sum(
+            1
+            for fn in os.listdir(staged)
+            if fn.endswith(".json") and not fn.startswith((".", "_"))
+        )
+
     def commit_epoch(self, prefix: str) -> None:
         """Drain the staged epoch through the producer (one flush) and land
         the atomic marker. An epoch that staged nothing still commits (an
-        empty marker) so its replay is skipped — FileTopic parity."""
+        empty marker) so its replay is skipped — FileTopic parity. (The
+        guard against "staged nothing because the stage is on storage the
+        driver can't see" lives in ``topology._epoch_publish``, which knows
+        the executor-side truth via an accumulator.)"""
         import shutil
 
         marker = self._marker(prefix)
@@ -331,6 +374,16 @@ class SpoolProducerFactory:
 
 
 def make_kafka_topics(
-    bootstrap: str, names: list[str], producer_factory=None
+    bootstrap: str,
+    names: list[str],
+    producer_factory=None,
+    stage_root: str | None = None,
 ) -> dict[str, KafkaTopic]:
-    return {n: KafkaTopic(bootstrap, n, producer_factory) for n in names}
+    """Build the topology's topic dict. ``stage_root`` (driver+executor-
+    shared storage) namespaces every topic's staged-epoch state; leave it
+    None to let ``start_topology`` bind it under the topology's checkpoint
+    root, which carries the right storage class by construction."""
+    return {
+        n: KafkaTopic(bootstrap, n, producer_factory, stage_root=stage_root)
+        for n in names
+    }

@@ -185,12 +185,61 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
     into staging, and atomically promote. Both transports honor the full
     contract: FileTopic promotes a staged dir with one rename; KafkaTopic
     stages to a shared spool and produces only from ``commit_epoch``
-    (transactional-producer shape, r9 verdict task 4)."""
+    (transactional-producer shape, r9 verdict task 4).
+
+    Before committing, the driver cross-checks the staged partition files
+    it can SEE against an accumulator of non-empty partitions counted on
+    the executors (advisor r10): if the stage dir sits on storage the
+    executors and driver don't share (node-local tmp on a cluster), the
+    counts diverge and we fail loudly instead of committing an empty
+    marker that would drop the epoch's rows forever."""
     if topic.epoch_committed(prefix):
         return
     topic.begin_epoch(prefix)
-    df.foreachPartition(writer)
+    count_staged = getattr(topic, "staged_partition_count", None)
+    if count_staged is None:
+        df.foreachPartition(writer)
+    else:
+        # exactly-once per successful task inside an action, so retries /
+        # speculative twins can't inflate the expectation
+        acc = df.sparkSession.sparkContext.accumulator(0)
+
+        def counted(rows, _writer=writer, _acc=acc):
+            rows = list(rows)
+            if rows:
+                _acc.add(1)
+            _writer(iter(rows))
+
+        df.foreachPartition(counted)
+        visible = count_staged(prefix)
+        if visible != acc.value:
+            raise RuntimeError(
+                f"epoch {prefix} on topic {topic.name!r}: executors staged "
+                f"{acc.value} non-empty partition(s) but the driver sees "
+                f"{visible} — the stage root is not on driver+executor-"
+                "shared storage. Refusing to commit (it would silently "
+                "drop rows); point the transport's stage at shared storage "
+                "(same class as the streaming checkpoint)."
+            )
     topic.commit_epoch(prefix)
+
+
+def bind_stage_roots(topics: dict, root: str) -> None:
+    """Bind transports that stage epochs externally (KafkaTopic) to a stage
+    root UNDER the topology root — same storage class as the checkpoints,
+    namespaced per topology so two topologies on one broker never share
+    markers. A missing ``<root>/_chk`` means this run's epoch ids restart
+    at ``q1-e0``, so any surviving stage/marker state belongs to a DEAD run
+    and is purged (else ``epoch_committed`` would hit a stale marker and
+    publish NOTHING — the advisor-r10 silent-loss hazard)."""
+    fresh_checkpoint = not os.path.isdir(os.path.join(root, "_chk"))
+    for t in topics.values():
+        bind = getattr(t, "bind_stage_root", None)
+        if callable(bind):
+            bind(
+                os.path.join(root, "_kafka_stage"),
+                fresh_checkpoint=fresh_checkpoint,
+            )
 
 
 def start_topology(
@@ -212,6 +261,7 @@ def start_topology(
     """
     if topics is None:
         topics = {n: FileTopic(root, n) for n in TOPIC_NAMES}
+    bind_stage_roots(topics, root)
     trig = {"processingTime": f"{trigger_s} seconds"}
 
     # Durable "consumer offsets" for the service stand-ins: a restarted

@@ -216,6 +216,20 @@ class FileTopic:
             os.path.join(self.dir, STAGING, prefix), ignore_errors=True
         )
 
+    def staged_partition_count(self, prefix: str) -> int:
+        """Staged partition files visible to the driver for this epoch —
+        cross-checked by ``topology._epoch_publish`` against the executor-
+        side non-empty-partition count to catch a stage dir that is not
+        actually on driver+executor-shared storage."""
+        staged = os.path.join(self.dir, STAGING, prefix)
+        if not os.path.isdir(staged):
+            return 0
+        return sum(
+            1
+            for fn in os.listdir(staged)
+            if fn.endswith(".json") and not fn.startswith((".", "_"))
+        )
+
     def commit_epoch(self, prefix: str) -> None:
         """Atomically promote the staged epoch: one dir rename makes every
         partition file visible at once. An epoch that published nothing

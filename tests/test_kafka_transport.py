@@ -280,3 +280,116 @@ def test_staged_envelope_writer_and_empty_epoch_marker(tmp_path):
     topic.commit_epoch("q3-e1")
     assert topic.epoch_committed("q3-e1") is True
     assert len(_spool_lines(spool, "geo-req")) == 2
+
+
+def test_staged_ops_require_stage_root(tmp_path):
+    """No implicit stage_root (advisor r10, high): a stable /tmp default
+    keyed by bootstrap let a fresh-checkpoint run (epoch ids restarting at
+    q1-e0) meet a previous run's markers and silently publish nothing.
+    Staged-epoch operations must fail loudly until a root is bound;
+    fire-and-forget paths never need one."""
+    spool = str(tmp_path / "spool")
+    kt._PRODUCER_CACHE.clear()
+    topic = kt.KafkaTopic("b:9092", "t", kt.SpoolProducerFactory(spool))
+    with pytest.raises(RuntimeError, match="stage_root"):
+        topic.epoch_committed("q1-e0")
+    with pytest.raises(RuntimeError, match="stage_root"):
+        topic.line_writer(fname_prefix="q1-e0")
+    # fire-and-forget still works without any stage state
+    topic.append_lines(["ok"])
+    assert _spool_lines(spool, "t") == ["ok"]
+
+
+def test_bind_stage_root_adopts_and_respects_explicit(tmp_path):
+    explicit = kt.KafkaTopic(
+        "b:9092", "t", kt.SpoolProducerFactory(str(tmp_path / "s")),
+        stage_root=str(tmp_path / "mine"),
+    )
+    explicit.bind_stage_root(str(tmp_path / "theirs"))
+    assert explicit.stage_root == str(tmp_path / "mine")
+    unset = kt.KafkaTopic(
+        "b:9092", "t", kt.SpoolProducerFactory(str(tmp_path / "s"))
+    )
+    unset.bind_stage_root(str(tmp_path / "theirs"))
+    assert unset.stage_root == str(tmp_path / "theirs")
+
+
+def test_fresh_checkpoint_purges_stale_markers(tmp_path):
+    """A dead run's commit markers must not survive into a run whose epoch
+    numbering restarts — epoch_committed on a stale marker publishes
+    NOTHING for the new epoch (silent loss)."""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path, name="results")
+    # previous run committed q1-e0
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["old"]))
+    topic.commit_epoch("q1-e0")
+    assert topic.epoch_committed("q1-e0") is True
+    # new run, fresh checkpoint: same stage_root, epoch ids restart
+    topic.bind_stage_root(topic.stage_root, fresh_checkpoint=True)
+    assert topic.epoch_committed("q1-e0") is False
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["new"]))
+    topic.commit_epoch("q1-e0")
+    assert "new" in _spool_lines(spool, "results")
+
+
+def test_bind_stage_roots_namespaces_under_topology_root(tmp_path):
+    """start_topology's binding: unset stage roots land under
+    <root>/_kafka_stage; an existing checkpoint dir means resume (no
+    purge), a missing one means fresh (purge)."""
+    from bigtwine_streamprocessor_spark.streaming import topology
+
+    spool = str(tmp_path / "spool")
+    root = str(tmp_path / "run")
+    topics = kt.make_kafka_topics(
+        "b:9092", ["a", "b"], kt.SpoolProducerFactory(spool)
+    )
+    topology.bind_stage_roots(topics, root)
+    for t in topics.values():
+        assert t.stage_root == os.path.join(root, "_kafka_stage")
+    # resume case: _chk exists -> a committed marker SURVIVES rebinding
+    kt._PRODUCER_CACHE.clear()
+    topics["a"].begin_epoch("q1-e0")
+    topics["a"].commit_epoch("q1-e0")
+    os.makedirs(os.path.join(root, "_chk"))
+    topology.bind_stage_roots(topics, root)
+    assert topics["a"].epoch_committed("q1-e0") is True
+
+
+def test_epoch_publish_cross_checks_driver_visibility(spark, tmp_path):
+    """_epoch_publish compares executor-counted non-empty partitions with
+    the staged files the driver sees (advisor r10, medium): a stage dir on
+    storage the driver can't read must fail loudly, not commit an empty
+    marker that drops the epoch forever."""
+    from bigtwine_streamprocessor_spark.streaming import topology
+
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path, name="results")
+    df = spark.range(20).repartition(4).selectExpr("concat('v-', id) AS value")
+    # healthy path: counts agree, epoch commits, lines produced once
+    topology._epoch_publish(
+        topic, "q9-e0", df, topic.line_writer(fname_prefix="q9-e0")
+    )
+    assert sorted(_spool_lines(spool, "results")) == sorted(
+        f"v-{i}" for i in range(20)
+    )
+
+    class BlindTopic(kt.KafkaTopic):
+        """Simulates a driver that cannot see executor-staged files."""
+
+        def staged_partition_count(self, prefix):
+            return 0
+
+    blind = BlindTopic(
+        "fake:9092",
+        "results2",
+        producer_factory=kt.SpoolProducerFactory(spool),
+        stage_root=str(tmp_path / "stage"),
+    )
+    with pytest.raises(RuntimeError, match="shared storage"):
+        topology._epoch_publish(
+            blind, "q9-e1", df, blind.line_writer(fname_prefix="q9-e1")
+        )
+    assert blind.epoch_committed("q9-e1") is False, "must not mark committed"
+    assert _spool_lines(spool, "results2") == []
