@@ -732,7 +732,11 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str,
     return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
 
 
-def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    sigs: DataFrame | None = None,
+    cands: DataFrame | None = None,
+) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash ESTIMATE
     of Jaccard (fraction of agreeing signature components) beside the exact
     n-gram Jaccard and the absolute error. Both sides are deterministic
@@ -746,12 +750,15 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     (wall-time-free at 32 threads) while an eager checkpoint's serializing
     barrier made the whole query SLOWER (3.5 -> 4.6 s at sf0.1). A 100 TB
     caller persists signatures and passes them through the ``sigs=`` /
-    ``cands=`` seams instead.
+    ``cands=`` seams instead (equality pinned in test_dedup.py; the
+    composed persisted-sigs measurement lives in scripts/sigs_reuse_bench
+    .py and PERF.md "Signature reuse seams").
     """
-    exact = ngram_jaccard_pairs(docs, 0.0).withColumnRenamed(
+    exact = ngram_jaccard_pairs(docs, 0.0, cands=cands).withColumnRenamed(
         "jaccard", "exact_jaccard"
     )
-    sigs = minhash_signatures(docs)
+    if sigs is None:
+        sigs = minhash_signatures(docs)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
     agree = F.size(

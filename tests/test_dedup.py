@@ -60,3 +60,75 @@ def test_simhash_pairs_complete_within_radius(spark):
         for r in dedup.simhash_pairs(docs).collect()
     }
     assert found == truth
+
+
+def test_lsh_sigs_seam_matches_default_path(spark, sf_dir):
+    """The 100 TB reuse seam (`lsh_candidate_pairs(sigs=...)`): a caller
+    that materializes the MinHash signatures once and passes them in must
+    get EXACTLY the default path's candidate set (r10 verdict task 4 — the
+    seam was shipped untested)."""
+    from bigtwine_streamprocessor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    default = {tuple(r) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    sigs = dedup.minhash_signatures(docs).persist()
+    try:
+        sigs.count()  # materialize before probing, the cluster-caller shape
+        via_seam = {
+            tuple(r)
+            for r in dedup.lsh_candidate_pairs(docs, sigs=sigs).collect()
+        }
+    finally:
+        sigs.unpersist()
+    assert via_seam == default
+    assert len(default) > 0, "fixture produced no candidate pairs"
+
+
+def test_ngram_jaccard_cands_seam_matches_default_path(spark, sf_dir):
+    """`ngram_jaccard_pairs(cands=...)` — same reuse contract: a persisted
+    candidate frame yields byte-identical scored pairs."""
+    from bigtwine_streamprocessor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    default = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    cands = dedup.lsh_candidate_pairs(docs).persist()
+    try:
+        cands.count()
+        via_seam = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(docs, 0.5, cands=cands).collect()
+        }
+    finally:
+        cands.unpersist()
+    assert via_seam == default
+
+
+def test_minhash_estimate_seams_match_default_path(spark, sf_dir):
+    """`minhash_estimate_pairs(sigs=..., cands=...)` — the composed reuse
+    shape (one persisted signature frame feeding every consumer) must be
+    value-identical to the default recompute-per-consumer path."""
+    from bigtwine_streamprocessor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    default = {tuple(r) for r in dedup.minhash_estimate_pairs(docs).collect()}
+    sigs = dedup.minhash_signatures(docs).persist()
+    cands = dedup.lsh_candidate_pairs(docs, sigs=sigs).persist()
+    try:
+        sigs.count(), cands.count()
+        via_seam = {
+            tuple(r)
+            for r in dedup.minhash_estimate_pairs(
+                docs, sigs=sigs, cands=cands
+            ).collect()
+        }
+    finally:
+        cands.unpersist()
+        sigs.unpersist()
+    assert via_seam == default
+    assert len(default) > 0
