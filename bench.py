@@ -166,7 +166,6 @@ def bench_topology(
         steady_rate = 0.0
         steady_window = 0.0
         sub_rates: list[float] = []
-        warm = [(t, c) for t, c in samples if c >= max(1, int(n * warm_frac))]
         # Results land in ATOMIC whole-epoch bursts (the staged-epoch
         # transport promotes an epoch's results with one dir rename), so the
         # completion series is a step function and any WALL-CLOCK sub-window
@@ -177,11 +176,17 @@ def bench_topology(
         # POINTS (the commit timestamps as the sampler observed them): the
         # slope runs first-step..last-step, and the two halves split at a
         # step index, so every window begins and ends exactly at an epoch
-        # promotion and burst packing cancels out of the rate.
+        # promotion and burst packing cancels out of the rate. Steps are
+        # extracted from the FULL sample series before the warm-threshold
+        # cut (advisor r11 fix): seeding with warm[0] unconditionally kept
+        # a mid-plateau repeat observation as the left endpoint, inflating
+        # the window and biasing the slope low by a sampler-phase-dependent
+        # amount.
+        warm_floor = max(1, int(n * warm_frac))
         steps = [
             (t, c)
-            for i, (t, c) in enumerate(warm)
-            if i == 0 or c > warm[i - 1][1]
+            for i, (t, c) in enumerate(samples)
+            if c >= warm_floor and (i == 0 or c > samples[i - 1][1])
         ]
         if len(steps) >= 2:
             (t_a, c_a), (t_b, c_b) = steps[0], steps[-1]
@@ -240,30 +245,36 @@ def bench_topology(
         shutil.rmtree(root, ignore_errors=True)
 
 
-# Load gate for the OFFICIAL record (r8 verdict task 2): the r7 and r8
-# official runs both started under heavy external load (load1 4.76 / 7.13),
-# which degraded the per-query round-over-round regression signal to noise
-# (only 23/72 entries improved in r8 despite no plan regressions). The bench
-# now refuses to start hot: it polls load1 and waits for an idle window
-# before spinning up Spark. If the machine never goes idle within the
-# budget, the run proceeds but the record is stamped "loaded": true at the
-# top level of BOTH JSON artifacts, so a load-skewed official record is
-# self-identifying and the per-query comparison knows to discount it.
+# Load gate for the OFFICIAL record (r8 verdict task 2; tightened r11 per
+# verdict task 3): the r7/r8 official runs started under heavy external load
+# (load1 4.76 / 7.13) and the r9/r10 ones landed at 1.43/1.47 — under the
+# old <1.5 bar but contended enough to manufacture a ~16-query phantom
+# regression list of sub-second entries each round. The bench now waits for
+# a genuinely idle window (load1 < 0.5) first; if that never arrives within
+# the budget it falls back to the old <1.5 bar, and only past THAT does the
+# run proceed stamped "loaded": true. The recorded load1 makes every record
+# self-identifying either way. Sub-second entries additionally take the min
+# of 2 passes (see _MIN2_THRESHOLD_S) so a single scheduler hiccup cannot
+# read as a regression.
+LOAD1_IDLE_TARGET = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_TARGET", "0.5"))
 LOAD1_IDLE_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "1.5"))
 LOAD_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"))
+_MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "2.0"))
 
 
 def _wait_for_idle() -> float:
-    """Poll load1 until it drops under LOAD1_IDLE_MAX or the budget runs out.
+    """Poll load1 until it drops under LOAD1_IDLE_TARGET (preferred) or, once
+    the budget runs out, accept anything under LOAD1_IDLE_MAX.
 
     Returns the load1 observed at the moment the bench actually starts.
     """
     deadline = time.monotonic() + LOAD_WAIT_BUDGET_S
     load1 = os.getloadavg()[0]
-    while load1 > LOAD1_IDLE_MAX and time.monotonic() < deadline:
+    while load1 > LOAD1_IDLE_TARGET and time.monotonic() < deadline:
         print(
-            f"WARN: load1 {load1:.2f} > {LOAD1_IDLE_MAX} — waiting for an "
-            f"idle window (budget {int(deadline - time.monotonic())}s left)",
+            f"WARN: load1 {load1:.2f} > target {LOAD1_IDLE_TARGET} — waiting "
+            f"for an idle window (budget "
+            f"{int(deadline - time.monotonic())}s left)",
             file=sys.stderr,
             flush=True,
         )
@@ -309,6 +320,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     subtimings: dict[str, dict] = {}
+
+    def _timed(run) -> float:
+        """Time run(); sub-second-ish entries take the MIN of 2 passes
+        (r10 verdict task 3): at these durations a single scheduler hiccup
+        or page-cache miss reads as a 1.2-1.6x 'regression', and two
+        consecutive official records manufactured a 16-entry phantom list
+        that way. The min of two passes is the engine cost; the retry adds
+        under a second per affected entry."""
+        t0 = time.perf_counter()
+        run()
+        t = time.perf_counter() - t0
+        if t < _MIN2_THRESHOLD_S:
+            t0 = time.perf_counter()
+            run()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
     for name in names:
         # Production shape for the clustering family: connected components
         # consume CACHED near-dup pairs — the candidate chains are timed
@@ -323,57 +351,55 @@ def main() -> None:
                 .persist()
             )
             edges.count()  # materialize outside the timed window
-            t0 = time.perf_counter()
-            dedup.dedup_clusters(docs, edges=edges).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            edges.unpersist()
-            continue
-        if name == "dedup_embedding_clusters":
-            _, edges = _emb_edges()
-            t0 = time.perf_counter()
-            dedup.connected_components(edges).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            continue
-        if name == "dedup_semantic_keep":
-            emb, edges = _emb_edges()
-            t0 = time.perf_counter()
-            cc = dedup.connected_components(edges)
-            (
-                emb.join(cc, emb["vec_id"] == cc["doc_id"], "left")
-                .filter(
-                    F.col("cluster_id").isNull()
-                    | (F.col("cluster_id") == F.col("vec_id"))
-                )
-                .select("vec_id")
+            timings[name] = _timed(
+                lambda: dedup.dedup_clusters(docs, edges=edges)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()
             )
-            timings[name] = round(time.perf_counter() - t0, 3)
+            edges.unpersist()
+            continue
+        if name == "dedup_embedding_clusters":
+            _, edges = _emb_edges()
+            timings[name] = _timed(
+                lambda: dedup.connected_components(edges)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            continue
+        if name == "dedup_semantic_keep":
+            emb, edges = _emb_edges()
+
+            def _semantic_keep(emb=emb, edges=edges):
+                cc = dedup.connected_components(edges)
+                (
+                    emb.join(cc, emb["vec_id"] == cc["doc_id"], "left")
+                    .filter(
+                        F.col("cluster_id").isNull()
+                        | (F.col("cluster_id") == F.col("vec_id"))
+                    )
+                    .select("vec_id")
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+
+            timings[name] = _timed(_semantic_keep)
             continue
         if name == "dedup_incremental":
             # Decomposed (r9 verdict task 2): the gate composite is
             # build-the-index + O(delta) scan; the total is the honest
             # ingest->index->serve cost, but the SCAN half is what a
-            # steady-state deployment pays per batch — record both.
-            from bigtwine_streamprocessor_spark.operators import (
-                corpus_prep,
-                dedup_index,
-            )
-
-            docs = registry._docs(spark, sf_dir).select("doc_id", "text")
-            delta = corpus_prep.seeded_delta(docs)
-            path = registry._gate_index_path("dedup", sf_dir)
+            # steady-state deployment pays per batch — record both. The
+            # build/scan thunks come from the SAME helper the gate callable
+            # runs (registry.dedup_incremental_parts) so the timed path and
+            # the oracle-gated path cannot drift apart (advisor r10).
+            build, scan = registry.dedup_incremental_parts(spark, sf_dir)
             t0 = time.perf_counter()
-            dedup_index.build_dedup_index(docs, path, n_files=8)
+            build()
             t1 = time.perf_counter()
-            dedup_index.scan_delta(delta, path).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            scan().write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
             timings[name] = round(t2 - t0, 3)
             subtimings[name] = {
@@ -381,10 +407,12 @@ def main() -> None:
                 "scan_delta_s": round(t2 - t1, 3),
             }
             continue
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _timed(
+            lambda name=name: registry.QUERIES[name](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     # steady-state throughput of the flagship (second run: plan + codegen
     # warm) — the "matches-or-beats single-node throughput" number
@@ -476,6 +504,7 @@ def main() -> None:
         "unit": "sec",
         "load1": load1,
         "loaded": loaded,
+        "min2_threshold_s": _MIN2_THRESHOLD_S,
         "queries": timings,
         "subtimings": subtimings,
         "steady": steady,

@@ -2143,6 +2143,19 @@ def dedup_incremental(spark, sf_dir):
     on-the-fly variant (DF-capped shingle Jaccard) remains as
     ``corpus_prep.incremental_dedup``, oracle-gated in
     tests/test_corpus_prep.py."""
+    build, scan = dedup_incremental_parts(spark, sf_dir)
+    build()
+    return scan()
+
+
+def dedup_incremental_parts(spark, sf_dir):
+    """The ONE definition of the dedup_incremental composite, shared by the
+    gate callable above and bench.py's decomposed timing (advisor r10: the
+    bench hand-duplicated these parameters, so a registry change could
+    silently desynchronize the timed path from the oracle-gated path).
+    Returns ``(build, scan)`` thunks over identical inputs: ``build()``
+    materializes the signature index, ``scan()`` returns the O(delta)
+    serve DataFrame."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # delta derived directly (corpus_prep.seeded_delta), mirroring the
     # oracle's construction — the old >=INC_EXACT_OFFSET filter on the
@@ -2154,8 +2167,10 @@ def dedup_incremental(spark, sf_dir):
     # shuffle partition per table) pays ~2x in file churn at 5k docs
     # (measured 20.3 s -> 11.6 s build+scan at sf0.1); a cluster passes
     # its own n_files
-    dedup_index.build_dedup_index(docs, path, n_files=8)
-    return dedup_index.scan_delta(delta, path)
+    return (
+        lambda: dedup_index.build_dedup_index(docs, path, n_files=8),
+        lambda: dedup_index.scan_delta(delta, path),
+    )
 
 
 @register("quality_sigmoid_score", corpus_prep.quality_sigmoid_sql())

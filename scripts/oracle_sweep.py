@@ -188,6 +188,48 @@ SCALE_ORACLES = {
 }
 
 
+# --- sampled-oracle mode (--sample-mod) --------------------------------------
+#
+# At sf10 two queries are oracle-COST-bound, not engine-bound
+# (`similarity_embedding_neardup`, `dedup_minhash_estimate`): DuckDB
+# evaluates the from-scratch minhash/shingle SQL near-single-threaded over
+# the full 500k-doc corpus for HOURS, while Spark finishes in seconds and
+# both sides MATCH at sf1 (PERF.md round-10). The sampled mode shrinks the
+# ORACLE's input, not just the comparison: a deterministic slice predicate
+# (doc_id/vec_id % M == 0) is applied to the corpus tables by materializing
+# a sliced replica dir — sliced parquet for the keyed tables, symlinks for
+# the rest — and the sweep then runs the UNMODIFIED query and oracle against
+# it through their normal read paths. Both engines see the identical slice,
+# signature-build cost drops ~M-fold and pair enumeration ~M^2-fold, and
+# the differential check still exercises the full operator logic at a
+# 10x-scale row count. Combine with --hash-compare to also skip the
+# result-set transfer.
+
+SLICE_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def build_slice(con, sf_dir: str, mod: int) -> str:
+    """Materialize the deterministic input slice of ``sf_dir`` under /tmp."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", f"sweep_slice_m{mod}_{base}")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.abspath(f"{sf_dir}/{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = f"{out}/{t}.parquet"
+        if t in SLICE_KEYS:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}' WHERE "
+                f"{SLICE_KEYS[t]} % {mod} = 0) TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            if os.path.lexists(dst):
+                os.remove(dst)
+            os.symlink(src, dst)
+    return out
+
+
 # --- engine-side hash compare (--hash-compare) ------------------------------
 #
 # At sf10 some result sets are themselves huge (events_gap_fill: a 10.5M-row
@@ -418,6 +460,17 @@ def main() -> None:
         help="engine-side count + order-independent row-hash; no result-set "
         "transfer (for SFs where the collect comparator dominates)",
     )
+    ap.add_argument(
+        "--sample-mod",
+        type=int,
+        default=None,
+        metavar="M",
+        help="sampled-oracle mode: sweep against a deterministic input "
+        "slice (documents.doc_id %% M == 0, embeddings.vec_id %% M == 0; "
+        "other tables symlinked) so the oracle's from-scratch "
+        "minhash/shingle cost drops ~M-fold — the sf10 straggler mode "
+        "(combine with --hash-compare)",
+    )
     args = ap.parse_args()
 
     con = duckdb.connect()
@@ -435,6 +488,14 @@ def main() -> None:
     # joins stream instead of buffering (big spill reduction on the
     # signature/shingle oracles at sf10).
     con.execute("SET preserve_insertion_order = false")
+    if args.sample_mod:
+        sliced = build_slice(con, args.sf_dir, args.sample_mod)
+        print(
+            f"sampled-oracle mode: doc_id/vec_id % {args.sample_mod} == 0 "
+            f"slice of {args.sf_dir} -> {sliced}",
+            flush=True,
+        )
+        args.sf_dir = sliced
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -468,7 +529,8 @@ def main() -> None:
         bad += not match
         if not match:
             failures.append(name)
-    print(f"\n{ok}/{ok + bad} match at {args.sf_dir}"
+    mode = f" [sample-mod {args.sample_mod}]" if args.sample_mod else ""
+    print(f"\n{ok}/{ok + bad} match at {args.sf_dir}{mode}"
           + (f"; FAILURES: {failures}" if failures else ""))
     spark.stop()
     sys.exit(1 if bad else 0)

@@ -563,3 +563,52 @@ def test_retrain_output_matches_fresh_build(spark, corpus, tmp_path):
     b, cb = similarity.read_ivf_index(spark, fresh)
     assert _as_set(a) == _as_set(b)
     assert _as_set(ca) == _as_set(cb)
+
+
+def test_build_cli_serving_preset(spark, corpus, tmp_path):
+    """--serving applies the measured serving shape (r10 verdict task 7):
+    n_iters 6 + 1-in-10 sample-trained centroids + n_cells ~ 2*sqrt(n)
+    when the knobs are unset, with explicit flags always winning — and the
+    bare build (no --serving) keeps the gate/oracle defaults untouched."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+
+    # shape resolution is pure arithmetic
+    assert job.serving_cells(200_000) == 1024  # the PERF.md sweep corpus
+    assert job.serving_cells(64) == 16
+
+    n = corpus.count()
+    emb_path = str(tmp_path / "emb.parquet")
+    corpus.write.parquet(emb_path)
+
+    path = str(tmp_path / "serving_idx")
+    report = job.run(
+        ["--op", "build", "--mode", "ivf", "--embeddings-path", emb_path,
+         "--output-path", path, "--serving", "--n-cells", "8"]
+    )
+    assert report["serving"] == {
+        "n_iters": job.SERVING_ITERS,
+        "sample_mod": job.SERVING_SAMPLE_MOD,
+    }
+    assert report["n_cells"] == 8  # explicit flag wins over the preset
+    assert report["vectors"] == n  # sample-trained, FULL corpus laid out
+
+    # unset n_cells under --serving resolves from the corpus size
+    path2 = str(tmp_path / "serving_idx2")
+    report2 = job.run(
+        ["--op", "build", "--mode", "ivf", "--embeddings-path", emb_path,
+         "--output-path", path2, "--serving", "--sample-mod", "1",
+         "--n-iters", "2"]
+    )
+    assert report2["n_cells"] == job.serving_cells(n)
+    assert report2["serving"] == {"n_iters": 2, "sample_mod": 1}
+
+    # without --serving the defaults are the oracle-pinned gate shape
+    path3 = str(tmp_path / "bare_idx")
+    report3 = job.run(
+        ["--op", "build", "--mode", "ivf", "--embeddings-path", emb_path,
+         "--output-path", path3]
+    )
+    from bigtwine_streamprocessor_spark.operators import similarity as sim
+
+    assert report3["n_cells"] == sim.IVF_CELLS
+    assert "serving" not in report3
