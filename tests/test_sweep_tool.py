@@ -174,3 +174,38 @@ def test_py_duck_type_inference():
     assert sweep._py_duck_type(rows, 2, "BIGINT") == "DOUBLE"
     assert sweep._py_duck_type(rows, 2, "VARCHAR") != "VARCHAR"  # found a value
     assert sweep._py_duck_type([(None,)], 0, "VARCHAR") == "VARCHAR"  # all-None
+
+
+def test_build_slice_is_deterministic_and_symlinks_rest(sf_dir):
+    """--sample-mod materializes doc_id/vec_id % M slices of the corpus
+    tables and symlinks everything else, so both engines read the identical
+    slice through their normal paths (the sf10 sampled-oracle mode)."""
+    sweep = _load_sweep()
+    con = duckdb.connect()
+    out = sweep.build_slice(con, sf_dir, 2)
+    assert os.path.basename(out).startswith("sweep_slice_m2_")
+    n_full = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    sliced = con.execute(
+        f"SELECT count(*), count(*) FILTER (doc_id % 2 != 0) "
+        f"FROM '{out}/documents.parquet'"
+    ).fetchone()
+    want = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id % 2 = 0"
+    ).fetchone()[0]
+    assert sliced == (want, 0) and 0 < want < n_full
+    emb = con.execute(
+        f"SELECT count(*) FILTER (vec_id % 2 != 0) FROM '{out}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert emb == 0
+    # non-corpus tables are symlinks to the source (no copy at sf10)
+    assert os.path.islink(f"{out}/lineitem.parquet")
+    assert (
+        con.execute(f"SELECT count(*) FROM '{out}/region.parquet'").fetchone()
+        == con.execute(f"SELECT count(*) FROM '{sf_dir}/region.parquet'").fetchone()
+    )
+    # rebuild is idempotent (symlink replace, parquet overwrite)
+    out2 = sweep.build_slice(con, sf_dir, 2)
+    assert out2 == out
