@@ -259,7 +259,13 @@ def bench_topology(
 LOAD1_IDLE_TARGET = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_TARGET", "0.5"))
 LOAD1_IDLE_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "1.5"))
 LOAD_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"))
-_MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "2.0"))
+# 5 s covers the whole phantom-regression band observed across r9-r11
+# records: at matched idle load the 72-entry TOTAL is stable to 0.1% while
+# individual 2-4.5 s entries still swing 1.2-1.4x run-to-run; one retry per
+# such entry (~1 min across the suite) converts that swing into a stable
+# min. Entries >= 5 s (topology, dedup_incremental's decomposed composite)
+# are long enough to be self-averaging.
+_MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "5.0"))
 
 
 def _wait_for_idle() -> float:
