@@ -310,7 +310,23 @@ def main() -> None:
 
     # warm up the JVM/codegen paths so query timings measure the engine
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).collect()
+    # prime the OS page cache over EVERY input table (17 MB at sf0.1 —
+    # milliseconds), so the first-touched entries don't absorb whatever
+    # cold-read state the machine is in (the r10 agg_pricing_summary
+    # "regression" was exactly this: first entry in the loop, cold scan)
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            p = os.path.join(sf_dir, fn)
+            paths = (
+                [os.path.join(p, f) for f in os.listdir(p)]
+                if os.path.isdir(p)
+                else [p]
+            )
+            for f in paths:
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        while fh.read(1 << 22):
+                            pass
 
     from bigtwine_streamprocessor_spark.operators import dedup, similarity
     from pyspark.sql import functions as F
