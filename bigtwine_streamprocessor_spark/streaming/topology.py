@@ -224,6 +224,11 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
     topic.commit_epoch(prefix)
 
 
+import re as _re
+
+_EPOCH_DIR_RE = _re.compile(r"^q\d+-e\d+$")
+
+
 def bind_stage_roots(topics: dict, root: str) -> None:
     """Bind transports that stage epochs externally (KafkaTopic) to a stage
     root UNDER the topology root — same storage class as the checkpoints,
@@ -231,7 +236,14 @@ def bind_stage_roots(topics: dict, root: str) -> None:
     markers. A missing ``<root>/_chk`` means this run's epoch ids restart
     at ``q1-e0``, so any surviving stage/marker state belongs to a DEAD run
     and is purged (else ``epoch_committed`` would hit a stale marker and
-    publish NOTHING — the advisor-r10 silent-loss hazard)."""
+    publish NOTHING — the advisor-r10 silent-loss hazard).
+
+    The FileTopic twin of the same hazard cannot be purged: its committed
+    epoch DIRS are the published data itself, so a fresh checkpoint over a
+    topic dir that already holds ``q<N>-e<M>`` dirs would silently skip the
+    new run's epochs 0..M while serving the dead run's records. That state
+    (a reused root with its checkpoints deleted) is refused loudly
+    instead."""
     fresh_checkpoint = not os.path.isdir(os.path.join(root, "_chk"))
     for t in topics.values():
         bind = getattr(t, "bind_stage_root", None)
@@ -240,6 +252,23 @@ def bind_stage_roots(topics: dict, root: str) -> None:
                 os.path.join(root, "_kafka_stage"),
                 fresh_checkpoint=fresh_checkpoint,
             )
+        elif fresh_checkpoint and isinstance(t, FileTopic):
+            stale = sorted(
+                fn
+                for fn in (
+                    os.listdir(t.dir) if os.path.isdir(t.dir) else ()
+                )
+                if _EPOCH_DIR_RE.match(fn)
+            )
+            if stale:
+                raise RuntimeError(
+                    f"topic {t.name!r} already holds committed epoch dirs "
+                    f"{stale[:3]}{'...' if len(stale) > 3 else ''} but "
+                    f"{root}/_chk does not exist — a fresh run's epoch ids "
+                    "restart at 0 and would silently skip publishing into "
+                    "them. Use a fresh topology root (or keep the "
+                    "checkpoint dir to resume the old run)."
+                )
 
 
 def start_topology(

@@ -393,3 +393,23 @@ def test_epoch_publish_cross_checks_driver_visibility(spark, tmp_path):
         )
     assert blind.epoch_committed("q9-e1") is False, "must not mark committed"
     assert _spool_lines(spool, "results2") == []
+
+
+def test_fresh_checkpoint_over_published_file_epochs_refused(tmp_path):
+    """FileTopic twin of the stale-marker hazard: committed epoch dirs ARE
+    the published data, so they can't be purged — a fresh-checkpoint run
+    over them must be refused loudly, not silently skip its epochs."""
+    from bigtwine_streamprocessor_spark.streaming import topology
+    from bigtwine_streamprocessor_spark.streaming.transport import FileTopic
+
+    root = str(tmp_path / "run")
+    t = FileTopic(root, "results")
+    t.begin_epoch("q1-e0")
+    t.line_writer(fname_prefix="q1-e0")(_Rows(["old"]))
+    t.commit_epoch("q1-e0")
+    # dead run's data present, no checkpoints -> refuse
+    with pytest.raises(RuntimeError, match="fresh run"):
+        topology.bind_stage_roots({"results": t}, root)
+    # with the checkpoint dir present this is a RESUME: allowed
+    os.makedirs(os.path.join(root, "_chk"))
+    topology.bind_stage_roots({"results": t}, root)
