@@ -33,6 +33,76 @@ HEADLINE = [
 ]
 
 
+def steady_estimate(
+    samples: list[tuple[float, int]], n: int, warm_frac: float = 0.25
+) -> tuple[float, float, list[float], float | None, float | None]:
+    """Step-aligned steady-rate estimator over a (time, completed-count)
+    sample series. Returns (rate, window_s, sub_rates, band, consistency).
+
+    Results land in ATOMIC whole-epoch bursts (the staged-epoch transport
+    promotes an epoch's results with one dir rename), so the completion
+    series is a step function and any WALL-CLOCK sub-window boundary cuts
+    mid-plateau: a window that happens to end just before a promotion
+    under-counts by a whole epoch (the r9 official capacity record read
+    band_frac 0.224 with halves 976 vs 1221/s — ramp quantization, not
+    drift). Align everything to the STEP POINTS (the commit timestamps as
+    the sampler observed them): the slope runs first-step..last-step, and
+    the two halves split at a step index, so every window begins and ends
+    exactly at an epoch promotion and burst packing cancels out of the
+    rate. Steps are extracted from the FULL sample series before the
+    warm-threshold cut (advisor r11 fix): seeding with the first
+    over-threshold sample unconditionally kept a mid-plateau repeat
+    observation as the left endpoint, inflating the window and biasing the
+    slope low by a sampler-phase-dependent amount.
+
+    ``consistency`` is the fraction of sub-window rates within +/-20% of
+    the slope rate — 1.0 means every sub-window agrees with the headline
+    number, so a real regression (slope shift > 20%) is distinguishable
+    from burst noise. Round-over-round target >= 0.8.
+    """
+    steady_rate = 0.0
+    steady_window = 0.0
+    sub_rates: list[float] = []
+    warm_floor = max(1, int(n * warm_frac))
+    steps = [
+        (t, c)
+        for i, (t, c) in enumerate(samples)
+        if c >= warm_floor and (i == 0 or c > samples[i - 1][1])
+    ]
+    if len(steps) >= 2:
+        (t_a, c_a), (t_b, c_b) = steps[0], steps[-1]
+        if t_b > t_a and c_b > c_a:
+            steady_window = t_b - t_a
+            steady_rate = (c_b - c_a) / steady_window
+            mid = len(steps) // 2
+            for half in (steps[: mid + 1], steps[mid:]):
+                if len(half) >= 2 and half[-1][0] > half[0][0]:
+                    r = (half[-1][1] - half[0][1]) / (
+                        half[-1][0] - half[0][0]
+                    )
+                    if r > 0:
+                        sub_rates.append(r)
+    band = (
+        round((max(sub_rates) - min(sub_rates)) / steady_rate, 3)
+        if sub_rates and steady_rate > 0
+        else None
+    )
+    consistency = (
+        round(
+            sum(
+                1
+                for r in sub_rates
+                if abs(r - steady_rate) <= 0.2 * steady_rate
+            )
+            / len(sub_rates),
+            2,
+        )
+        if sub_rates and steady_rate > 0
+        else None
+    )
+    return steady_rate, steady_window, sub_rates, band, consistency
+
+
 def bench_topology(
     spark,
     stream_sf_dir: str,
@@ -163,65 +233,8 @@ def bench_topology(
         # tweets/s sub-windows within ONE run); the ~40 s full-region slope
         # averages the oscillation and is the round-over-round comparable
         # number. Sub-window rates stay as the variance diagnostic.
-        steady_rate = 0.0
-        steady_window = 0.0
-        sub_rates: list[float] = []
-        # Results land in ATOMIC whole-epoch bursts (the staged-epoch
-        # transport promotes an epoch's results with one dir rename), so the
-        # completion series is a step function and any WALL-CLOCK sub-window
-        # boundary cuts mid-plateau: a window that happens to end just
-        # before a promotion under-counts by a whole epoch (the r9 official
-        # capacity record read band_frac 0.224 with halves 976 vs 1221/s —
-        # ramp quantization, not drift). Align everything to the STEP
-        # POINTS (the commit timestamps as the sampler observed them): the
-        # slope runs first-step..last-step, and the two halves split at a
-        # step index, so every window begins and ends exactly at an epoch
-        # promotion and burst packing cancels out of the rate. Steps are
-        # extracted from the FULL sample series before the warm-threshold
-        # cut (advisor r11 fix): seeding with warm[0] unconditionally kept
-        # a mid-plateau repeat observation as the left endpoint, inflating
-        # the window and biasing the slope low by a sampler-phase-dependent
-        # amount.
-        warm_floor = max(1, int(n * warm_frac))
-        steps = [
-            (t, c)
-            for i, (t, c) in enumerate(samples)
-            if c >= warm_floor and (i == 0 or c > samples[i - 1][1])
-        ]
-        if len(steps) >= 2:
-            (t_a, c_a), (t_b, c_b) = steps[0], steps[-1]
-            if t_b > t_a and c_b > c_a:
-                steady_window = t_b - t_a
-                steady_rate = (c_b - c_a) / steady_window
-                mid = len(steps) // 2
-                for half in (steps[: mid + 1], steps[mid:]):
-                    if len(half) >= 2 and half[-1][0] > half[0][0]:
-                        r = (half[-1][1] - half[0][1]) / (
-                            half[-1][0] - half[0][0]
-                        )
-                        if r > 0:
-                            sub_rates.append(r)
-        band = (
-            round((max(sub_rates) - min(sub_rates)) / steady_rate, 3)
-            if sub_rates and steady_rate > 0
-            else None
-        )
-        # steady_consistency: fraction of sub-window rates within +/-20% of
-        # the slope rate — 1.0 means every sub-window agrees with the
-        # headline number, so a real regression (slope shift > 20%) is
-        # distinguishable from burst noise. Round-over-round target >= 0.8.
-        consistency = (
-            round(
-                sum(
-                    1
-                    for r in sub_rates
-                    if abs(r - steady_rate) <= 0.2 * steady_rate
-                )
-                / len(sub_rates),
-                2,
-            )
-            if sub_rates and steady_rate > 0
-            else None
+        steady_rate, steady_window, sub_rates, band, consistency = (
+            steady_estimate(samples, n, warm_frac)
         )
         return {
             "tweets": n,
