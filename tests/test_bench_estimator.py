@@ -66,3 +66,43 @@ def test_degenerate_series_yield_zero_rate():
     # single burst completes everything: one step, no slope
     one = [(0.0, 0), (0.5, 0), (1.0, 100), (1.5, 100)]
     assert b.steady_estimate(one, 100)[0] == 0.0
+
+
+def test_estimator_invariant_to_sampler_phase_and_rate():
+    """Property: for ANY ideal epoch-burst pipeline, the step-aligned slope
+    recovers the true per-epoch rate regardless of the sampler's polling
+    period or phase offset — the exact failure mode of the retired
+    wall-clock estimator (and of the pre-r11 warm[0] seeding, which biased
+    the slope by a sampler-phase-dependent amount)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    b = _bench()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        period=st.floats(0.5, 5.0),
+        per_epoch=st.integers(10, 500),
+        epochs=st.integers(5, 30),
+        dt=st.floats(0.05, 0.45),
+        phase=st.floats(0.0, 0.45),
+    )
+    def check(period, per_epoch, epochs, dt, phase):
+        n = epochs * per_epoch
+        samples = []
+        t = phase
+        while t <= epochs * period + period:
+            done = min(int(t // period), epochs) * per_epoch
+            samples.append((t, done))
+            t += dt
+        rate, window, subs, band, cons = b.steady_estimate(samples, n)
+        true = per_epoch / period
+        # the estimator sees each step at the first poll AFTER the burst,
+        # so each endpoint carries up to dt of observation lag; with >= 2
+        # steps the slope error is bounded by dt on a >= period window
+        if rate > 0:
+            assert abs(rate - true) / true <= dt / period + 1e-9, (
+                period, per_epoch, epochs, dt, phase, rate, true,
+            )
+
+    check()
