@@ -373,6 +373,37 @@ class SpoolProducerFactory:
         return (self.spool,)
 
 
+class SpoolBackedKafkaTopic(KafkaTopic):
+    """Broker-less KafkaTopic for dev and end-to-end tests: the PRODUCER
+    path runs exactly as against a real broker (staged epochs, marker-
+    gated commits, process-cached producers, envelope chunking), but the
+    "broker" is a ``SpoolProducer`` landing each flush as atomic json
+    files under ``<root>/<name>/`` — FileTopic's on-disk layout — so the
+    read side (``read_stream``, service simulators polling ``.dir``) is
+    the file transport. The full async topology can therefore drive the
+    Kafka producer path end-to-end without a broker
+    (``test_kafka_transport.py::test_full_topology_over_kafka_producer_path``);
+    only ``format("kafka")`` consumption still needs the real thing."""
+
+    def __init__(self, root: str, name: str, stage_root: str | None = None):
+        from .transport import FileTopic
+
+        super().__init__(
+            f"spool:{root}",
+            name,
+            producer_factory=SpoolProducerFactory(root),
+            stage_root=stage_root,
+        )
+        self._file = FileTopic(root, name)
+        self.dir = self._file.dir
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        return self._file.read_stream(spark)
+
+    def read_all(self) -> list[str]:
+        return self._file.read_all()
+
+
 def make_kafka_topics(
     bootstrap: str,
     names: list[str],

@@ -413,3 +413,83 @@ def test_fresh_checkpoint_over_published_file_epochs_refused(tmp_path):
     # with the checkpoint dir present this is a RESUME: allowed
     os.makedirs(os.path.join(root, "_chk"))
     topology.bind_stage_roots({"results": t}, root)
+
+
+@pytest.mark.slow
+def test_full_topology_over_kafka_producer_path(spark, sf_dir, tmp_path):
+    """The broker-less Kafka e2e: the FULL async topology (6 queries + 4
+    service simulators) runs with every epoch publish going through the
+    KafkaTopic producer path — staged epochs, marker-gated commit_epoch as
+    the only produce, process-cached producers — with a SpoolProducer as
+    the broker stand-in landing flushes in FileTopic layout for the read
+    side. Results must equal the in-process batch golden exactly. This is
+    the config-switch parity check the broker-gated test can't run here."""
+    import time
+
+    from bigtwine_streamprocessor_spark import corpus, fragments
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.streaming import fanin, topology
+
+    import pyspark.sql.functions as F
+
+    kt._PRODUCER_CACHE.clear()
+    parsed_batch = (
+        parse_tweets(corpus.tweets_df(spark, sf_dir), skip_retweets=True)
+        .orderBy("id")
+        .limit(25)
+        .cache()
+    )
+    n = parsed_batch.count()
+    indir = tmp_path / "tweets_in"
+    indir.mkdir()
+    with open(indir / "batch0.json", "w") as f:
+        for r in parsed_batch.collect():
+            f.write(json.dumps(r.asDict()) + "\n")
+    stream = (
+        spark.readStream.schema(parsed_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    root = str(tmp_path / "run")
+    topics = {
+        name: kt.SpoolBackedKafkaTopic(os.path.join(root, "spool"), name)
+        for name in topology.TOPIC_NAMES
+    }
+    queries, sims, topics = topology.start_topology(
+        spark, root, stream, "a-kspool", timeout_ms=20_000, topics=topics
+    )
+    try:
+        deadline = time.time() + 120
+        results = []
+        while time.time() < deadline:
+            results = topics["results"].read_all()
+            if len(results) >= n:
+                break
+            time.sleep(1.0)
+    finally:
+        for q in queries:
+            q.stop()
+        for s in sims:
+            s.stop()
+    # stage roots were bound under the topology root (not /tmp ambient)
+    assert topics["results"].stage_root == os.path.join(root, "_kafka_stage")
+    assert len(results) == n
+    got = {
+        json.loads(r)["payload"]["status"]["id"]: json.loads(r)
+        for r in results
+    }
+    assert not any(v["is_partial"] for v in got.values())
+    want_df = fragments.finalize_results(
+        fanin.fanin_batch(fragments.build_fragments(parsed_batch))
+    )
+    want = {
+        r["tag"]: json.loads(r["value"])
+        for r in want_df.select(
+            F.col("tag"), F.to_json(F.struct(F.col("payload"))).alias("value")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for tag in want:
+        assert json.dumps(got[tag]["payload"], sort_keys=True) == json.dumps(
+            want[tag]["payload"], sort_keys=True
+        ), f"payload mismatch for {tag}"
