@@ -493,3 +493,122 @@ def test_full_topology_over_kafka_producer_path(spark, sf_dir, tmp_path):
         assert json.dumps(got[tag]["payload"], sort_keys=True) == json.dumps(
             want[tag]["payload"], sort_keys=True
         ), f"payload mismatch for {tag}"
+
+
+@pytest.mark.slow
+def test_topology_restart_over_kafka_path_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Hard-stop the topology mid-stream and restart it — with every epoch
+    publish going through the KafkaTopic staged-epoch path. The second
+    life's replayed epochs must find their commit MARKERS (fresh topic
+    objects, same stage root bound from the same topology root) and
+    publish nothing, while unfinished epochs restage and commit once: the
+    advisor-r10 stale-marker scenario exercised through a REAL streaming
+    restart rather than unit fakes. Final results must equal the batch
+    golden exactly."""
+    import time
+
+    from bigtwine_streamprocessor_spark import corpus, fragments
+    from bigtwine_streamprocessor_spark.operators.parse import parse_tweets
+    from bigtwine_streamprocessor_spark.streaming import fanin, topology
+
+    import pyspark.sql.functions as F
+
+    kt._PRODUCER_CACHE.clear()
+    parsed_batch = (
+        parse_tweets(corpus.tweets_df(spark, sf_dir), skip_retweets=True)
+        .orderBy("id")
+        .limit(30)
+        .cache()
+    )
+    n = parsed_batch.count()
+    indir = tmp_path / "tweets_in"
+    indir.mkdir()
+    rows = parsed_batch.collect()
+    per_file = max(1, n // 6)
+    for i in range(0, n, per_file):
+        with open(indir / f"batch{i:04d}.json", "w") as f:
+            for r in rows[i : i + per_file]:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(parsed_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+
+    root = str(tmp_path / "run")
+    spool = os.path.join(root, "spool")
+
+    def make_topics():
+        # fresh topic OBJECTS each life — only the on-disk state (spool,
+        # stage markers, checkpoints, svc offsets) carries over, exactly
+        # like a restarted driver process
+        return {
+            name: kt.SpoolBackedKafkaTopic(spool, name)
+            for name in topology.TOPIC_NAMES
+        }
+
+    # ---- first life: run until SOME results exist, then hard-stop --------
+    queries, sims, topics = topology.start_topology(
+        spark, root, make_stream(), "a-krs", timeout_ms=60_000,
+        topics=make_topics(),
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if len(topics["results"].read_all()) >= 1:
+                break
+            time.sleep(0.5)
+        assert topics["results"].read_all(), "no results before the stop"
+    finally:
+        for q in queries:
+            q.stop()
+        for s in sims:
+            s.stop()
+    for s in sims:
+        s.join(timeout=10)
+    mid = len(topics["results"].read_all())
+    assert mid < n, "stop landed after completion; nothing left to recover"
+
+    # ---- second life: same root; markers must gate the replay -----------
+    queries, sims, topics = topology.start_topology(
+        spark, root, make_stream(), "a-krs", timeout_ms=60_000,
+        topics=make_topics(),
+    )
+    try:
+        deadline = time.time() + 150
+        results = []
+        while time.time() < deadline:
+            results = topics["results"].read_all()
+            if len(results) >= n:
+                break
+            time.sleep(1.0)
+    finally:
+        for q in queries:
+            q.stop()
+        for s in sims:
+            s.stop()
+
+    assert len(results) == n, f"expected {n} results, got {len(results)}"
+    parsed_results = [json.loads(r) for r in results]
+    tags = [r["payload"]["status"]["id"] for r in parsed_results]
+    assert len(set(tags)) == n, "duplicate result for some tweet"
+    assert not any(r["is_partial"] for r in parsed_results)
+    want_df = fragments.finalize_results(
+        fanin.fanin_batch(fragments.build_fragments(parsed_batch))
+    )
+    want = {
+        r["tag"]: json.loads(r["value"])
+        for r in want_df.select(
+            F.col("tag"), F.to_json(F.struct(F.col("payload"))).alias("value")
+        ).collect()
+    }
+    got = {r["payload"]["status"]["id"]: r for r in parsed_results}
+    assert set(got) == set(want)
+    for tag in want:
+        assert json.dumps(got[tag]["payload"], sort_keys=True) == json.dumps(
+            want[tag]["payload"], sort_keys=True
+        ), f"payload mismatch for tweet {tag}"
