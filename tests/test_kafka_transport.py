@@ -612,3 +612,44 @@ def test_topology_restart_over_kafka_path_is_exactly_once(
         assert json.dumps(got[tag]["payload"], sort_keys=True) == json.dumps(
             want[tag]["payload"], sort_keys=True
         ), f"payload mismatch for tweet {tag}"
+
+
+def test_crash_inside_commit_window_replays_one_epoch(tmp_path, monkeypatch):
+    """The documented irreducible window (commit_epoch docstring): a crash
+    BETWEEN the producer flush and the marker rename re-produces exactly
+    that one epoch on replay — at-least-once for the single epoch, never
+    lost. (A real broker closes the window with a transaction wrapping the
+    drain; downstream, duplicate status fragments are absorbed by the
+    fan-in's last-write-wins and entity fragments concat — the reference's
+    own duplicate semantics.)"""
+    kt._PRODUCER_CACHE.clear()
+    topic, spool = _staged_topic(tmp_path, name="results")
+    topic.begin_epoch("q1-e5")
+    topic.line_writer(fname_prefix="q1-e5")(_Rows(["a", "b"]))
+
+    real_replace = os.replace
+    boom = {"armed": True}
+
+    def crashing_replace(src, dst):
+        if boom["armed"] and "_committed" in dst:
+            boom["armed"] = False
+            raise OSError("simulated crash between flush and marker rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        topic.commit_epoch("q1-e5")
+    # the produce happened, the marker did not: epoch reads uncommitted
+    assert sorted(_spool_lines(spool, "results")) == ["a", "b"]
+    assert topic.epoch_committed("q1-e5") is False
+
+    # replay: begin discards stale staging, the rerun restages and commits;
+    # the window's cost is exactly one duplicated epoch, nothing lost
+    topic.begin_epoch("q1-e5")
+    topic.line_writer(fname_prefix="q1-e5")(_Rows(["a", "b"]))
+    topic.commit_epoch("q1-e5")
+    assert topic.epoch_committed("q1-e5") is True
+    assert sorted(_spool_lines(spool, "results")) == ["a", "a", "b", "b"]
+    # and a further replay is now a clean no-op
+    topic.commit_epoch("q1-e5")
+    assert sorted(_spool_lines(spool, "results")) == ["a", "a", "b", "b"]
