@@ -244,8 +244,14 @@ def build_slice(con, sf_dir: str, mod: int) -> str:
 # floor(x*1e6+0.5) expression on both engines (the driver's full compare at
 # 9 dp already gates sf0.01; the engine-side twin trades 3 dp for zero
 # transfer at any scale — values must still agree to half a millionth).
-# Magnitude bound: |x| < ~9e12 or the 1e6 scaling overflows BIGINT; every
-# registry result is orders of magnitude below this at sf10.
+# Magnitude tiers: |x| < 9e12 uses the 6-dp scaling; larger magnitudes
+# (the 640x relational replica pushed summed balances to ~2.4e13, which
+# overflowed the 1e6-scaled BIGINT cast) fall to a 'B'-prefixed
+# floor(x/4096) bucket — an exact double operation both engines compute
+# identically, valid to ~3.7e22, and at those magnitudes the double's own
+# granularity exceeds 1 so sub-unit precision is unrepresentable anyway.
+# The prefix keeps the two tiers from ever colliding. Beyond 3.7e22 the
+# cast fails loudly rather than comparing wrong.
 
 _HEXD = "0123456789abcdef"
 _NULL = "\x02"  # canonical NULL sentinel (never appears in real strings)
@@ -290,12 +296,15 @@ def _canon_expr(col: str, cls: str, engine: str) -> str:
         else:
             inf = f"(isinf({x}) AND {x} > 0)"
             ninf = f"isinf({x})"
+        txt = "STRING" if engine == "spark" else "VARCHAR"
         return (
             f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
             f"WHEN isnan({x}) THEN 'NaN' "
             f"WHEN {inf} THEN 'Inf' WHEN {ninf} THEN '-Inf' "
+            f"WHEN abs({x}) >= 9.0e12 THEN concat('B', "
+            f"CAST(CAST(floor({x} / 4096.0) AS BIGINT) AS {txt})) "
             f"ELSE CAST(CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
-            f" AS {'STRING' if engine == 'spark' else 'VARCHAR'}) END"
+            f" AS {txt}) END"
         )
     if cls == "int":
         s = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
@@ -351,6 +360,8 @@ def _canon_py(v, cls: str) -> str:
             return "NaN"
         if math.isinf(f):
             return "Inf" if f > 0 else "-Inf"
+        if abs(f) >= 9.0e12:
+            return "B" + str(int(math.floor(f / 4096.0)))
         return str(int(math.floor(f * 1000000.0 + 0.5)))
     if cls == "int":
         return str(int(v))
