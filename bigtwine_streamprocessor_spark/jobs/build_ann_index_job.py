@@ -390,9 +390,15 @@ def run(argv: list[str] | None = None) -> dict:
             "buckets": out.select("bucket").distinct().count(),
         }
     else:
+        # An explicit --sample-mod must be honored (or rejected), never
+        # silently dropped: at scale the sampled pre-train path is exactly
+        # the full-corpus Lloyd scan the flag exists to avoid.
         centroids = None
-        if args.serving:
-            n_cells = args.n_cells or serving_cells(emb.count())
+        pretrain = args.serving or args.sample_mod > 1
+        if pretrain:
+            n_cells = args.n_cells or (
+                serving_cells(emb.count()) if args.serving else similarity.IVF_CELLS
+            )
             train = emb.select("vec_id", "embedding")
             if args.sample_mod > 1:
                 train = train.filter(
@@ -423,6 +429,8 @@ def run(argv: list[str] | None = None) -> dict:
                 "n_iters": args.n_iters,
                 "sample_mod": args.sample_mod,
             }
+        elif pretrain:
+            report["sample_mod"] = args.sample_mod
     print(json.dumps(report))
     return report
 

@@ -49,6 +49,12 @@ COS_ROUND = 6
 IVF_CELLS = 16
 IVF_PROBE = 4
 IVF_ITERS = 2
+# Fixed query-vector window: every top-k query scores the first N_QUERIES
+# vec_ids against the corpus. One named constant so tooling that slices the
+# input (scripts/oracle_sweep.py --sample-mod) can RETAIN this window — a
+# %mod slice that drops 19 of the 20 query vectors still matches, but
+# checks almost nothing (PERF.md r11 thin-out caveat).
+N_QUERIES = 20
 
 # ±1 hyperplane components. r1-r6 derived these in-SQL from a truncated
 # LCG — a structural mistake found by the r7 14-bit occupancy probe: LCG
@@ -109,7 +115,7 @@ _NORM_SQL = (
 )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
+def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES) -> DataFrame:
     """Exact cosine top-k neighbors for the first ``n_queries`` vectors.
 
     Output: (query_id, neighbor_id, cos, rank). Self-pairs excluded.
@@ -145,7 +151,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
     )
 
 
-def cosine_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+def cosine_topk_sql(k: int = 5, n_queries: int = N_QUERIES) -> str:
     return f"""
 WITH norms AS (
     SELECT vec_id, embedding, {_NORM_SQL.format(a="embedding")} AS nrm
@@ -893,7 +899,7 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int | None = None) -> di
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,
-    n_queries: int = 20,
+    n_queries: int = N_QUERIES,
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
     bucketed: DataFrame | None = None,
@@ -1016,7 +1022,7 @@ def ann_lsh_topk(
 
 def ann_lsh_topk_sql(
     k: int = 5,
-    n_queries: int = 20,
+    n_queries: int = N_QUERIES,
     n_bits: int = N_BITS,
     probe_radius: int = PROBE_RADIUS,
     n_tables: int = 1,
@@ -1484,7 +1490,7 @@ def append_to_ivf_index(
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
-    n_queries: int = 20,
+    n_queries: int = N_QUERIES,
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,
@@ -1599,7 +1605,7 @@ cent{t + 1} AS (
 
 def ivf_topk_sql(
     k: int = 5,
-    n_queries: int = 20,
+    n_queries: int = N_QUERIES,
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,

@@ -171,13 +171,47 @@ class KafkaTopic:
         existing streaming checkpoint, so epoch ids restart at 0 — any
         surviving stage state (markers included) belongs to a DEAD run and
         is purged wholesale; keeping it is the silent-skip hazard this
-        method exists to close."""
+        method exists to close.
+
+        The purge only applies to a root this topology OWNS: one we are
+        adopting here (start_topology's ``<root>/_kafka_stage`` is
+        per-topology by construction) or an explicit root that equals the
+        provided one. An explicit root that DIFFERS may be shared across
+        topologies with the same topic names — stage state is namespaced
+        per topic only — and rmtree'ing it would destroy another
+        topology's in-flight staged epochs (advisor r11). There, stale
+        markers are refused loudly instead of purged or silently kept:
+        an explicit ``stage_root`` must be unique per topology and clean
+        at fresh start."""
         import shutil
 
-        if self.stage_root is None:
+        adopted = self.stage_root is None
+        if adopted:
             self.stage_root = stage_root
-        if fresh_checkpoint:
+        if not fresh_checkpoint:
+            return
+        if adopted or os.path.realpath(self.stage_root) == os.path.realpath(
+            stage_root
+        ):
             shutil.rmtree(self._topic_stage(), ignore_errors=True)
+            return
+        marker_dir = os.path.join(self._topic_stage(), "_committed")
+        stale = (
+            sorted(os.listdir(marker_dir)) if os.path.isdir(marker_dir) else []
+        )
+        if stale:
+            raise RuntimeError(
+                f"KafkaTopic({self.name!r}): fresh checkpoint (epoch ids "
+                "restart at 0) but the explicit stage_root "
+                f"{self.stage_root!r} already holds commit markers "
+                f"{stale[:3]}{'...' if len(stale) > 3 else ''}. They may "
+                "belong to ANOTHER topology sharing this root (stage state "
+                "is namespaced per topic name only), so they are neither "
+                "purged (would destroy its in-flight epochs) nor kept "
+                "(epoch_committed on a stale marker silently publishes "
+                "nothing). Use a stage_root unique to this topology, or "
+                "clear it before a fresh start."
+            )
 
     def _topic_stage(self) -> str:
         if self.stage_root is None:

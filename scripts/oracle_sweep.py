@@ -207,25 +207,50 @@ SCALE_ORACLES = {
 
 SLICE_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
+# Fixed-id query windows that must SURVIVE the slice: the similarity top-k
+# queries score the first N_QUERIES vec_ids, so a bare %mod slice at
+# mod > n_queries keeps only vec_id 0 and the 640x check degenerates to one
+# query vector (PERF.md r11 caveat, judge r11 task 3). The seeded-delta doc
+# windows (corpus_prep.INC_*_MOD) need no retention: they intersect the
+# %mod slice on doc_id % lcm(mod, INC_MOD) == 0 — thinned proportionally,
+# never to a fixed handful. Both engines read the same replica, so retained
+# off-mod rows cannot cause a mismatch.
+
+
+def _slice_retain() -> dict[str, str]:
+    from bigtwine_streamprocessor_spark.operators import similarity
+
+    return {"embeddings": f"vec_id < {similarity.N_QUERIES}"}
+
 
 def build_slice(con, sf_dir: str, mod: int) -> str:
-    """Materialize the deterministic input slice of ``sf_dir`` under /tmp."""
+    """Materialize the deterministic input slice of ``sf_dir`` in a
+    per-process scratch dir (removed at exit). A fixed predictable /tmp
+    name was pre-creatable/symlinkable by another user and collided across
+    concurrent sweeps (advisor r11) — mkdtemp mirrors
+    registry._gate_index_path's per-PID discipline."""
+    import atexit
+    import shutil
+    import tempfile
+
     base = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join("/tmp", f"sweep_slice_m{mod}_{base}")
-    os.makedirs(out, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"sweep_slice_m{mod}_{base}_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    retain = _slice_retain()
     for t in TABLES:
         src = os.path.abspath(f"{sf_dir}/{t}.parquet")
         if not os.path.exists(src):
             continue
         dst = f"{out}/{t}.parquet"
         if t in SLICE_KEYS:
+            pred = f"{SLICE_KEYS[t]} % {mod} = 0"
+            if t in retain:
+                pred = f"({pred}) OR ({retain[t]})"
             con.execute(
                 f"COPY (SELECT * FROM '{src}' WHERE "
-                f"{SLICE_KEYS[t]} % {mod} = 0) TO '{dst}' (FORMAT PARQUET)"
+                f"{pred}) TO '{dst}' (FORMAT PARQUET)"
             )
         else:
-            if os.path.lexists(dst):
-                os.remove(dst)
             os.symlink(src, dst)
     return out
 

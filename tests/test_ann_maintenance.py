@@ -612,3 +612,40 @@ def test_build_cli_serving_preset(spark, corpus, tmp_path):
 
     assert report3["n_cells"] == sim.IVF_CELLS
     assert "serving" not in report3
+
+
+def test_build_cli_sample_mod_honored_without_serving(spark, corpus, tmp_path):
+    """--op build --sample-mod M without --serving must sample-pre-train
+    (advisor r11: the flag was silently ignored outside the --serving
+    branch, so the build ran full-corpus Lloyd — at scale exactly the scan
+    the flag exists to avoid). The full corpus is still laid out; only
+    centroid TRAINING samples."""
+    from bigtwine_streamprocessor_spark.jobs import build_ann_index_job as job
+    from bigtwine_streamprocessor_spark.operators import similarity as sim
+
+    n = corpus.count()
+    emb_path = str(tmp_path / "emb.parquet")
+    corpus.write.parquet(emb_path)
+
+    path = str(tmp_path / "sampled_idx")
+    report = job.run(
+        ["--op", "build", "--mode", "ivf", "--embeddings-path", emb_path,
+         "--output-path", path, "--sample-mod", "10"]
+    )
+    assert report["sample_mod"] == 10  # honored and reported
+    assert "serving" not in report
+    assert report["n_cells"] == sim.IVF_CELLS  # bare-build default kept
+    assert report["vectors"] == n  # full corpus laid out
+
+    # sampled pre-training really changes the quantizer: centroids differ
+    # from the full-corpus build's (same seed-free deterministic Lloyd)
+    full = str(tmp_path / "full_idx")
+    job.run(
+        ["--op", "build", "--mode", "ivf", "--embeddings-path", emb_path,
+         "--output-path", full]
+    )
+    _, c_sampled = sim.read_ivf_index(spark, path)
+    _, c_full = sim.read_ivf_index(spark, full)
+    s = {tuple(r["c_emb"]) for r in c_sampled.collect()}
+    f = {tuple(r["c_emb"]) for r in c_full.collect()}
+    assert s != f

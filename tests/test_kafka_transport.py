@@ -653,3 +653,46 @@ def test_crash_inside_commit_window_replays_one_epoch(tmp_path, monkeypatch):
     # and a further replay is now a clean no-op
     topic.commit_epoch("q1-e5")
     assert sorted(_spool_lines(spool, "results")) == ["a", "a", "b", "b"]
+
+
+def test_shared_explicit_stage_root_not_purged_on_fresh_checkpoint(tmp_path):
+    """advisor r11: an EXPLICIT stage_root may be shared across topologies
+    (stage state is namespaced per topic name only). Topology B's fresh
+    start must not rmtree topology A's in-flight staged epochs — with
+    surviving commit markers under a shared root, rebinding to a DIFFERENT
+    topology root refuses loudly instead of purging or silently keeping."""
+    kt._PRODUCER_CACHE.clear()
+    shared = str(tmp_path / "shared_stage")
+    # topology A: explicit shared root, commits an epoch + leaves staging
+    a = kt.KafkaTopic(
+        "fake:9092", "results",
+        producer_factory=kt.SpoolProducerFactory(str(tmp_path / "spool")),
+        stage_root=shared,
+    )
+    a.begin_epoch("q1-e0")
+    a.line_writer(fname_prefix="q1-e0")(_Rows(["a0"]))
+    a.commit_epoch("q1-e0")
+    a.line_writer(fname_prefix="q1-e1")(_Rows(["a1-inflight"]))
+    # topology B: same explicit root + topic name, fresh checkpoint
+    b = kt.KafkaTopic(
+        "fake:9092", "results",
+        producer_factory=kt.SpoolProducerFactory(str(tmp_path / "spool")),
+        stage_root=shared,
+    )
+    with pytest.raises(RuntimeError, match="unique to this topology"):
+        b.bind_stage_root(
+            str(tmp_path / "rootB" / "_kafka_stage"), fresh_checkpoint=True
+        )
+    # A's state untouched by the refusal
+    assert a.epoch_committed("q1-e0") is True
+    assert a.staged_partition_count("q1-e1") == 1
+    # a clean shared root (no markers) binds fine — nothing to mistake
+    c = kt.KafkaTopic(
+        "fake:9092", "other",
+        producer_factory=kt.SpoolProducerFactory(str(tmp_path / "spool")),
+        stage_root=shared,
+    )
+    c.bind_stage_root(
+        str(tmp_path / "rootC" / "_kafka_stage"), fresh_checkpoint=True
+    )
+    assert c.stage_root == shared

@@ -196,16 +196,29 @@ def test_build_slice_is_deterministic_and_symlinks_rest(sf_dir):
         "WHERE doc_id % 2 = 0"
     ).fetchone()[0]
     assert sliced == (want, 0) and 0 < want < n_full
-    emb = con.execute(
-        f"SELECT count(*) FILTER (vec_id % 2 != 0) FROM '{out}/embeddings.parquet'"
-    ).fetchone()[0]
-    assert emb == 0
+    # embeddings: %mod rows PLUS the full fixed query window vec_id <
+    # N_QUERIES — a bare %64 slice left similarity_ivf_topk checking 1 of
+    # 20 query vectors at 640x (r11 thin-out caveat)
+    from bigtwine_streamprocessor_spark.operators import similarity
+
+    nq = similarity.N_QUERIES
+    off_mod, window = con.execute(
+        f"SELECT count(*) FILTER (vec_id % 2 != 0 AND vec_id >= {nq}), "
+        f"count(*) FILTER (vec_id < {nq}) "
+        f"FROM '{out}/embeddings.parquet'"
+    ).fetchone()
+    assert off_mod == 0 and window == nq
     # non-corpus tables are symlinks to the source (no copy at sf10)
     assert os.path.islink(f"{out}/lineitem.parquet")
     assert (
         con.execute(f"SELECT count(*) FROM '{out}/region.parquet'").fetchone()
         == con.execute(f"SELECT count(*) FROM '{sf_dir}/region.parquet'").fetchone()
     )
-    # rebuild is idempotent (symlink replace, parquet overwrite)
+    # per-process scratch: a second build never collides with the first
+    # (fixed /tmp names were pre-creatable and raced concurrent sweeps)
     out2 = sweep.build_slice(con, sf_dir, 2)
-    assert out2 == out
+    assert out2 != out
+    assert (
+        con.execute(f"SELECT count(*) FROM '{out2}/documents.parquet'").fetchone()
+        == con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()
+    )
