@@ -130,3 +130,33 @@ def test_json_canonical_matches_production_tojson(spark, sf_dir):
     assert set(prod) == set(canon)
     for tid in prod:
         assert strip_nulls(prod[tid]) == strip_nulls(canon[tid]), f"tweet {tid}"
+
+
+def test_tsv_writer_header_row_order_and_null_pin(spark, tmp_path):
+    """P12 (`ResultRowToCsvMapper.java:14-60`, `ExportResultsJob.java:132-139`):
+    byte-level pin of the TSV surface — caller's column order, nulls print
+    empty, header first, data rows in order_by order, single file."""
+    from bigtwine_streamprocessor_spark.operators import export
+
+    df = spark.createDataFrame(
+        [(3, None, 2.5), (1, "a", None), (2, "b", 0.125)],
+        "id INT, v STRING, x DOUBLE",
+    )
+    # to_tsv_lines: column order is the caller's, nulls -> empty string
+    lines = sorted(
+        r["line"] for r in export.to_tsv_lines(df, ["x", "id", "v"]).collect()
+    )
+    assert lines == ["\t1\ta", "0.125\t2\tb", "2.5\t3\t"]
+
+    out = str(tmp_path / "pin")
+    export.write_single_file(df, out, order_by=["id"])
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1
+    with open(files[0]) as f:
+        got = f.read().splitlines()
+    assert got == [
+        "id\tv\tx",
+        "1\ta\t",
+        "2\tb\t0.125",
+        "3\t\t2.5",
+    ]

@@ -418,3 +418,41 @@ def test_curate_resume_invalidates_on_content_change(spark, sf_dir, tmp_path):
     )
     curate_corpus_job.curate(docs2, bench_b, workdir=wd)
     assert q_mtime() > t1, "input content change must invalidate the chain"
+
+
+def test_stream_dump_job_golden_file(tmp_path):
+    """K5 (`TwitterStreamDump.java:50-70`): replayed tweet-JSON -> parse ->
+    (id, newline-stripped text, user id, screen name) -> ONE ordered TSV.
+    Byte-exact golden: header first, rows ordered by id, invalid records
+    (malformed JSON, id<=0, empty text) dropped."""
+    tweets = tmp_path / "tweets.json"
+    tweets.write_text(
+        "\n".join(
+            [
+                '{"id":"2","text":"hello\\nworld line","user":'
+                '{"id":"7","screenName":"bob"}}',
+                '{"id":"1","text":"alpha beta","lang":"en","user":'
+                '{"id":"5","screenName":"ann"}}',
+                '{"id":"3","text":"","user":{"id":"9","screenName":"eve"}}',
+                "this is not json",
+                '{"id":"0","text":"zero id","user":'
+                '{"id":"4","screenName":"nil"}}',
+            ]
+        )
+    )
+    out = str(tmp_path / "dump")
+    r = _run(
+        "bigtwine_streamprocessor_spark.jobs.stream_dump_job",
+        "--tweet-json-path", str(tweets), "--output-path", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dumped=2" in r.stdout
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1, "single ordered file expected"
+    with open(files[0]) as f:
+        lines = f.read().splitlines()
+    assert lines == [
+        "id\ttext\tuser__id\tuser__screen_name",
+        "1\talpha beta\t5\tann",
+        "2\thelloworld line\t7\tbob",
+    ]
