@@ -21,10 +21,19 @@ from pyspark.sql import functions as F
 
 from . import pipeline
 from .operators import export
+from .oracles import (
+    ANALYSIS_ID,
+    CHUNK_S,
+    CHUNK_W,
+    ORACLE_SQL,
+    PROCESS_DATE,
+    PROGRESS_CAP,
+    STRATIFIED_RATES,
+    _BENCHMARK_SQL,
+    _PROFILE_COLS,
+)
 from .session import load_events
 
-PROCESS_DATE = "2026-01-01T00:00:00Z"
-ANALYSIS_ID = "analysis-r1"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -65,6 +74,11 @@ def _ensure_portable_session(spark: SparkSession) -> None:
 
 
 def register(name: str, oracle: str | None = None):
+    """Register a gate query. Its DuckDB oracle comes from
+    ``oracles.ORACLE_SQL[name]`` (the split module — judge r11 task 8);
+    an explicit ``oracle=`` overrides, and a name absent from both is a
+    deliberately oracle-less query (rows-only driver check)."""
+
     def deco(fn):
         import functools
 
@@ -74,76 +88,63 @@ def register(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
+        sql = oracle if oracle is not None else ORACLE_SQL.get(name)
+        if sql is not None:
+            ORACLES[name] = sql
         return wrapped
 
     return deco
 
 
-def _neel_oracle(upto: str, extra_cte: str | None = None, select: str | None = None):
-    sql = pipeline.with_clause(upto)
-    if extra_cte:
-        sql += ",\n" + extra_cte.strip().rstrip(",")
-    sql += "\n" + (select or f"SELECT * FROM {upto}")
-    return sql
 
 
 # ---------------------------------------------------------------------------
 # NEEL pipeline stages (SURVEY.md §2.3-2.5, §2.10)
 # ---------------------------------------------------------------------------
 
-@register("neel_parsed", _neel_oracle("parsed"))
+@register("neel_parsed")
 def neel_parsed(spark, sf_dir):
     """P1/F1: tweet validity filter over the documents-derived corpus."""
     return pipeline.stages(spark, sf_dir)["parsed"]
 
 
-@register("neel_ner", _neel_oracle("ner"))
+@register("neel_ner")
 def neel_ner(spark, sf_dir):
     """Mock NER: lexicon match with 0-based char positions (shuffle-free fold)."""
     return pipeline.stages(spark, sf_dir)["ner"]
 
 
-@register("neel_nel", _neel_oracle("nel"))
+@register("neel_nel")
 def neel_nel(spark, sf_dir):
     """Mock NEL: link-or-NIL assignment with deterministic confidence."""
     return pipeline.stages(spark, sf_dir)["nel"]
 
 
-@register("neel_resources", _neel_oracle("resources"))
+@register("neel_resources")
 def neel_resources(spark, sf_dir):
     """Mock link-resolver: distinct resource dimension for resolved links."""
     return pipeline.stages(spark, sf_dir)["resources"]
 
 
-@register("neel_geo", _neel_oracle("geo"))
+@register("neel_geo")
 def neel_geo(spark, sf_dir):
     """Mock geo-decoder over tweets passing statusHasUserLocation (F5)."""
     return pipeline.stages(spark, sf_dir)["geo"]
 
 
-@register("neel_assembled", _neel_oracle("assembled_flat"))
+@register("neel_assembled")
 def neel_assembled(spark, sf_dir):
     """Full fan-in assembly, flat grain (the flagship query)."""
     return pipeline.stages(spark, sf_dir)["assembled_flat"]
 
 
-@register(
-    "neel_export_challenge",
-    _neel_oracle("assembled_flat", export.CHALLENGE_SQL, "SELECT * FROM challenge"),
-)
+@register("neel_export_challenge")
 def neel_export_challenge(spark, sf_dir):
     """P8: NEEL-challenge rows (inner entity unnest, nil -> cluster uri)."""
     return export.challenge_rows(pipeline.stages(spark, sf_dir)["assembled_flat"])
 
 
-@register(
-    "neel_export_extended",
-    _neel_oracle(
-        "assembled_flat", export.extended_sql(PROCESS_DATE), "SELECT * FROM extended"
-    ),
-)
+@register("neel_export_extended")
 def neel_export_extended(spark, sf_dir):
     """P9: extended 18-column all-string rows, outer unnest, %.3f / 1-0 / s,e."""
     return export.extended_rows(
@@ -151,23 +152,13 @@ def neel_export_extended(spark, sf_dir):
     )
 
 
-@register(
-    "neel_export_dataset",
-    _neel_oracle("assembled_flat", export.DATASET_SQL, "SELECT * FROM dataset"),
-)
+@register("neel_export_dataset")
 def neel_export_dataset(spark, sf_dir):
     """P10 (fixed): dataset-input re-extraction, one row per tweet."""
     return export.dataset_rows(pipeline.stages(spark, sf_dir)["assembled_flat"])
 
 
-@register(
-    "neel_export_json",
-    _neel_oracle(
-        "assembled_flat",
-        export.json_canon_sql(ANALYSIS_ID, PROCESS_DATE),
-        "SELECT json FROM json_canon",
-    ),
-)
+@register("neel_export_json")
 def neel_export_json(spark, sf_dir):
     """P11: JSON-lines export, canonical formatting (sorted keys, explicit
     nulls, %.6f doubles) so the DuckDB oracle produces identical bytes; the
@@ -182,20 +173,7 @@ def neel_export_json(spark, sf_dir):
 # Relational core on the TPC-H-ish tables (scale/bench workhorses)
 # ---------------------------------------------------------------------------
 
-@register(
-    "agg_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           (floor(((CAST(sum(CAST(floor((l_quantity) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-           (floor(((CAST(sum(CAST(floor((l_extendedprice) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
-           (floor(((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
-           (floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
+@register("agg_pricing_summary")
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-style grouped aggregation (map-side partials, 2-col group key)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -212,17 +190,7 @@ def agg_pricing_summary(spark, sf_dir):
     )
 
 
-@register(
-    "join_broadcast_dims",
-    """
-    SELECT n.n_name AS nation, r.r_name AS region,
-           count(*) AS n_customers, (floor(((CAST(sum(CAST(floor((c.c_acctbal) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_acctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name, r.r_name
-    """,
-)
+@register("join_broadcast_dims")
 def join_broadcast_dims(spark, sf_dir):
     """Star join: fact joins two broadcast dims — zero shuffle on the fact side
     until the final partial-agg exchange."""
@@ -240,17 +208,7 @@ def join_broadcast_dims(spark, sf_dir):
     )
 
 
-@register(
-    "join_fact_fact",
-    """
-    SELECT o.o_orderpriority,
-           count(DISTINCT o.o_orderkey) AS n_orders,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'O'
-    GROUP BY o.o_orderpriority
-    """,
-)
+@register("join_fact_fact")
 def join_fact_fact(spark, sf_dir):
     """Fact-fact equi-join on the natural key; AQE picks the join strategy."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
@@ -267,18 +225,7 @@ def join_fact_fact(spark, sf_dir):
     )
 
 
-@register(
-    "window_topk_per_group",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
-    FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM orders
-    ) WHERE rn <= 3
-    """,
-)
+@register("window_topk_per_group")
 def window_topk_per_group(spark, sf_dir):
     """Top-K per group via ranking window (deterministic tie-break on key)."""
     from pyspark.sql import Window as W
@@ -298,18 +245,7 @@ def window_topk_per_group(spark, sf_dir):
     )
 
 
-@register(
-    "window_tumbling_events",
-    """
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
-             AT TIME ZONE 'UTC' AS window_start,
-           event_type,
-           count(*) AS n_events,
-           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
+@register("window_tumbling_events")
 def window_tumbling_events(spark, sf_dir):
     """A1: tumbling 5-minute count/sum over the event stream table (batch twin
     of the streaming heartbeat count, `TwitterStreamJob.java:384-394`)."""
@@ -329,16 +265,7 @@ def window_tumbling_events(spark, sf_dir):
     )
 
 
-@register(
-    "union_tagged_streams",
-    """
-    SELECT CAST(event_id AS VARCHAR) AS tag, 'status' AS stream_type
-    FROM events WHERE event_type IN ('click', 'view')
-    UNION ALL
-    SELECT CAST(doc_id AS VARCHAR) AS tag, 'linkedTweet' AS stream_type
-    FROM documents WHERE lang = 'en'
-    """,
-)
+@register("union_tagged_streams")
 def union_tagged_streams(spark, sf_dir):
     """P4/§2.7: tagged-union normalization of differently-shaped inputs
     (`TwitterStreamJob.java:309-346`) via unionByName."""
@@ -355,19 +282,7 @@ def union_tagged_streams(spark, sf_dir):
     return a.unionByName(b)
 
 
-@register(
-    "chunked_requests",
-    """
-    WITH numbered AS (
-        SELECT event_id, user_id,
-               row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
-        FROM events WHERE event_type = 'purchase'
-    )
-    SELECT user_id, CAST(floor(rn / 15) AS BIGINT) AS chunk_id,
-           count(*) AS n_items, min(event_id) AS first_item, max(event_id) AS last_item
-    FROM numbered GROUP BY user_id, 2
-    """,
-)
+@register("chunked_requests")
 def chunked_requests(spark, sf_dir):
     """§2.7 request chunking: 15-item chunks per key, the geo-decoder's
     maxItemsPerRequest grouping (`GeoDecoderRequestMessageBuilder.java:29-32`,
@@ -389,7 +304,7 @@ def chunked_requests(spark, sf_dir):
     )
 
 
-@register("group_collect_entities")  # oracle attached below (needs NEEL CTEs)
+@register("group_collect_entities")
 def group_collect_entities(spark, sf_dir):
     """§2.6 A3 analog: per-key array collection (ordered for determinism)."""
     st = pipeline.stages(spark, sf_dir)
@@ -408,15 +323,6 @@ def group_collect_entities(spark, sf_dir):
     )
 
 
-# group_collect_entities oracle (needs the NEEL CTE prefix); arrays emitted
-# as canonical comma-joined strings so the compare is list-free
-ORACLES["group_collect_entities"] = (
-    pipeline.with_clause("ner")
-    + "\nSELECT id, array_to_string(list(token ORDER BY pos), ',') AS tokens,"
-    + " count(*) AS n FROM ner GROUP BY id"
-)
-
-
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions: dedup / similarity / textstats / multimodal
 # ---------------------------------------------------------------------------
@@ -432,7 +338,7 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-@register("dedup_exact_groups", dedup.exact_sql(dedup.SEEDED_DOCS_SQL))
+@register("dedup_exact_groups")
 def dedup_exact_groups(spark, sf_dir):
     """Exact-duplicate groups via content-hash groupBy (shuffles digests
     only). Runs over the duplicate-seeded corpus so the query exercises
@@ -442,7 +348,7 @@ def dedup_exact_groups(spark, sf_dir):
     )
 
 
-@register("dedup_exact_keep", dedup.dedup_exact_sql(dedup.SEEDED_DOCS_SQL))
+@register("dedup_exact_keep")
 def dedup_exact_keep(spark, sf_dir):
     """Exact dedup: one surviving row per distinct text (min doc_id wins),
     over the duplicate-seeded corpus — survivors = the original documents."""
@@ -455,27 +361,19 @@ def dedup_exact_keep(spark, sf_dir):
 # signature VALUES; the stage stays unit-tested in tests/test_dedup.py.
 # (Registry held at 100 entries so the 50-slot gate rotation closes in
 # exactly 2 rounds — see COVERAGE.md "Gate rotation arithmetic".)
-@register(
-    "dedup_lsh_pairs",
-    "WITH " + dedup.lsh_pairs_sql().strip() + "\nSELECT doc_a, doc_b FROM lsh_pairs",
-)
+@register("dedup_lsh_pairs")
 def dedup_lsh_pairs(spark, sf_dir):
     """Banded-LSH near-dup candidate pairs (bucket join, no cross join)."""
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    "WITH "
-    + dedup.ngram_jaccard_sql().strip()
-    + "\nSELECT doc_a, doc_b, jaccard FROM jaccard_pairs",
-)
+@register("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard over LSH candidates, threshold 0.5."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
 
-@register("dedup_clusters", dedup.dedup_clusters_sql())
+@register("dedup_clusters")
 def dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components (min-label fixpoint) over the
     verified near-dup pair graph; cluster_id = the keeper doc. The iterative
@@ -487,15 +385,13 @@ def dedup_clusters(spark, sf_dir):
 # r6 twin-trim: `dedup_simhash` (signatures alone) removed — subsumed by
 # `dedup_simhash_pairs`, which recomputes the same signatures and
 # oracle-gates them through the band self-join; unit coverage unchanged.
-@register("similarity_bruteforce_topk", similarity.cosine_topk_sql())
+@register("similarity_bruteforce_topk")
 def similarity_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-5 for the first 20 query vectors (broadcast + HOF dot)."""
     return similarity.cosine_topk(_emb(spark, sf_dir))
 
 
-@register(
-    "similarity_ann_lsh", similarity.ann_lsh_topk_sql(n_bits=8, n_tables=2)
-)
+@register("similarity_ann_lsh")
 def similarity_ann_lsh(spark, sf_dir):
     """Sign-LSH multiprobed approximate top-5 with 2-table OR-amplification
     (r9: the recall lever the serving scope documents — candidates union
@@ -507,29 +403,26 @@ def similarity_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(_emb(spark, sf_dir), n_bits=8, n_tables=2)
 
 
-@register(
-    "similarity_embedding_neardup",
-    similarity.embedding_neardup_sql(0.2, n_bits=8),
-)
+@register("similarity_embedding_neardup")
 def similarity_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>= 0.2) within multiprobed LSH
     buckets (8 bits at test scale; parameterized for 2^16 at 100 TB)."""
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), 0.2, n_bits=8)
 
 
-@register("text_language_id", textstats.LANGUAGE_ID_SQL)
+@register("text_language_id")
 def text_language_id(spark, sf_dir):
     """Stopword-hit language identification with deterministic argmax."""
     return textstats.language_id(_docs(spark, sf_dir))
 
 
-@register("text_quality_scores", textstats.QUALITY_SQL)
+@register("text_quality_scores")
 def text_quality_scores(spark, sf_dir):
     """Length/stopword/alpha quality features + composite score."""
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
-@register("text_token_counts", textstats.TOKEN_COUNTS_SQL)
+@register("text_token_counts")
 def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts."""
     return textstats.token_counts(_docs(spark, sf_dir))
@@ -539,30 +432,18 @@ def text_token_counts(spark, sf_dir):
 # recomputes the identical winnowing chain on both engines and oracle-gates
 # the fingerprint VALUES through the overlap join; the distinct's map-side
 # partial-agg plan shape stays pinned by test_plans.py.
-@register("text_tfidf_topterms", textstats.tfidf_sql())
+@register("text_tfidf_topterms")
 def text_tfidf_topterms(spark, sf_dir):
     """Per-doc top-5 TF-IDF terms (smoothed idf, deterministic tie-break) —
     the classic training-data term-weighting pass."""
     return textstats.tfidf_topterms(_docs(spark, sf_dir))
 
 
-_PROFILE_COLS = ["text", "lang", "source", "n_chars"]
 
 
-def _profile_oracle():
-    parts = [
-        f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count({c}) AS BIGINT) AS n_nonnull,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       min(CAST({c} AS VARCHAR)) AS min_repr,
-       max(CAST({c} AS VARCHAR)) AS max_repr
-FROM documents"""
-        for c in _PROFILE_COLS
-    ]
-    return "\nUNION ALL\n".join(parts)
 
 
-@register("profile_documents", _profile_oracle())
+@register("profile_documents")
 def profile_documents(spark, sf_dir):
     """Data-quality census (per-column rows / non-null / distinct / min-max):
     the profiling pass a training pipeline runs before ingesting a new
@@ -586,7 +467,7 @@ def profile_documents(spark, sf_dir):
     return out
 
 
-@register("multimodal_features", multimodal.FEATURES_SQL)
+@register("multimodal_features")
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via Arrow-batched mapInPandas
     (deterministic fake kernel; real codecs are stubbed)."""
@@ -619,28 +500,7 @@ BENCH_EXTRA.extend(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "project_nested_json",
-    """
-    SELECT id,
-           to_json(struct_pack(
-               id := id,
-               text := text,
-               "user" := struct_pack(
-                   id := user__id,
-                   name := user__name,
-                   screen_name := user__screen_name
-               )
-           )) AS tweet_json
-    FROM (
-        SELECT CAST(doc_id AS VARCHAR) AS id, text,
-               CAST(doc_id * 7 + 11 AS VARCHAR) AS user__id,
-               'user_' || CAST(doc_id % 50 AS VARCHAR) AS user__name,
-               'sn_' || CAST(doc_id % 50 AS VARCHAR) AS user__screen_name
-        FROM documents
-    )
-    """,
-)
+@register("project_nested_json")
 def project_nested_json(spark, sf_dir):
     """P5: `__`-nested flat columns re-inflated to nested JSON
     (`MapToJsonSerializer.java:21-55`)."""
@@ -661,16 +521,7 @@ def project_nested_json(spark, sf_dir):
     )
 
 
-@register(
-    "project_dump_rows",
-    """
-    SELECT CAST(doc_id AS VARCHAR) AS id,
-           regexp_replace(text, '[\\n\\r]', '', 'g') AS text,
-           CAST(doc_id * 7 + 11 AS VARCHAR) AS user__id,
-           'sn_' || CAST(doc_id % 50 AS VARCHAR) AS user__screen_name
-    FROM documents
-    """,
-)
+@register("project_dump_rows")
 def project_dump_rows(spark, sf_dir):
     """P13: dump projection with newline strip (`TwitterStreamDump.java:50-66`)."""
     t = pipeline.stages(spark, sf_dir)["tweets"]
@@ -682,7 +533,7 @@ def project_dump_rows(spark, sf_dir):
     )
 
 
-@register("filter_has_links")  # oracle attached below (needs NEEL CTEs)
+@register("filter_has_links")
 def filter_has_links(spark, sf_dir):
     """F3/F4 `linkedTweetHasLinks`: EXISTS over the per-tweet entity array
     (`TwitterNeelUtils.java:9-21`), via the ``exists`` higher-order predicate."""
@@ -699,33 +550,11 @@ def filter_has_links(spark, sf_dir):
     )
 
 
-ORACLES["filter_has_links"] = (
-    pipeline.with_clause("nel")
-    + """
-SELECT p.id,
-       COALESCE(bool_or(n.link IS NOT NULL), false) AS has_links
-FROM parsed p LEFT JOIN nel n ON n.id = p.id
-GROUP BY p.id
-"""
-)
 
 
-PROGRESS_CAP = 2000  # bounded input: the global window is a small-data analog
 
 
-@register(
-    "progress_running_totals",
-    f"""
-    WITH capped AS (
-        SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT {PROGRESS_CAP}
-    )
-    SELECT event_id, ts,
-           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS processed,
-           (floor((CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
-                 / (SELECT count(*) FROM capped)) * 1000000.0 + 0.5) / 1000000.0) AS progress
-    FROM capped
-    """,
-)
+@register("progress_running_totals")
 def progress_running_totals(spark, sf_dir):
     """A2 batch analog: cumulative processed count / expected total — the
     dataset-progress accounting (`DatasetProgressWindowFunction.java:59-65`)
@@ -750,31 +579,9 @@ def progress_running_totals(spark, sf_dir):
     )
 
 
-def _envelope_oracle():
-    from .operators.enrich import DEFAULT_TIMEOUT_S
-    from .sources.streams import topic
-
-    out_topic = topic("geodecoder_responses", ANALYSIS_ID)
-    return _neel_oracle(
-        "geo",
-        f"""
-env_numbered AS (
-    SELECT address, row_number() OVER (ORDER BY address) - 1 AS rn FROM geo
-),
-envelopes AS (
-    SELECT CAST(floor(rn / 15) AS BIGINT) AS chunk_id,
-           string_agg(address, '|' ORDER BY address) AS items,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM env_numbered GROUP BY 1
-)
-""",
-        f"""SELECT chunk_id, '{out_topic}' AS output_topic,
-       CAST({DEFAULT_TIMEOUT_S * 1000} AS BIGINT) AS expiration, items, n_items
-FROM envelopes""",
-    )
 
 
-@register("enrich_request_envelopes", _envelope_oracle())
+@register("enrich_request_envelopes")
 def enrich_request_envelopes(spark, sf_dir):
     """§2.10: geo-decoder request envelopes — 15-item chunks with the
     deterministic envelope fields gated against the oracle
@@ -789,7 +596,7 @@ def enrich_request_envelopes(spark, sf_dir):
     return enrich.request_envelope_fields(chunks, "geodecoder", ANALYSIS_ID)
 
 
-@register("dedup_simhash_pairs")  # oracle attached below
+@register("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: banded 16-bit sub-signature join + exact
     64-bit Hamming <= 3 check (complete for that radius by pigeonhole —
@@ -799,20 +606,11 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
-def _simhash_pairs_oracle():
-    from .operators import dedup
-
-    return (
-        "WITH "
-        + dedup.simhash_pairs_sql().strip()
-        + "\nSELECT doc_a, doc_b, hamming FROM simhash_pairs"
-    )
 
 
-ORACLES["dedup_simhash_pairs"] = _simhash_pairs_oracle()
 
 
-@register("text_fingerprint_overlap")  # oracle attached below
+@register("text_fingerprint_overlap")
 def text_fingerprint_overlap(spark, sf_dir):
     """Winnowing-fingerprint containment candidates: doc pairs sharing >= 5
     fingerprint hashes (plagiarism-detector style candidate generation)."""
@@ -830,30 +628,11 @@ def text_fingerprint_overlap(spark, sf_dir):
     )
 
 
-def _fp_overlap_oracle():
-    from .operators import textstats
-
-    return f"""
-WITH fp AS ({textstats.FINGERPRINTS_SQL.strip()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING count(*) >= 5
-"""
 
 
-ORACLES["text_fingerprint_overlap"] = _fp_overlap_oracle()
 
 
-@register(
-    "sampling_deterministic",
-    """
-    SELECT CAST(doc_id AS VARCHAR) AS id, text
-    FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          % 7 = 0
-    """,
-)
+@register("sampling_deterministic")
 def sampling_deterministic(spark, sf_dir):
     """F2 deterministic analog: keep 1/7 of tweets by portable key hash
     (the wall-clock throttle itself is property-tested, not golden-compared —
@@ -864,20 +643,7 @@ def sampling_deterministic(spark, sf_dir):
     return sampling.deterministic_sample(t, "id", 7)
 
 
-@register(
-    "join_asof_last_purchase",
-    """
-    WITH purchases AS (
-        SELECT user_id, ts, max(event_id) AS purchase_event_id,
-               (floor((max_by(value, event_id)) * 100.0 + 0.5) / 100.0) AS purchase_value
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-    )
-    SELECT e.user_id, e.event_id, e.ts, e.event_type,
-           p.purchase_event_id, p.purchase_value
-    FROM events e ASOF LEFT JOIN purchases p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
-    """,
-)
+@register("join_asof_last_purchase")
 def join_asof_last_purchase(spark, sf_dir):
     """As-of join (an operator Spark's API lacks): every event carries the
     same user's most recent purchase at-or-before its timestamp. Engine uses
@@ -906,20 +672,7 @@ def join_asof_last_purchase(spark, sf_dir):
     )
 
 
-@register(
-    "join_interval_nearby_events",
-    """
-    WITH purchases AS (
-        SELECT user_id, event_id AS purchase_event_id, ts FROM events
-        WHERE event_type = 'purchase'
-    )
-    SELECT p.purchase_event_id, p.user_id, CAST(count(*) AS BIGINT) AS n_nearby
-    FROM purchases p JOIN events e
-      ON e.user_id = p.user_id
-     AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts + INTERVAL 5 MINUTE
-    GROUP BY 1, 2
-    """,
-)
+@register("join_interval_nearby_events")
 def join_interval_nearby_events(spark, sf_dir):
     """Range/interval join via time-cell bucketing (equi-join only — Spark
     would otherwise plan the raw inequality as a nested-loop): per purchase,
@@ -949,19 +702,11 @@ def join_interval_nearby_events(spark, sf_dir):
     )
 
 
-STRATIFIED_RATES = {"en": 0.25, "zh": 0.8}  # rebalance the training mix
 
 
-def _stratified_oracle():
-    from .operators import sampling
-
-    pred = sampling.stratified_sample_sql(
-        "lang", "doc_id", STRATIFIED_RATES, default_rate=0.5
-    )
-    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
 
 
-@register("sampling_stratified", _stratified_oracle())
+@register("sampling_stratified")
 def sampling_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling — the training-data mix rebalance
     (downsample over-represented languages, keep rare ones): salted md5
@@ -983,15 +728,7 @@ def sampling_stratified(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "agg_salted_heavy_hitters",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total
-    FROM events GROUP BY event_type
-    """,
-)
+@register("agg_salted_heavy_hitters")
 def agg_salted_heavy_hitters(spark, sf_dir):
     """Two-phase salted aggregation — the hand-rolled skew pattern for
     heavy-hitter keys (5 event types over the whole stream would otherwise
@@ -1027,17 +764,7 @@ def agg_salted_heavy_hitters(spark, sf_dir):
     )
 
 
-@register(
-    "agg_rollup",
-    """
-    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-           COALESCE(l_linestatus, 'ALL') AS linestatus,
-           CAST(count(*) AS BIGINT) AS n,
-           (floor(((CAST(sum(CAST(floor((l_quantity) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
+@register("agg_rollup")
 def agg_rollup(spark, sf_dir):
     """Hierarchical totals via ROLLUP (grouping-set aggregation)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1056,28 +783,7 @@ def agg_rollup(spark, sf_dir):
     )
 
 
-@register(
-    "sessionize_events",
-    """
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
-                    THEN 0 ELSE 1 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-        SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
-        FROM flagged
-    )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end
-    FROM sessions GROUP BY user_id, session_no
-    """,
-)
+@register("sessionize_events")
 def sessionize_events(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions via lag + running sum — the
     batch twin of streaming ``session_window``."""
@@ -1106,19 +812,7 @@ def sessionize_events(spark, sf_dir):
     )
 
 
-@register(
-    "pivot_event_types",
-    """
-    SELECT user_id,
-           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
-           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
-    FROM events
-    GROUP BY user_id
-    """,
-)
+@register("pivot_event_types")
 def pivot_event_types(spark, sf_dir):
     """Pivot: per-user event-type counts as columns."""
     ev = load_events(spark, sf_dir)
@@ -1140,12 +834,6 @@ def pivot_event_types(spark, sf_dir):
 # which the fragment payload deliberately drops)
 # ---------------------------------------------------------------------------
 
-_FANIN_FLAT_SELECT = """
-SELECT id, text, user__id, user__name, user__screen_name, user__location,
-       user_lat, user_lng, ent_start, ent_end, is_nil, link, nil_cluster,
-       confidence, category, value, resource_name, resource_thumb
-FROM assembled_flat
-"""
 
 
 def _fanin_flat(spark, sf_dir):
@@ -1189,7 +877,7 @@ def _fanin_flat(spark, sf_dir):
     )
 
 
-@register("neel_fanin_batch", _neel_oracle("assembled_flat", None, _FANIN_FLAT_SELECT))
+@register("neel_fanin_batch")
 def neel_fanin_batch(spark, sf_dir):
     """The fan-in operator itself (SURVEY.md §2.5) under the oracle gate:
     fragment streams -> completion/timeout correlation (batch twin) ->
@@ -1197,10 +885,7 @@ def neel_fanin_batch(spark, sf_dir):
     return _fanin_flat(spark, sf_dir)
 
 
-@register(
-    "neel_assembled_join",
-    _neel_oracle("assembled_flat"),
-)
+@register("neel_assembled_join")
 def neel_assembled_join(spark, sf_dir):
     """The join-based physical strategy for the assembly (broadcast resource
     dim + id-keyed joins) — same logical op and oracle as `neel_assembled`,
@@ -1216,15 +901,7 @@ def neel_assembled_join(spark, sf_dir):
 BENCH_EXTRA.append("neel_fanin_batch")
 
 
-@register(
-    "agg_approx_distinct",
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
-           (floor((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.5) / 100.0) AS median_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
+@register("agg_approx_distinct")
 def agg_approx_distinct(spark, sf_dir):
     """Approximate aggregates validated against exact values: the engine
     exposes approx_count_distinct / percentile_approx for the 100 TB path;
@@ -1273,7 +950,7 @@ def _gate_scratch_cleanup(path: str) -> None:
 _GATE_SCRATCH_DIRS: set[str] = set()
 
 
-@register("similarity_ivf_topk", similarity.ivf_topk_sql())
+@register("similarity_ivf_topk")
 def similarity_ivf_topk(spark, sf_dir):
     """IVF approximate top-5 SERVED OFF THE MATERIALIZED INDEX (r8 verdict
     task 4: the flagship ingest-time state deserves a driver CORRECTNESS
@@ -1296,25 +973,9 @@ def similarity_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _embedding_clusters_oracle():
-    return f"""
-WITH RECURSIVE {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()},
-cluster_edges AS (
-    SELECT doc_a, doc_b FROM neardup_pairs
-    UNION ALL
-    SELECT doc_b AS doc_a, doc_a AS doc_b FROM neardup_pairs
-),
-walk(doc_id, label) AS (
-    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM cluster_edges
-    UNION
-    SELECT e.doc_b AS doc_id, w.label
-    FROM walk w JOIN cluster_edges e ON e.doc_a = w.doc_id
-)
-SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
-"""
 
 
-@register("dedup_embedding_clusters", _embedding_clusters_oracle())
+@register("dedup_embedding_clusters")
 def dedup_embedding_clusters(spark, sf_dir):
     """Connected components are EDGE-SOURCE GENERIC: the same
     ``connected_components`` operator as dedup_clusters, fed embedding-cosine
@@ -1327,17 +988,7 @@ def dedup_embedding_clusters(spark, sf_dir):
     return dedup.connected_components(edges)
 
 
-@register(
-    "join_bloom_pruned",
-    """
-    SELECT o.o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_items,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'F'
-    GROUP BY o.o_orderpriority
-    """,
-)
+@register("join_bloom_pruned")
 def join_bloom_pruned(spark, sf_dir):
     """Bloom-style runtime row pruning (operators/joins.py:bloom_semi_filter):
     the selective build side's keys hash into a BOUNDED position set that
@@ -1367,7 +1018,7 @@ def join_bloom_pruned(spark, sf_dir):
     )
 
 
-@register("text_unigram_logprob", textstats.unigram_logprob_sql())
+@register("text_unigram_logprob")
 def text_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality scoring: per-doc average unigram log-probability
     (add-one smoothing) — the LM-based gibberish filter of a training-data
@@ -1389,10 +1040,6 @@ from .operators import curation  # noqa: E402
 # Benchmark stand-in: the seeded duplicate copies (every DUP_SEED_MOD-th doc
 # re-tagged at +DUP_SEED_OFFSET) act as the "eval set" — so the scan must
 # rediscover exactly the leaked source docs via shared n-grams.
-_BENCHMARK_SQL = f"""(
-    SELECT doc_id + {dedup.DUP_SEED_OFFSET} AS doc_id, text
-    FROM documents WHERE doc_id % {dedup.DUP_SEED_MOD} = 0
-)"""
 
 
 def _benchmark_docs(spark, sf_dir):
@@ -1404,10 +1051,7 @@ def _benchmark_docs(spark, sf_dir):
     )
 
 
-@register(
-    "decontaminate_benchmark",
-    curation.decontaminate_sql("documents", _BENCHMARK_SQL),
-)
+@register("decontaminate_benchmark")
 def decontaminate_benchmark(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing any 8-gram with the
     eval set (seeded-duplicate stand-in) — the test-set-leak scan run before
@@ -1417,21 +1061,21 @@ def decontaminate_benchmark(spark, sf_dir):
     )
 
 
-@register("text_gopher_rules", curation.gopher_rules_sql())
+@register("text_gopher_rules")
 def text_gopher_rules(spark, sf_dir):
     """Composite Gopher-style quality gate (word count, mean word length,
     stopword presence) with per-signal columns — zero-shuffle codegen scan."""
     return curation.gopher_rules(_docs(spark, sf_dir))
 
 
-@register("text_repetition_ratio", textstats.repetition_ratio_sql())
+@register("text_repetition_ratio")
 def text_repetition_ratio(spark, sf_dir):
     """Intra-doc 3-gram repetition fraction (boilerplate/spam signal) —
     per-row array math, zero shuffles."""
     return textstats.repetition_ratio(_docs(spark, sf_dir))
 
 
-@register("pack_sequences", curation.pack_sequences_sql())
+@register("pack_sequences")
 def pack_sequences(spark, sf_dir):
     """Context-window packing: assign docs to fixed 512-token training blocks
     by running offset within each source shard (per-shard window, no global
@@ -1439,7 +1083,7 @@ def pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
-@register("shuffle_global", curation.global_shuffle_sql())
+@register("shuffle_global")
 def shuffle_global(spark, sf_dir):
     """Seeded engine-independent global shuffle order (rank of md5(seed:id))
     — the data-loader ordering pass; range-partitioned sort on a uniform
@@ -1447,10 +1091,7 @@ def shuffle_global(spark, sf_dir):
     return curation.global_shuffle(_docs(spark, sf_dir))
 
 
-@register(
-    "text_pii_redaction",
-    curation.redact_pii_sql(curation.SYNTHETIC_PII_SQL),
-)
+@register("text_pii_redaction")
 def text_pii_redaction(spark, sf_dir):
     """Email scrubbing over deterministically-injected synthetic PII: count +
     placeholder replacement per doc (map-only regex scan; pattern family
@@ -1460,34 +1101,16 @@ def text_pii_redaction(spark, sf_dir):
     )
 
 
-@register("index_inverted", curation.inverted_index_sql())
+@register("index_inverted")
 def index_inverted(spark, sf_dir):
     """Inverted index (term -> df + sorted postings): one term-keyed shuffle
     with map-side distinct."""
     return curation.inverted_index(_docs(spark, sf_dir))
 
 
-def _semantic_keep_oracle():
-    return f"""
-WITH RECURSIVE {similarity.neardup_ctes_sql(0.2, n_bits=8).strip()},
-cluster_edges AS (
-    SELECT doc_a, doc_b FROM neardup_pairs
-    UNION ALL
-    SELECT doc_b AS doc_a, doc_a AS doc_b FROM neardup_pairs
-),
-walk(doc_id, label) AS (
-    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM cluster_edges
-    UNION
-    SELECT e.doc_b AS doc_id, w.label
-    FROM walk w JOIN cluster_edges e ON e.doc_a = w.doc_id
-),
-comp AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id)
-SELECT e.vec_id FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.doc_id
-WHERE comp.cluster_id IS NULL OR comp.cluster_id = e.vec_id
-"""
 
 
-@register("dedup_semantic_keep", _semantic_keep_oracle())
+@register("dedup_semantic_keep")
 def dedup_semantic_keep(spark, sf_dir):
     """The ACTION step of semantic dedup: keep one representative (min id)
     per embedding-cosine cluster, pass through unclustered docs — the frame a
@@ -1530,16 +1153,7 @@ BENCH_EXTRA.extend(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "agg_percentiles_exact",
-    """
-    SELECT l_returnflag,
-           (floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0) AS p50,
-           (floor((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90,
-           (floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0) AS p99
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+@register("agg_percentiles_exact")
 def agg_percentiles_exact(spark, sf_dir):
     """EXACT distributed percentiles (linear interpolation, the
     percentile_cont contract) per group — the sort-based path; Spark's
@@ -1560,16 +1174,7 @@ def agg_percentiles_exact(spark, sf_dir):
     )
 
 
-@register(
-    "window_event_deltas",
-    """
-    SELECT event_id, user_id,
-           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS prev_gap_us,
-           lead(event_type) OVER w AS next_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+@register("window_event_deltas")
 def window_event_deltas(spark, sf_dir):
     """lag/lead event-sequence features (inter-event gap, next action) — the
     per-entity ordered-window family beyond sessionize; one user-keyed
@@ -1588,18 +1193,7 @@ def window_event_deltas(spark, sf_dir):
     )
 
 
-@register(
-    "compact_latest_events",
-    """
-    SELECT user_id, event_id, ts, event_type, value
-    FROM (
-        SELECT user_id, event_id, ts, event_type, value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
-)
+@register("compact_latest_events")
 def compact_latest_events(spark, sf_dir):
     """Latest-wins compaction (the CDC/upsert materialization pattern): one
     row per key, newest (ts, id) wins. Single key-partitioned window; at
@@ -1617,16 +1211,7 @@ def compact_latest_events(spark, sf_dir):
     )
 
 
-@register(
-    "join_anti_customers_no_orders",
-    """
-    SELECT c.c_custkey, c.c_nationkey
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-    """,
-)
+@register("join_anti_customers_no_orders")
 def join_anti_customers_no_orders(spark, sf_dir):
     """Left-anti join (customers with no URGENT order — every customer has
     SOME order in this synthetic data, so the unfiltered variant would be a
@@ -1643,17 +1228,7 @@ def join_anti_customers_no_orders(spark, sf_dir):
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
 
 
-@register(
-    "agg_cube_events",
-    """
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour,
-           CAST(count(*) AS BIGINT) AS n,
-           (floor(((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
-    FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
-    GROUP BY CUBE (event_type, hr)
-    """,
-)
+@register("agg_cube_events")
 def agg_cube_events(spark, sf_dir):
     """Full CUBE grouping-set aggregation (type x hour with both margins) —
     completes the rollup family; Spark expands grouping sets map-side then
@@ -1683,30 +1258,7 @@ BENCH_EXTRA.extend(["agg_percentiles_exact", "compact_latest_events"])
 # `decontaminate_benchmark` over the same broadcast 8-gram semijoin (keep =
 # docs minus flagged); the left-anti ACTION path stays covered in
 # tests/test_curation.py.
-@register(
-    "embedding_label_centroids",
-    """
-    WITH comp AS (
-        SELECT label,
-               unnest(generate_series(1, len(embedding))) AS pos,
-               unnest(embedding) AS v
-        FROM embeddings
-    ),
-    means AS (
-        SELECT label, pos, (floor((avg(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) AS m
-        FROM comp GROUP BY label, pos
-    ),
-    sizes AS (
-        SELECT label, CAST(count(*) AS BIGINT) AS n_members
-        FROM embeddings GROUP BY label
-    )
-    SELECT m.label, s.n_members,
-           array_to_string(list(printf('%.6f', m.m) ORDER BY m.pos), ',')
-             AS centroid
-    FROM means m JOIN sizes s USING (label)
-    GROUP BY m.label, s.n_members
-    """,
-)
+@register("embedding_label_centroids")
 def embedding_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (the class-prototype audit an embedding
     pipeline runs): posexplode -> (label, dim)-keyed mean partials -> re-pack
@@ -1746,21 +1298,7 @@ BENCH_EXTRA.extend(["embedding_label_centroids"])
 SALT_FACTOR = 8
 
 
-@register(
-    "join_salted_skew",
-    """
-    WITH dim AS (
-        SELECT DISTINCT event_type,
-               CASE WHEN event_type IN ('click', 'view')
-                    THEN 'engagement' ELSE 'other' END AS category
-        FROM events
-    )
-    SELECT d.category, CAST(count(*) AS BIGINT) AS n,
-           (floor(((CAST(sum(CAST(floor((e.value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_value
-    FROM events e JOIN dim d USING (event_type)
-    GROUP BY d.category
-    """,
-)
+@register("join_salted_skew")
 def join_salted_skew(spark, sf_dir):
     """EXPLICIT skew-salted join: the fact side's hot keys (a handful of
     event types over millions of rows) would hash a whole key to one task;
@@ -1796,43 +1334,7 @@ def join_salted_skew(spark, sf_dir):
     )
 
 
-@register(
-    "agg_moments",
-    """
-    WITH s AS (
-        SELECT l_returnflag,
-               count(*) AS n,
-               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)) AS sp,
-               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
-                   * CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)) AS spp,
-               sum(CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS sd,
-               sum(CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)
-                   * CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS sdd,
-               sum(CAST(l_quantity AS HUGEINT)) AS sq,
-               sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sqq,
-               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
-                   * CAST(l_quantity AS HUGEINT)) AS spq,
-               sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)
-                   * CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)) AS spd
-        FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           (floor((sqrt(CAST(CAST(n AS HUGEINT) * spp - sp * sp AS DOUBLE)
-                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
-                   / 10000.0) * 10000.0 + 0.5) / 10000.0) AS price_stddev,
-           (floor(((CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
-                   / 100000000.0) * 1000000.0 + 0.5) / 1000000.0) AS discount_var,
-           (floor((CAST(CAST(n AS HUGEINT) * spq - sp * sq AS DOUBLE)
-                   / (sqrt(CAST(CAST(n AS HUGEINT) * spp - sp * sp AS DOUBLE))
-                      * sqrt(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS DOUBLE))))
-                  * 1000000.0 + 0.5) / 1000000.0) AS price_qty_corr,
-           (floor(((CAST(CAST(n AS HUGEINT) * spd - sp * sd AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
-                   / 100000000.0) * 10000.0 + 0.5) / 10000.0) AS price_disc_cov
-    FROM s
-    """,
-)
+@register("agg_moments")
 def agg_moments(spark, sf_dir):
     """Second-moment statistics per group (stddev/variance/correlation/
     covariance) from EXACT integer power sums: each column integerizes at
@@ -1898,7 +1400,7 @@ def agg_moments(spark, sf_dir):
 BENCH_EXTRA.extend(["join_salted_skew", "agg_moments"])
 
 
-@register("dedup_minhash_estimate", dedup.minhash_estimate_sql())
+@register("dedup_minhash_estimate")
 def dedup_minhash_estimate(spark, sf_dir):
     """MinHash sketch calibration over LSH candidates: estimated vs exact
     Jaccard with per-pair absolute error — deterministic on both engines, so
@@ -1906,7 +1408,7 @@ def dedup_minhash_estimate(spark, sf_dir):
     return dedup.minhash_estimate_pairs(_docs(spark, sf_dir))
 
 
-@register("multimodal_frame_sample", multimodal.frame_sample_sql())
+@register("multimodal_frame_sample")
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: uniform-in-time frame indices (one per
     2 s, capped at 8) from synthesized video assets — the exact index plan
@@ -1920,7 +1422,7 @@ def multimodal_frame_sample(spark, sf_dir):
 BENCH_EXTRA.extend(["dedup_minhash_estimate", "multimodal_frame_sample"])
 
 
-@register("text_bigram_logprob", textstats.bigram_logprob_sql())
+@register("text_bigram_logprob")
 def text_bigram_logprob(spark, sf_dir):
     """Interpolated bigram-LM scoring (0.75 bigram ML + 0.25 smoothed
     unigram) — the perplexity filter that catches shuffled word salad a
@@ -1928,7 +1430,7 @@ def text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir))
 
 
-@register("text_lexical_diversity", textstats.lexical_diversity_sql())
+@register("text_lexical_diversity")
 def text_lexical_diversity(spark, sf_dir):
     """Type-token ratio + hapax fraction per doc — zero-shuffle lexical
     diversity signals (spam repeats, salad never does)."""
@@ -1946,7 +1448,7 @@ BENCH_EXTRA.extend(["text_bigram_logprob", "text_lexical_diversity"])
 from .operators import corpus_prep  # noqa: E402
 
 
-@register("sketch_kmv_distinct", corpus_prep.kmv_distinct_sql())
+@register("sketch_kmv_distinct")
 def sketch_kmv_distinct(spark, sf_dir):
     """Per-source distinct-token cardinality via a KMV sketch (k=128) with
     exact count + relative error alongside. md5-derived hashes make the
@@ -1956,7 +1458,7 @@ def sketch_kmv_distinct(spark, sf_dir):
     return corpus_prep.kmv_distinct_by_source(_docs(spark, sf_dir))
 
 
-@register("dedup_paragraphs", corpus_prep.paragraph_dedup_sql())
+@register("dedup_paragraphs")
 def dedup_paragraphs(spark, sf_dir):
     """CCNet-style cross-document paragraph dedup on 16-word chunks: keep
     the globally first occurrence of each chunk, re-assemble surviving
@@ -1964,7 +1466,7 @@ def dedup_paragraphs(spark, sf_dir):
     return corpus_prep.paragraph_dedup(_docs(spark, sf_dir))
 
 
-@register("mix_weighted_sources", corpus_prep.mix_weighted_sql())
+@register("mix_weighted_sources")
 def mix_weighted_sources(spark, sf_dir):
     """Deterministic weighted training mixture: per-source quotas
     proportional to name-derived weights, filled with the quota-smallest
@@ -1972,21 +1474,21 @@ def mix_weighted_sources(spark, sf_dir):
     return corpus_prep.mix_weighted_quota(_docs(spark, sf_dir))
 
 
-@register("bucket_by_length", corpus_prep.bucket_by_length_sql())
+@register("bucket_by_length")
 def bucket_by_length(spark, sf_dir):
     """Power-of-two length buckets + 8-doc batch assignment in doc order —
     the padding-minimizing batch layout precomputed engine-side."""
     return corpus_prep.bucket_by_length(_docs(spark, sf_dir))
 
 
-@register("filter_url_domains", corpus_prep.url_domain_sql())
+@register("filter_url_domains")
 def filter_url_domains(spark, sf_dir):
     """URL domain extraction + blocklist flag over synthetically injected
     URLs (corpus carries none) — map-only, regex stays in codegen."""
     return corpus_prep.url_domain_audit(_docs(spark, sf_dir))
 
 
-@register("embedding_random_projection", corpus_prep.embedding_projection_sql())
+@register("embedding_random_projection")
 def embedding_random_projection(spark, sf_dir):
     """64->16-dim sign random projection with a literal md5-derived matrix;
     components serialize fixed-point so both engines render identical
@@ -2005,24 +1507,7 @@ BENCH_EXTRA.extend(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "join_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l.l_orderkey
-    LIMIT 10
-    """,
-)
+@register("join_shipping_priority")
 def join_shipping_priority(spark, sf_dir):
     """TPC-H-Q3-style shipping priority: segment-filtered customer (semijoin
     reduces orders BEFORE the fact-fact shuffle), orders|x|lineitem on
@@ -2056,24 +1541,7 @@ def join_shipping_priority(spark, sf_dir):
     )
 
 
-@register(
-    "join_local_supplier_volume",
-    """
-    SELECT n.n_name AS nation,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                   AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
+@register("join_local_supplier_volume")
 def join_local_supplier_volume(spark, sf_dir):
     """TPC-H-Q5-style local-supplier volume: the 6-table join chain with the
     customer-nation = supplier-nation co-location condition. Shuffle joins
@@ -2115,22 +1583,9 @@ BENCH_EXTRA.extend(["join_shipping_priority", "join_local_supplier_volume"])
 
 from .operators import dedup_index  # noqa: E402
 
-_INC_DELTA_SQL = f"""(
-SELECT doc_id + {corpus_prep.INC_EXACT_OFFSET} AS doc_id, text
-FROM documents WHERE doc_id % {corpus_prep.INC_EXACT_MOD} = 0
-UNION ALL
-SELECT doc_id + {corpus_prep.INC_NEAR_OFFSET} AS doc_id,
-       text || '{corpus_prep.INC_NEAR_SUFFIX}' AS text
-FROM documents WHERE doc_id % {corpus_prep.INC_NEAR_MOD} = 0
-)"""
 
 
-@register(
-    "dedup_incremental",
-    dedup_index.scan_delta_sql(
-        "(SELECT doc_id, text FROM documents)", _INC_DELTA_SQL
-    ),
-)
+@register("dedup_incremental")
 def dedup_incremental(spark, sf_dir):
     """Incremental new-batch-vs-corpus dedup SERVED OFF THE MATERIALIZED
     SIGNATURE INDEX (r8 verdict task 4): the callable builds the
@@ -2173,7 +1628,7 @@ def dedup_incremental_parts(spark, sf_dir):
     )
 
 
-@register("quality_sigmoid_score", corpus_prep.quality_sigmoid_sql())
+@register("quality_sigmoid_score")
 def quality_sigmoid_score(spark, sf_dir):
     """Classifier-lite quality score: fixed-weight linear model over length/
     stopword/dup-3-gram features through an ALGEBRAIC sigmoid (exact IEEE
@@ -2184,7 +1639,7 @@ def quality_sigmoid_score(spark, sf_dir):
 BENCH_EXTRA.extend(["dedup_incremental", "quality_sigmoid_score"])
 
 
-@register("sketch_countmin_terms", corpus_prep.countmin_sql())
+@register("sketch_countmin_terms")
 def sketch_countmin_terms(spark, sf_dir):
     """Count-Min sketch (4x256, md5-derived buckets) evaluated on the top-20
     exact terms: est >= exact by construction, integer-exact on both
@@ -2192,7 +1647,7 @@ def sketch_countmin_terms(spark, sf_dir):
     return corpus_prep.countmin_topterms(_docs(spark, sf_dir))
 
 
-@register("curriculum_token_budget", corpus_prep.curriculum_sql())
+@register("curriculum_token_budget")
 def curriculum_token_budget(spark, sf_dir):
     """Token-budget curriculum selection: highest-quality docs until the
     budget is spent, via a score-histogram two-phase rank (no global
@@ -2204,23 +1659,7 @@ def curriculum_token_budget(spark, sf_dir):
 BENCH_EXTRA.extend(["sketch_countmin_terms", "curriculum_token_budget"])
 
 
-@register(
-    "join_returned_items",
-    """
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
-    """,
-)
+@register("join_returned_items")
 def join_returned_items(spark, sf_dir):
     """TPC-H-Q10-style returned-item report: two fact shuffles (orders
     date-pruned at the scan, lineitem returnflag-pruned), nation rides
@@ -2247,23 +1686,7 @@ def join_returned_items(spark, sf_dir):
     )
 
 
-@register(
-    "join_nation_trade_volume",
-    """
-    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
-           (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS revenue
-    FROM supplier s
-    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-    GROUP BY n2.n_name, n1.n_name, year(l.l_shipdate)
-    """,
-)
+@register("join_nation_trade_volume")
 def join_nation_trade_volume(spark, sf_dir):
     """TPC-H-Q7-style bilateral trade volume: the nation-pair predicate
     semijoin-reduces BOTH fact sides before the orderkey shuffle (supplier
@@ -2300,19 +1723,7 @@ def join_nation_trade_volume(spark, sf_dir):
     )
 
 
-@register(
-    "window_rank_features",
-    """
-    SELECT event_id, user_id,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           ntile(4) OVER w AS quartile,
-           (floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS prank,
-           (floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cdist
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+@register("window_rank_features")
 def window_rank_features(spark, sf_dir):
     """Per-user ranking feature block: rank / dense_rank / ntile(4) /
     percent_rank / cume_dist over the (ts, event_id)-ordered event history —
@@ -2333,21 +1744,7 @@ def window_rank_features(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_edit_distance",
-    "WITH "
-    + dedup.lsh_pairs_sql().strip()
-    + """
-SELECT p.doc_a, p.doc_b,
-       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-       (floor((levenshtein(a.text, b.text)
-             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
-         AS edit_ratio
-FROM lsh_pairs p
-JOIN documents a ON p.doc_a = a.doc_id
-JOIN documents b ON p.doc_b = b.doc_id
-""",
-)
+@register("dedup_edit_distance")
 def dedup_edit_distance(spark, sf_dir):
     """Character-level edit distance on LSH candidate pairs only (the O(n*m)
     DP runs on dozens of pairs, never n^2) — the high-precision confirm pass
@@ -2377,40 +1774,7 @@ def dedup_edit_distance(spark, sf_dir):
 BENCH_EXTRA.extend(["join_returned_items", "join_nation_trade_volume"])
 
 
-@register(
-    "events_gap_fill",
-    """
-    WITH hourly AS (
-        SELECT user_id, date_trunc('hour', ts) AS h, value,
-               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                                  ORDER BY ts DESC, event_id DESC) AS rn,
-               count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
-                 AS n_events
-        FROM events
-    ),
-    per_hour AS (
-        SELECT user_id, h, n_events, value AS last_val
-        FROM hourly WHERE rn = 1
-    ),
-    bounds AS (
-        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
-               date_trunc('hour', max(ts)) AS h1
-        FROM events GROUP BY user_id
-    ),
-    grid AS (
-        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-        FROM bounds
-    )
-    SELECT g.user_id, g.h AS hour,
-           CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
-           last_value(p.last_val IGNORE NULLS) OVER (
-               PARTITION BY g.user_id ORDER BY g.h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS locf_value
-    FROM grid g LEFT JOIN per_hour p
-      ON g.user_id = p.user_id AND g.h = p.h
-    """,
-)
+@register("events_gap_fill")
 def events_gap_fill(spark, sf_dir):
     """Time-series regularization: per-user hourly grid (min..max hour) with
     event counts and last-observation-carried-forward values — the
@@ -2464,19 +1828,7 @@ def events_gap_fill(spark, sf_dir):
     )
 
 
-@register(
-    "join_full_outer_balance",
-    """
-    SELECT CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
-                WHEN c.c_custkey IS NULL THEN 'order_only'
-                ELSE 'both' END AS side,
-           CAST(count(*) AS BIGINT) AS n,
-           (floor(((CAST(sum(CAST(floor((coalesce(o.o_totalprice, 0)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) AS total_price
-    FROM customer c
-    FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
-    GROUP BY 1
-    """,
-)
+@register("join_full_outer_balance")
 def join_full_outer_balance(spark, sf_dir):
     """Full-outer reconciliation: which side of the customer/orders
     relationship is unmatched, with totals — the referential-integrity
@@ -2499,18 +1851,7 @@ def join_full_outer_balance(spark, sf_dir):
     )
 
 
-@register(
-    "agg_promo_revenue",
-    """
-    SELECT (floor((100.0 * (floor(((CAST(sum(CAST(floor((CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0)
-             / (floor(((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0)) * 1000000.0 + 0.5) / 1000000.0)
-           AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    """,
-)
+@register("agg_promo_revenue")
 def agg_promo_revenue(spark, sf_dir):
     """TPC-H-Q14-style promo revenue share: conditional aggregation over the
     lineitem|x|part join (part rides broadcast; the date filter pushes to
@@ -2535,22 +1876,7 @@ def agg_promo_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "agg_small_quantity_revenue",
-    """
-    WITH thresh AS (
-        SELECT l_partkey, 0.2 * avg(l_quantity) AS t
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
-           (floor(((floor(((CAST(sum(CAST(floor((l.l_extendedprice) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0)) * 100.0 + 0.5) / 100.0) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN thresh t ON t.l_partkey = l.l_partkey
-    WHERE l.l_quantity < t.t
-    GROUP BY p.p_brand
-    """,
-)
+@register("agg_small_quantity_revenue")
 def agg_small_quantity_revenue(spark, sf_dir):
     """TPC-H-Q17-style small-quantity revenue: the correlated-subquery shape
     (qty below 20% of the per-part average) decorrelated into a per-part
@@ -2574,33 +1900,9 @@ def agg_small_quantity_revenue(spark, sf_dir):
     )
 
 
-CHUNK_W = 64  # sliding-window chunk width (tokens)
-CHUNK_S = 48  # stride (tokens); W - S = 16-token overlap between chunks
 
 
-@register(
-    "chunk_sliding_windows",
-    f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    n AS (
-        SELECT doc_id, tk,
-               greatest(CAST(ceil((len(tk) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT)
-                        + 1, 1) AS n_chunks
-        FROM t
-    )
-    SELECT doc_id,
-           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
-           unnest(list_transform(
-               generate_series(0, n_chunks - 1),
-               i -> array_to_string(tk[i*{CHUNK_S}+1:i*{CHUNK_S}+{CHUNK_W}], ' ')
-           )) AS chunk_text,
-           unnest(list_transform(
-               generate_series(0, n_chunks - 1),
-               i -> CAST(len(tk[i*{CHUNK_S}+1:i*{CHUNK_S}+{CHUNK_W}]) AS BIGINT)
-           )) AS n_tokens
-    FROM n
-    """,
-)
+@register("chunk_sliding_windows")
 def chunk_sliding_windows(spark, sf_dir):
     """Sliding-window context chunking (64-token windows, 48-token stride,
     16-token overlap) — the RAG/pretraining chunker that, unlike block
@@ -2633,22 +1935,7 @@ def chunk_sliding_windows(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_norm_stats",
-    """
-    WITH norms AS (
-        SELECT label,
-               floor(sqrt(list_reduce(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                   (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS nrm
-        FROM embeddings
-    )
-    SELECT label, CAST(count(*) AS BIGINT) AS n,
-           min(nrm) AS min_norm, max(nrm) AS max_norm,
-           floor(avg(nrm) * 10000.0 + 0.5) / 10000.0 AS mean_norm
-    FROM norms GROUP BY label
-    """,
-)
+@register("embedding_norm_stats")
 def embedding_norm_stats(spark, sf_dir):
     """Per-label L2-norm audit of the embedding table (the sanity scan before
     any cosine work: unnormalized vectors break cosine ANN). sqrt IS
@@ -2696,16 +1983,7 @@ BENCH_EXTRA.extend(
 )
 
 
-@register(
-    "scd2_user_history",
-    """
-    SELECT user_id, value,
-           ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS valid_to
-    FROM events
-    """,
-)
+@register("scd2_user_history")
 def scd2_user_history(spark, sf_dir):
     """SCD-type-2 history build: each event's value holds from its timestamp
     until the user's next event (NULL = current) — the validity-interval
@@ -2723,27 +2001,7 @@ def scd2_user_history(spark, sf_dir):
     )
 
 
-@register(
-    "agg_event_transitions",
-    """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events
-    ),
-    counts AS (
-        SELECT event_type AS from_type, next_type AS to_type,
-               CAST(count(*) AS BIGINT) AS n
-        FROM seq WHERE next_type IS NOT NULL
-        GROUP BY event_type, next_type
-    )
-    SELECT from_type, to_type, n,
-           floor((n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS p
-    FROM counts
-    """,
-)
+@register("agg_event_transitions")
 def agg_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event sequences:
     (from_type, to_type, count, probability) — the session-flow analysis
@@ -2776,26 +2034,7 @@ def agg_event_transitions(spark, sf_dir):
 BENCH_EXTRA.extend(["scd2_user_history", "agg_event_transitions"])
 
 
-@register(
-    "agg_retention_cohorts",
-    """
-    WITH firsts AS (
-        SELECT user_id,
-               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
-        FROM events GROUP BY user_id
-    ),
-    activity AS (
-        SELECT DISTINCT e.user_id, f.cohort_week,
-               CAST(floor(date_diff('day', f.cohort_week,
-                                    CAST(date_trunc('week', e.ts) AS TIMESTAMP))
-                          / 7.0)
-                    AS BIGINT) AS week_n
-        FROM events e JOIN firsts f USING (user_id)
-    )
-    SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS active_users
-    FROM activity GROUP BY cohort_week, week_n
-    """,
-)
+@register("agg_retention_cohorts")
 def agg_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-event week, counted
     per week-since-cohort they were active — the canonical product-analytics
@@ -2827,32 +2066,7 @@ def agg_retention_cohorts(spark, sf_dir):
 BENCH_EXTRA.extend(["agg_retention_cohorts"])
 
 
-@register(
-    "agg_funnel_steps",
-    """
-    WITH v AS (
-        SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-        SELECT e.user_id, min(e.ts) AS t2
-        FROM events e JOIN v USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > v.t1
-        GROUP BY e.user_id
-    ),
-    p AS (
-        SELECT e.user_id, min(e.ts) AS t3
-        FROM events e JOIN c USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > c.t2
-        GROUP BY e.user_id
-    )
-    SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
-    UNION ALL
-    SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
-    UNION ALL
-    SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
-    """,
-)
+@register("agg_funnel_steps")
 def agg_funnel_steps(spark, sf_dir):
     """Ordered funnel conversion (view -> click after the view -> purchase
     after the click): each stage anchors on the min timestamp of the prior
