@@ -696,3 +696,205 @@ def test_shared_explicit_stage_root_not_purged_on_fresh_checkpoint(tmp_path):
         str(tmp_path / "rootC" / "_kafka_stage"), fresh_checkpoint=True
     )
     assert c.stage_root == shared
+
+
+# ---------------------------------------------------------------------------
+# Transactional commit path (r11 verdict task 1): fake broker with Kafka's
+# transaction + zombie-fencing semantics, driven through the REAL
+# KafkaTopic.commit_epoch.
+# ---------------------------------------------------------------------------
+
+
+class _TxnBroker:
+    """In-memory broker exposing exactly the transactional semantics the
+    commit path relies on: records sent inside a transaction are invisible
+    until commit_transaction; init_transactions bumps the producer epoch
+    for a transactional.id, fencing every older instance and discarding
+    any in-flight (uncommitted) transaction they left."""
+
+    def __init__(self):
+        self.committed: dict[str, list[bytes]] = {}
+        self.producer_epochs: dict[str, int] = {}
+
+    def lines(self, topic):
+        return sorted(v.decode() for v in self.committed.get(topic, []))
+
+
+class _FakeTxnProducer:
+    def __init__(self, broker, txn_id):
+        self.broker, self.txn_id = broker, txn_id
+        self.epoch = None
+        self.buf: list[tuple[str, bytes]] = []
+        self.closed = False
+
+    def init_transactions(self):
+        self.epoch = self.broker.producer_epochs.get(self.txn_id, 0) + 1
+        self.broker.producer_epochs[self.txn_id] = self.epoch
+
+    def _check_fenced(self):
+        if self.broker.producer_epochs.get(self.txn_id) != self.epoch:
+            raise kt.ProducerFenced(self.txn_id)
+
+    def begin_transaction(self):
+        self._check_fenced()
+        self.buf = []
+
+    def send(self, topic, value):
+        self._check_fenced()
+        self.buf.append((topic, value))
+
+    def commit_transaction(self):
+        self._check_fenced()
+        for t, v in self.buf:
+            self.broker.committed.setdefault(t, []).append(v)
+        self.buf = []
+
+    def abort_transaction(self):
+        self.buf = []
+
+    def close(self):
+        self.closed = True
+
+
+class _FakeTxnFactory:
+    def __init__(self, broker):
+        self.broker = broker
+
+    def __call__(self, bootstrap, txn_id):
+        return _FakeTxnProducer(self.broker, txn_id)
+
+    def committed_markers(self, bootstrap, marker_topic):
+        return [v.decode() for v in self.broker.committed.get(marker_topic, [])]
+
+
+def _txn_topic(tmp_path, broker, name="results"):
+    return kt.KafkaTopic(
+        "fake:9092",
+        name,
+        producer_factory=kt.SpoolProducerFactory(str(tmp_path / "spool")),
+        stage_root=str(tmp_path / "stage"),
+        transactional_factory=_FakeTxnFactory(broker),
+    )
+
+
+def test_txn_commit_lands_records_and_marker_atomically(tmp_path):
+    broker = _TxnBroker()
+    topic = _txn_topic(tmp_path, broker)
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["a", "b"]))
+    topic.commit_epoch("q1-e0")
+    assert broker.lines("results") == ["a", "b"]
+    marker = json.loads(broker.committed["results.epoch-markers"][0])
+    assert marker == {"epoch": "q1-e0", "lines": 2}
+    assert topic.epoch_committed("q1-e0") is True
+    # replay is a clean no-op (marker-file cache hit)
+    topic.commit_epoch("q1-e0")
+    assert broker.lines("results") == ["a", "b"]
+
+
+def test_txn_crash_before_commit_replays_without_duplicate(tmp_path):
+    """(a) A crash between send and commit_transaction leaves the
+    transaction uncommitted — its records invisible — so the replay
+    re-produces with NO duplicate. This is the window the
+    non-transactional path pays with one duplicated epoch."""
+    broker = _TxnBroker()
+    topic = _txn_topic(tmp_path, broker)
+    topic.begin_epoch("q1-e5")
+    topic.line_writer(fname_prefix="q1-e5")(_Rows(["a", "b"]))
+
+    crashing = _FakeTxnFactory(broker)
+    real_call = _FakeTxnFactory.__call__
+
+    class _CrashingFactory(_FakeTxnFactory):
+        def __call__(self, bootstrap, txn_id):
+            p = real_call(self, bootstrap, txn_id)
+            def boom():
+                raise OSError("simulated crash inside commit_transaction")
+            p.commit_transaction = boom
+            return p
+
+    topic._txn_factory = _CrashingFactory(broker)
+    with pytest.raises(OSError, match="simulated crash"):
+        topic.commit_epoch("q1-e5")
+    # nothing visible: no data records, no marker record, no marker file
+    assert broker.lines("results") == []
+    assert "results.epoch-markers" not in broker.committed
+    assert topic.epoch_committed("q1-e5") is False
+
+    # replay: restage + commit through a healthy producer — exactly once
+    topic._txn_factory = crashing  # healthy factory, same broker
+    topic.begin_epoch("q1-e5")
+    topic.line_writer(fname_prefix="q1-e5")(_Rows(["a", "b"]))
+    topic.commit_epoch("q1-e5")
+    assert broker.lines("results") == ["a", "b"]
+    assert len(broker.committed["results.epoch-markers"]) == 1
+
+
+def test_txn_fenced_replay_is_noop(tmp_path):
+    """(b) Two replays race the same epoch: the one whose producer gets
+    fenced must treat its commit as a no-op (no raise, no duplicate) —
+    the winner's transaction is the only one visible."""
+    broker = _TxnBroker()
+    topic = _txn_topic(tmp_path, broker)
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["x"]))
+
+    winner = kt.KafkaTopic(
+        "fake:9092", "results",
+        producer_factory=kt.SpoolProducerFactory(str(tmp_path / "spool")),
+        stage_root=topic.stage_root,
+        transactional_factory=_FakeTxnFactory(broker),
+    )
+
+    class _InterleavedFactory(_FakeTxnFactory):
+        """After the loser stages its sends, the winner replays the whole
+        epoch (init_transactions bumps the producer epoch -> loser fenced)."""
+
+        def __call__(self, bootstrap, txn_id):
+            p = _FakeTxnProducer(self.broker, txn_id)
+            orig_commit = p.commit_transaction
+
+            def commit_with_race():
+                winner.commit_epoch("q1-e0")  # fences p before its commit
+                orig_commit()
+
+            p.commit_transaction = commit_with_race
+            return p
+
+    topic._txn_factory = _InterleavedFactory(broker)
+    topic.commit_epoch("q1-e0")  # must NOT raise
+    assert broker.lines("results") == ["x"]  # exactly one copy
+    assert len(broker.committed["results.epoch-markers"]) == 1
+    assert topic.epoch_committed("q1-e0") is True  # winner's marker visible
+
+
+def test_txn_marker_reader_closes_cache_write_window(tmp_path, monkeypatch):
+    """Crash AFTER commit_transaction but BEFORE the marker-file cache
+    lands: epoch_committed consults the read-committed marker stream and
+    the replay is a no-op — no duplicate even in the last window."""
+    broker = _TxnBroker()
+    topic = _txn_topic(tmp_path, broker)
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["a"]))
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if "_committed" in dst:
+            raise OSError("simulated crash before marker cache write")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="marker cache"):
+        topic.commit_epoch("q1-e0")
+    monkeypatch.undo()
+    # the transaction committed; the local cache did not land
+    assert broker.lines("results") == ["a"]
+    assert not os.path.exists(topic._marker("q1-e0"))
+    # replay consults the marker stream, re-caches, produces nothing
+    assert topic.epoch_committed("q1-e0") is True
+    assert os.path.exists(topic._marker("q1-e0"))
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["a"]))
+    topic.commit_epoch("q1-e0")
+    assert broker.lines("results") == ["a"]
