@@ -315,6 +315,24 @@ def run(argv: list[str] | None = None) -> dict:
         "stay the small oracle-pinned gate shape",
     )
     p.add_argument(
+        "--target-recall",
+        type=float,
+        default=None,
+        help="ivf: ask for RECALL, not probes (r11 verdict task 4). On "
+        "--op build: measure a recall@k-vs-n_probe curve on a held-out "
+        "query sample after the build, store it in _index_meta, and report "
+        "the smallest probe budget meeting the target. On --op recall: "
+        "resolve --n-probe from the stored curve instead of taking it as "
+        "an input",
+    )
+    p.add_argument(
+        "--curve-queries",
+        type=int,
+        default=64,
+        help="--target-recall: held-out query-sample size for the measured "
+        "curve (hash-sliced, disjoint from the serving pre-train sample)",
+    )
+    p.add_argument(
         "--n-files",
         type=int,
         default=None,
@@ -431,6 +449,16 @@ def run(argv: list[str] | None = None) -> dict:
             }
         elif pretrain:
             report["sample_mod"] = args.sample_mod
+        if args.target_recall is not None:
+            curve = similarity.measure_recall_curve(
+                spark, args.output_path, k=args.k, n_queries=args.curve_queries
+            )
+            similarity.store_recall_curve(spark, args.output_path, curve)
+            report["recall_curve"] = curve
+            report["resolved"] = {
+                "target_recall": args.target_recall,
+                **similarity.resolve_n_probe(curve, args.target_recall),
+            }
     print(json.dumps(report))
     return report
 
@@ -530,6 +558,24 @@ def _run_maintenance(spark, args) -> dict:
             ),
         }
     elif args.op == "recall":
+        n_probe = args.n_probe
+        resolved = None
+        if args.target_recall is not None:
+            if kind != "ivf":
+                raise SystemExit(
+                    "--target-recall resolves an IVF probe budget; the lsh "
+                    "layout's knob is --probe-radius"
+                )
+            meta = similarity.read_index_meta(spark, args.output_path) or {}
+            curve = meta.get("recall_curve")
+            if not curve:
+                raise SystemExit(
+                    "--target-recall needs a stored recall curve; rebuild "
+                    "with --op build --target-recall R (or run "
+                    "measure_recall_curve + store_recall_curve)"
+                )
+            resolved = similarity.resolve_n_probe(curve, args.target_recall)
+            n_probe = resolved["n_probe"]
         report = {
             "op": "recall",
             "mode": kind,
@@ -541,10 +587,15 @@ def _run_maintenance(spark, args) -> dict:
                 args.k,
                 args.n_queries,
                 args.probe_radius,
-                args.n_probe,
+                n_probe,
                 args.n_tables,
             ),
         }
+        if resolved is not None:
+            report["resolved"] = {
+                "target_recall": args.target_recall,
+                **resolved,
+            }
     else:  # append
         if args.embeddings_path is None:
             raise SystemExit("--embeddings-path (the delta) is required for --op append")

@@ -115,8 +115,16 @@ _NORM_SQL = (
 )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES) -> DataFrame:
-    """Exact cosine top-k neighbors for the first ``n_queries`` vectors.
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = N_QUERIES,
+    query_filter=None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the first ``n_queries`` vectors
+    (or an arbitrary ``query_filter`` Column over the same frame — the
+    recall-curve path selects a held-out hash sample instead of the fixed
+    gate window).
 
     Output: (query_id, neighbor_id, cos, rank). Self-pairs excluded.
     """
@@ -131,7 +139,10 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES) -> DataF
     sc = emb.sparkSession.sparkContext
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
-    q = base.filter(F.col("vec_id") < n_queries).select(
+    qf = query_filter if query_filter is not None else (
+        F.col("vec_id") < n_queries
+    )
+    q = base.filter(qf).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -896,6 +907,77 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int | None = None) -> di
     }
 
 
+def measure_recall_curve(
+    spark,
+    path: str,
+    k: int = 5,
+    n_queries: int = 64,
+    probes: list[int] | None = None,
+) -> list[dict]:
+    """Measured recall@k vs ``n_probe`` for an IVF index, on a HELD-OUT
+    query sample (r11 verdict task 4): a deterministic ~``n_queries``-sized
+    hash slice of the index's own vectors, chosen with remainder
+    ``mod - 1`` so it avoids the ``xxhash64 % sample_mod == 0`` slice the
+    serving build pre-trains Lloyd on. Ground truth is one exact cosine
+    pass over the sample; each probe level reuses it. Returns the curve
+    ``[{"n_probe", "recall", "min_recall", "scan_frac", "n_queries"}]``
+    sorted by n_probe — store it in the ``_index_meta`` sidecar so a
+    deployment resolves a probe budget FROM A TARGET RECALL
+    (``resolve_n_probe``) instead of hand-tuning probes."""
+    corpus, cents = read_ivf_index(spark, path)
+    n_cells = cents.count()
+    n = corpus.count()
+    if probes is None:
+        probes = sorted(
+            {p for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p < n_cells}
+            | {n_cells}
+        )
+    mod = max(2, n // max(1, n_queries))
+    qf = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == mod - 1
+    vectors = corpus.select("vec_id", "embedding")
+    exact = cosine_topk(vectors, k, query_filter=qf).localCheckpoint(
+        eager=True
+    )
+    curve = []
+    for p in probes:
+        approx = ivf_topk(
+            None, k, n_probe=p, index=(corpus, cents), query_filter=qf
+        )
+        r = recall_at_k(approx, exact)
+        curve.append(
+            {
+                "n_probe": p,
+                "recall": r["recall"],
+                "min_recall": r["min_recall"],
+                "scan_frac": round(p / n_cells, 4),
+                "n_queries": r["n_queries"],
+            }
+        )
+    return curve
+
+
+def store_recall_curve(spark, path: str, curve: list[dict]) -> None:
+    """Merge the measured curve into the index's ``_index_meta`` sidecar."""
+    meta = read_index_meta(spark, path) or {}
+    meta["recall_curve"] = curve
+    _write_index_meta(spark, path, meta)
+
+
+def resolve_n_probe(curve: list[dict], target_recall: float) -> dict:
+    """Smallest measured probe budget meeting ``target_recall``; if the
+    whole curve falls short, the max-probe point with ``"unmet": True`` —
+    callers surface that rather than silently serving below target."""
+    if not curve:
+        raise ValueError("empty recall curve — build with --target-recall "
+                         "or run measure_recall_curve first")
+    best = None
+    for pt in sorted(curve, key=lambda d: d["n_probe"]):
+        best = pt
+        if pt["recall"] >= target_recall:
+            return dict(pt)
+    return {**best, "unmet": True}
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -1495,6 +1577,7 @@ def ivf_topk(
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,
     index: tuple[DataFrame, DataFrame] | None = None,
+    query_filter=None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus sharded by
     nearest cell, queries probe their ``n_probe`` nearest cells, exact cosine
@@ -1520,11 +1603,12 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    qf = query_filter if query_filter is not None else (
+        F.col("vec_id") < n_queries
+    )
     if index is not None:
         corpus, cents = index
-        q_vecs = corpus.filter(F.col("vec_id") < n_queries).select(
-            "vec_id", "embedding"
-        )
+        q_vecs = corpus.filter(qf).select("vec_id", "embedding")
         q_scored = _scored(q_vecs, cents)
     else:
         cents = kmeans_centroids(emb, n_cells, n_iters)
@@ -1534,7 +1618,7 @@ def ivf_topk(
             .select("vec_id", "embedding", F.col("cid").alias("cell"))
             .withColumn("nrm", _norm(F.col("embedding")))
         )
-        q_scored = scored.filter(F.col("vec_id") < n_queries)
+        q_scored = scored.filter(qf)
     queries = (
         _best_cells(q_scored, n_probe)
         .select(
