@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules saw collateral edits. New queries register outside both lists and
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
-# r11 rotation (flip of r10): _GATE_FIRST = the 50 NOT sampled in r10
-# (newest green row: r9), _GATE_LAST = the 50 green in CORRECTNESS_r10.json. The registry was trimmed to exactly 100 entries (four pure
+# r12 rotation (flip of r11): _GATE_FIRST = the 50 NOT sampled in r11
+# (newest green row: r10), _GATE_LAST = the 50 green in CORRECTNESS_r11.json. The registry holds exactly 100 entries (four pure
 # serialization twins merged into their surviving twin — see COVERAGE.md
 # "Gate rotation arithmetic"), so the 50-slot sample now covers the whole
 # registry in exactly 2 rounds: each round, _GATE_FIRST = the 50 queries NOT
@@ -45,59 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # lists, sorts mid (position 51+, outside the sample), and must be promoted
 # into _GATE_FIRST explicitly — test_gate_rotation.py fails loudly if the
 # head overflows 50 so overflow can't silently push a query out.
-_GATE_FIRST = [  # the 50 NOT sampled in r10 (newest green row: r9)
-    "group_collect_entities",
-    "similarity_bruteforce_topk",
-    "similarity_ann_lsh",
-    "similarity_embedding_neardup",
-    "profile_documents",
-    "progress_running_totals",
-    "enrich_request_envelopes",
-    "join_asof_last_purchase",
-    "join_interval_nearby_events",
-    "sampling_stratified",
-    "agg_salted_heavy_hitters",
-    "neel_fanin_batch",
-    "neel_assembled_join",
-    "agg_approx_distinct",
-    "similarity_ivf_topk",
-    "dedup_embedding_clusters",
-    "dedup_semantic_keep",
-    "agg_percentiles_exact",
-    "window_event_deltas",
-    "compact_latest_events",
-    "join_anti_customers_no_orders",
-    "agg_cube_events",
-    "join_salted_skew",
-    "agg_moments",
-    "sketch_kmv_distinct",
-    "dedup_paragraphs",
-    "mix_weighted_sources",
-    "bucket_by_length",
-    "filter_url_domains",
-    "embedding_random_projection",
-    "join_shipping_priority",
-    "join_local_supplier_volume",
-    "dedup_incremental",
-    "quality_sigmoid_score",
-    "sketch_countmin_terms",
-    "curriculum_token_budget",
-    "join_returned_items",
-    "join_nation_trade_volume",
-    "window_rank_features",
-    "dedup_edit_distance",
-    "events_gap_fill",
-    "join_full_outer_balance",
-    "agg_promo_revenue",
-    "agg_small_quantity_revenue",
-    "chunk_sliding_windows",
-    "embedding_norm_stats",
-    "scd2_user_history",
-    "agg_event_transitions",
-    "agg_retention_cohorts",
-    "agg_funnel_steps",
-]
-_GATE_LAST = [  # all green in r10 (CORRECTNESS_r10.json, 50/50)
+_GATE_FIRST = [  # r12 flip: the 50 NOT sampled in r11 (newest green row: r10)
     "neel_parsed",
     "neel_ner",
     "neel_export_challenge",
@@ -148,6 +96,60 @@ _GATE_LAST = [  # all green in r10 (CORRECTNESS_r10.json, 50/50)
     "shuffle_global",
     "index_inverted",
     "embedding_label_centroids",
+]
+_GATE_LAST = [  # all green in r11 (CORRECTNESS_r11.json, 50/50); head =
+    # the similarity queries whose operators took the r12 query_filter
+    # edit, so collateral-edit coverage stays inside the 50-sample
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "similarity_ann_lsh",
+    "similarity_embedding_neardup",
+    "group_collect_entities",
+    "profile_documents",
+    "progress_running_totals",
+    "enrich_request_envelopes",
+    "join_asof_last_purchase",
+    "join_interval_nearby_events",
+    "sampling_stratified",
+    "agg_salted_heavy_hitters",
+    "neel_fanin_batch",
+    "neel_assembled_join",
+    "agg_approx_distinct",
+    "dedup_embedding_clusters",
+    "dedup_semantic_keep",
+    "agg_percentiles_exact",
+    "window_event_deltas",
+    "compact_latest_events",
+    "join_anti_customers_no_orders",
+    "agg_cube_events",
+    "join_salted_skew",
+    "agg_moments",
+    "sketch_kmv_distinct",
+    "dedup_paragraphs",
+    "mix_weighted_sources",
+    "bucket_by_length",
+    "filter_url_domains",
+    "embedding_random_projection",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "dedup_incremental",
+    "quality_sigmoid_score",
+    "sketch_countmin_terms",
+    "curriculum_token_budget",
+    "join_returned_items",
+    "join_nation_trade_volume",
+    "window_rank_features",
+    "dedup_edit_distance",
+    "events_gap_fill",
+    "join_full_outer_balance",
+    "agg_promo_revenue",
+    "agg_small_quantity_revenue",
+    "chunk_sliding_windows",
+    "embedding_norm_stats",
+    "scd2_user_history",
+    "agg_event_transitions",
+    "agg_retention_cohorts",
+    "agg_funnel_steps",
 ]
 
 

@@ -21,6 +21,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     rocksdb_state: bool = False,
+    rocksdb_changelog: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -72,6 +73,16 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        if rocksdb_changelog:
+            # Changelog checkpointing: per-batch deltas to the checkpoint
+            # instead of full SST snapshots — the restart-recovery knob the
+            # r11 ~455-470 s/M-keys SLO was measured WITHOUT (r11 verdict
+            # task 5 measures the delta; see PERF.md recovery curve).
+            builder = builder.config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

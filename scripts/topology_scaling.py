@@ -250,6 +250,12 @@ def main() -> None:
         "point needs state off-heap)",
     )
     ap.add_argument(
+        "--changelog",
+        action="store_true",
+        help="with --rocksdb: changelog checkpointing (per-batch deltas "
+        "instead of full SST snapshots) — the recovery-SLO knob",
+    )
+    ap.add_argument(
         "--double-shuffle-at-max",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -259,7 +265,9 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(
-        app_name="topology-scaling", rocksdb_state=getattr(args, "rocksdb", False)
+        app_name="topology-scaling",
+        rocksdb_state=getattr(args, "rocksdb", False),
+        rocksdb_changelog=getattr(args, "changelog", False),
     )
     if args.restart_soak:
         report = restart_soak(
