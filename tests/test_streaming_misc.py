@@ -765,3 +765,74 @@ def test_tick_source_emits_consecutive_ticks(spark):
         assert all(t is not None for t in ts) and ts == sorted(ts)
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_fanin_on_rocksdb_changelog_checkpointing(spark, tmp_path):
+    """r11 verdict task 5 config path: the fan-in runs with RocksDB +
+    changelog checkpointing (per-batch deltas instead of full SST
+    snapshots — the restart-recovery knob) and produces the same result.
+    The recovery-time MEASUREMENT lives in the topology_scaling soak
+    (PERF.md recovery curve); this pins that the config combination is
+    valid for the stateful operator."""
+    from bigtwine_streamprocessor_spark.streaming import fanin
+
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    ckey = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev_p = spark.conf.get(pkey, None)
+    prev_c = spark.conf.get(ckey, None)
+    spark.conf.set(
+        pkey,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(ckey, "true")
+    try:
+        d = tmp_path / "frags"
+        d.mkdir()
+        frag = {
+            "tag": "1",
+            "stream_type": "status",
+            "payload_json": json.dumps({"id": "1", "text": "x"}),
+        }
+        with open(d / "b.json", "w") as f:
+            for st in ("status", "linkedTweet", "resource", "decodedLocation"):
+                payload = (
+                    frag["payload_json"] if st == "status" else json.dumps([])
+                    if st in ("linkedTweet", "resource")
+                    else json.dumps({"tag": "1"})
+                )
+                f.write(
+                    json.dumps(
+                        {"tag": "1", "stream_type": st, "payload_json": payload}
+                    )
+                    + "\n"
+                )
+        stream = spark.readStream.schema(fanin.FRAGMENT_IN).json(str(d))
+        q = (
+            fanin.fanin_stream(stream, timeout_ms=2000)
+            .writeStream.format("memory")
+            .queryName("chg_out")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.sql("SELECT * FROM chg_out").collect()
+            time.sleep(0.5)
+        q.stop()
+        assert rows and rows[0]["tag"] == "1" and rows[0]["is_partial"] is False
+        assert spark.conf.get(ckey) == "true"
+    finally:
+        for key, prev in ((pkey, prev_p), (ckey, prev_c)):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
