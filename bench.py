@@ -281,6 +281,53 @@ LOAD_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"
 _MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "5.0"))
 
 
+# --- host-contention calibration probe (r11 verdict task 2) -----------------
+#
+# Three same-day idle-gated r11 runs spanned 163.8/176.0/251.4 s with clean
+# guest telemetry: the load1 gate sees THIS guest's runnable queue, not the
+# host's, so co-tenant contention inflated whole sweeps invisibly. The probe
+# is a fixed pure-CPU Spark job (codegen'd xxhash64 chain over a generated
+# range — zero I/O, zero shuffle beyond the final 64-row aggregate, fully
+# parallel over local[N]) run in the SAME session immediately before and
+# after the timed sweep. Its wall time moves only with CPU availability, so
+# probe_s / CALIB_REFERENCE_S is a direct contention multiplier for the
+# surrounding entries: ratio ~1.0 on both probes = the sweep is an engine
+# number; uniformly inflated probes = environment, read per-query deltas
+# against the calibration-normalized total (PERF.md r12 protocol).
+
+CALIB_ROWS = 800_000_000
+CALIB_PARTITIONS = 64
+_CALIB_CHAIN = "id"
+for _ in range(12):
+    _CALIB_CHAIN = f"xxhash64({_CALIB_CHAIN})"
+# reference median of the probe (r12, best-available window at load1 2.6
+# guest-side: samples 2.31-2.38 across two probes; lowest repeatable
+# median). The ratio probe_s / CALIB_REFERENCE_S is the contention
+# multiplier; re-pin only from a lower repeatable median, never higher.
+CALIB_REFERENCE_S = 2.35
+
+
+def calibration_probe(spark) -> dict:
+    """Median-of-3 wall time of the fixed CPU job (median, not min: the
+    probe exists to SEE sustained contention, which min would hide), plus
+    the individual samples for the detail record."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, CALIB_ROWS, 1, CALIB_PARTITIONS)
+            .selectExpr(f"sum(({_CALIB_CHAIN}) % 1000000) AS s")
+            .collect()
+        )
+        samples.append(round(time.perf_counter() - t0, 3))
+    med = sorted(samples)[1]
+    return {
+        "median_s": med,
+        "samples_s": samples,
+        "ratio": round(med / CALIB_REFERENCE_S, 3),
+    }
+
+
 def _wait_for_idle() -> float:
     """Poll load1 until it drops under LOAD1_IDLE_TARGET (preferred) or, once
     the budget runs out, accept anything under LOAD1_IDLE_MAX.
@@ -340,6 +387,10 @@ def main() -> None:
                     with open(f, "rb") as fh:
                         while fh.read(1 << 22):
                             pass
+
+    # paired contention probe: before the sweep (after warmup so JVM state
+    # is comparable), and again after capacity mode — see calibration_probe
+    calib_before = calibration_probe(spark)
 
     from bigtwine_streamprocessor_spark.operators import dedup, similarity
     from pyspark.sql import functions as F
@@ -526,7 +577,14 @@ def main() -> None:
     except Exception as exc:
         streaming_cap = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    calib_after = calibration_probe(spark)
+
     total = round(sum(timings.values()), 3)
+    # contention multiplier across the sweep: mean of the paired probes'
+    # ratios; calibrated total = total / multiplier (what the sweep would
+    # have cost at reference CPU availability)
+    calib_mult = round((calib_before["ratio"] + calib_after["ratio"]) / 2, 3)
+    total_calibrated = round(total / calib_mult, 3) if calib_mult > 0 else None
 
     # Full per-query detail goes to a separate artifact (and an EARLIER
     # stdout line): the driver captures only the last ~2000 chars of output,
@@ -540,6 +598,11 @@ def main() -> None:
         "load1": load1,
         "loaded": loaded,
         "min2_threshold_s": _MIN2_THRESHOLD_S,
+        "calibration_before": calib_before,
+        "calibration_after": calib_after,
+        "calibration_multiplier": calib_mult,
+        "calibration_reference_s": CALIB_REFERENCE_S,
+        "value_calibrated": total_calibrated,
         "queries": timings,
         "subtimings": subtimings,
         "steady": steady,
@@ -589,6 +652,13 @@ def main() -> None:
         # record via both the value and the "loaded" flag.
         "load1": load1,
         "loaded": loaded,
+        # paired pure-CPU probe medians (see calibration_probe): host
+        # contention the load1 gate can't see, and the total normalized to
+        # reference CPU availability
+        "calibration_before_s": calib_before["median_s"],
+        "calibration_after_s": calib_after["median_s"],
+        "calibration_multiplier": calib_mult,
+        "value_calibrated": total_calibrated,
         "queries": {
             k: timings[k]
             for k in HEADLINE + ["topology_stream"]
