@@ -272,13 +272,20 @@ def bench_topology(
 LOAD1_IDLE_TARGET = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_TARGET", "0.5"))
 LOAD1_IDLE_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "1.5"))
 LOAD_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"))
-# 5 s covers the whole phantom-regression band observed across r9-r11
+# 8 s covers the whole phantom-regression band observed across r9-r12
 # records: at matched idle load the 72-entry TOTAL is stable to 0.1% while
 # individual 2-4.5 s entries still swing 1.2-1.4x run-to-run; one retry per
 # such entry (~1 min across the suite) converts that swing into a stable
-# min. Entries >= 5 s (topology, dedup_incremental's decomposed composite)
-# are long enough to be self-averaging.
-_MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "5.0"))
+# min. The r11->r12 threshold raise (5 -> 8) closes a borderline artifact:
+# the session's FIRST neel_assembled execution pays ~3.5 s of one-time
+# plan/codegen cost and straddled the old 5 s bar — r11's first pass read
+# 4.92 s (under -> retried -> 1.5 s recorded) while r12's read 5.07 s
+# (over -> recorded raw), manufacturing a 3.6x phantom on an unchanged
+# plan (warm run 1.43 vs 1.46 s, verified against the r11 tree). Entries
+# >= 8 s (topology, the 1M-key soaks) are long enough to be
+# self-averaging; dedup_incremental's decomposed composite times its own
+# parts and is unaffected.
+_MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2_S", "8.0"))
 
 
 # --- host-contention calibration probe (r11 verdict task 2) -----------------
