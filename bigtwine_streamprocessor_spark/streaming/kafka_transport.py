@@ -531,6 +531,75 @@ class SpoolProducerFactory:
         return (self.spool,)
 
 
+class SpoolTxnProducer:
+    """Transactional twin of SpoolProducer: sends buffer invisibly until
+    ``commit_transaction`` lands them as ONE atomic flush into the spool's
+    FileTopic layout — the same visibility contract a Kafka transaction
+    gives read-committed consumers, realized over the shared filesystem.
+    No fencing state: the spool path is exercised single-committer (the
+    fencing semantics are pinned by the fake-broker unit tests); real
+    brokers get fencing from the client library."""
+
+    def __init__(self, spool: str):
+        self.spool = spool
+        self._buf: list[tuple[str, str]] = []
+
+    def init_transactions(self) -> None:
+        self._buf = []
+
+    def begin_transaction(self) -> None:
+        self._buf = []
+
+    def send(self, topic: str, value: bytes) -> None:
+        self._buf.append((topic, value.decode("utf-8")))
+
+    def commit_transaction(self) -> None:
+        import os
+
+        from .transport import append_lines_to_dir
+
+        by_topic: dict[str, list[str]] = {}
+        for t, v in self._buf:
+            by_topic.setdefault(t, []).append(v)
+        for t, lines in by_topic.items():
+            d = os.path.join(self.spool, t)
+            os.makedirs(d, exist_ok=True)
+            append_lines_to_dir(d, lines)
+        self._buf = []
+
+    def abort_transaction(self) -> None:
+        self._buf = []
+
+    def close(self) -> None:
+        self._buf = []
+
+
+class SpoolTxnFactory:
+    """Transactional factory over a spool dir, with the optional
+    ``committed_markers`` reader (the marker topic is just another spool
+    dir), so the WHOLE transactional contract — atomic drain+marker,
+    marker-stream recovery — runs broker-less end to end."""
+
+    def __init__(self, spool: str):
+        self.spool = spool
+
+    def __call__(self, bootstrap: str, transactional_id: str) -> SpoolTxnProducer:
+        return SpoolTxnProducer(self.spool)
+
+    def committed_markers(self, bootstrap: str, marker_topic: str) -> list[str]:
+        import os
+
+        d = os.path.join(self.spool, marker_topic)
+        if not os.path.isdir(d):
+            return []
+        out: list[str] = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json") and not fn.startswith((".", "_")):
+                with open(os.path.join(d, fn)) as f:
+                    out += [ln for ln in f.read().splitlines() if ln.strip()]
+        return out
+
+
 class SpoolBackedKafkaTopic(KafkaTopic):
     """Broker-less KafkaTopic for dev and end-to-end tests: the PRODUCER
     path runs exactly as against a real broker (staged epochs, marker-
@@ -543,7 +612,13 @@ class SpoolBackedKafkaTopic(KafkaTopic):
     (``test_kafka_transport.py::test_full_topology_over_kafka_producer_path``);
     only ``format("kafka")`` consumption still needs the real thing."""
 
-    def __init__(self, root: str, name: str, stage_root: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        stage_root: str | None = None,
+        transactional: bool = False,
+    ):
         from .transport import FileTopic
 
         super().__init__(
@@ -551,6 +626,7 @@ class SpoolBackedKafkaTopic(KafkaTopic):
             name,
             producer_factory=SpoolProducerFactory(root),
             stage_root=stage_root,
+            transactional_factory=SpoolTxnFactory(root) if transactional else None,
         )
         self._file = FileTopic(root, name)
         self.dir = self._file.dir
