@@ -907,6 +907,15 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int | None = None) -> di
     }
 
 
+def holdout_filter(n: int, n_queries: int):
+    """Deterministic held-out query sample: a ~``n_queries``-sized
+    ``xxhash64 % mod == mod - 1`` slice — remainder ``mod - 1`` so it
+    avoids the ``% sample_mod == 0`` slice the serving build pre-trains
+    Lloyd on. Returns ``(mod, Column)``."""
+    mod = max(2, n // max(1, n_queries))
+    return mod, F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == mod - 1
+
+
 def measure_recall_curve(
     spark,
     path: str,
@@ -915,15 +924,23 @@ def measure_recall_curve(
     probes: list[int] | None = None,
 ) -> list[dict]:
     """Measured recall@k vs ``n_probe`` for an IVF index, on a HELD-OUT
-    query sample (r11 verdict task 4): a deterministic ~``n_queries``-sized
-    hash slice of the index's own vectors, chosen with remainder
-    ``mod - 1`` so it avoids the ``xxhash64 % sample_mod == 0`` slice the
-    serving build pre-trains Lloyd on. Ground truth is one exact cosine
-    pass over the sample; each probe level reuses it. Returns the curve
+    query sample (r11 verdict task 4, see ``holdout_filter``). Ground
+    truth is one exact cosine pass over the sample. Returns the curve
     ``[{"n_probe", "recall", "min_recall", "scan_frac", "n_queries"}]``
     sorted by n_probe — store it in the ``_index_meta`` sidecar so a
     deployment resolves a probe budget FROM A TARGET RECALL
-    (``resolve_n_probe``) instead of hand-tuning probes."""
+    (``resolve_n_probe``) instead of hand-tuning probes.
+
+    Single-pass (r12): candidate pairs are scored ONCE at the max probe
+    budget with the centroid rank (``c_rank``) kept, then every curve
+    point filters ``c_rank <= p`` over the cached pairs — identical
+    by construction to running ``ivf_topk`` per level (same window, same
+    tie-breaks; the per-level equality is pinned in
+    tests/test_ann_maintenance.py), but with ONE corpus join instead of
+    len(probes). The max-probe point scans the whole corpus anyway, so
+    the single pass costs what the old LAST iteration cost alone."""
+    from pyspark.sql import Window as W
+
     corpus, cents = read_ivf_index(spark, path)
     n_cells = cents.count()
     n = corpus.count()
@@ -932,16 +949,45 @@ def measure_recall_curve(
             {p for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p < n_cells}
             | {n_cells}
         )
-    mod = max(2, n // max(1, n_queries))
-    qf = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == mod - 1
+    _, qf = holdout_filter(n, n_queries)
     vectors = corpus.select("vec_id", "embedding")
     exact = cosine_topk(vectors, k, query_filter=qf).localCheckpoint(
         eager=True
     )
+    q_scored = _scored(corpus.filter(qf).select("vec_id", "embedding"), cents)
+    queries = (
+        _best_cells(q_scored, max(probes))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("cell"),
+            "c_rank",
+        )
+        .withColumn("q_nrm", _norm(F.col("q_emb")))
+    )
+    pairs = corpus.join(queries, ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _rd(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        COS_ROUND,
+    )
+    scored_pairs = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cos"),
+        "c_rank",
+    ).localCheckpoint(eager=True)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     curve = []
     for p in probes:
-        approx = ivf_topk(
-            None, k, n_probe=p, index=(corpus, cents), query_filter=qf
+        approx = (
+            scored_pairs.filter(F.col("c_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
         r = recall_at_k(approx, exact)
         curve.append(
@@ -953,6 +999,8 @@ def measure_recall_curve(
                 "n_queries": r["n_queries"],
             }
         )
+    scored_pairs.unpersist()
+    exact.unpersist()
     return curve
 
 

@@ -712,3 +712,27 @@ def test_target_recall_resolution(spark, corpus, tmp_path):
     # an unreachable target resolves to the max budget, flagged unmet
     assert sim.resolve_n_probe(curve, 1.1)["unmet"] is True
     assert sim.resolve_n_probe(curve, 1.1)["n_probe"] == report["cells"]
+
+
+def test_recall_curve_single_pass_equals_per_level_ivf_topk(
+    spark, corpus, tmp_path
+):
+    """The single-pass curve (one max-probe corpus join, c_rank-filtered
+    per level) must equal running ivf_topk per probe level — same window,
+    same tie-breaks, same rounded cosines."""
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_index(corpus, path, n_cells=8, n_iters=2)
+    idx = similarity.read_ivf_index(spark, path)
+    n = corpus.count()
+    _, qf = similarity.holdout_filter(n, 16)
+    curve = similarity.measure_recall_curve(spark, path, k=15, n_queries=16)
+    vectors = idx[0].select("vec_id", "embedding")
+    exact = similarity.cosine_topk(vectors, 15, query_filter=qf)
+    for pt in curve:
+        approx = similarity.ivf_topk(
+            None, 15, n_probe=pt["n_probe"], index=idx, query_filter=qf
+        )
+        r = similarity.recall_at_k(approx, exact)
+        assert r["recall"] == pt["recall"], pt
+        assert r["min_recall"] == pt["min_recall"], pt
+        assert r["n_queries"] == pt["n_queries"], pt
