@@ -533,12 +533,21 @@ class SpoolProducerFactory:
 
 class SpoolTxnProducer:
     """Transactional twin of SpoolProducer: sends buffer invisibly until
-    ``commit_transaction`` lands them as ONE atomic flush into the spool's
-    FileTopic layout — the same visibility contract a Kafka transaction
-    gives read-committed consumers, realized over the shared filesystem.
-    No fencing state: the spool path is exercised single-committer (the
-    fencing semantics are pinned by the fake-broker unit tests); real
-    brokers get fencing from the client library."""
+    ``commit_transaction`` lands them into the spool's FileTopic layout —
+    the visibility contract a Kafka transaction gives read-committed
+    consumers, realized over the shared filesystem. No fencing state: the
+    spool path is exercised single-committer (the fencing semantics are
+    pinned by the fake-broker unit tests); real brokers get fencing from
+    the client library.
+
+    Honest atomicity bound of the stand-in: each TOPIC's lines land as
+    one atomic file, but a multi-topic commit (data + the
+    ``.epoch-markers`` record) is two files — a crash BETWEEN them is the
+    one window a real broker transaction closes and a filesystem cannot.
+    Data topics land FIRST, marker topics LAST, so that window degrades
+    to at-least-once (data without marker -> the replay re-stages and
+    re-produces) and never to silent loss (marker without data would
+    read as committed-with-nothing-published)."""
 
     def __init__(self, spool: str):
         self.spool = spool
@@ -561,7 +570,11 @@ class SpoolTxnProducer:
         by_topic: dict[str, list[str]] = {}
         for t, v in self._buf:
             by_topic.setdefault(t, []).append(v)
-        for t, lines in by_topic.items():
+        # data before markers — see class docstring
+        ordered = sorted(
+            by_topic.items(), key=lambda kv: kv[0].endswith(".epoch-markers")
+        )
+        for t, lines in ordered:
             d = os.path.join(self.spool, t)
             os.makedirs(d, exist_ok=True)
             append_lines_to_dir(d, lines)

@@ -1000,3 +1000,28 @@ def test_full_topology_over_transactional_commits(spark, sf_dir, tmp_path):
         assert json.dumps(got[tag]["payload"], sort_keys=True) == json.dumps(
             want[tag]["payload"], sort_keys=True
         ), f"payload mismatch for {tag}"
+
+
+def test_spool_txn_commit_lands_data_before_markers(tmp_path, monkeypatch):
+    """The spool txn stand-in's one irreducible window (a crash between
+    the two per-topic files of a multi-topic commit) must degrade to
+    at-least-once, never silent loss: data topics land BEFORE marker
+    topics, so a partial commit reads as uncommitted and replays."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    landed = []
+    real = transport.append_lines_to_dir
+
+    def spy(d, lines):
+        landed.append(os.path.basename(d))
+        return real(d, lines)
+
+    monkeypatch.setattr(transport, "append_lines_to_dir", spy)
+    p = kt.SpoolTxnProducer(str(tmp_path / "spool"))
+    p.init_transactions()
+    p.begin_transaction()
+    # send the marker FIRST to prove ordering comes from commit, not send
+    p.send("results.epoch-markers", b'{"epoch":"q1-e0","lines":1}')
+    p.send("results", b"row")
+    p.commit_transaction()
+    assert landed == ["results", "results.epoch-markers"]
