@@ -949,6 +949,10 @@ def measure_recall_curve(
             {p for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p < n_cells}
             | {n_cells}
         )
+    else:
+        # normalize: the stored curve must be sorted and duplicate-free
+        # whatever order the caller passed
+        probes = sorted(set(probes))
     _, qf = holdout_filter(n, n_queries)
     vectors = corpus.select("vec_id", "embedding")
     exact = cosine_topk(vectors, k, query_filter=qf).localCheckpoint(
