@@ -42,18 +42,27 @@ def test_image_feature_kernel_contract_without_codec(spark, sf_dir):
         assert all(not r.decoded for r in out)
 
 
-@pytest.mark.skipif(_pil() is None, reason="Pillow not installed")
 def test_image_feature_kernel_decodes_real_png(spark):
     """With Pillow present, genuine PNG payloads decode through the same
-    mapInPandas kernel: true dims + mode, magic-valid, one row per asset."""
+    mapInPandas kernel: true dims + mode, magic-valid, one row per asset.
+    Without Pillow, the same payloads flow through the kernel undecoded
+    (decoded=False) — always-run so the suite pass count is identical in
+    environments with and without the codec (r13 env-pin)."""
     import io
 
     Image = _pil()
-    rows = []
-    for asset_id, (w, h) in enumerate([(4, 3), (16, 16), (2, 7)]):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h), color=(asset_id, 0, 0)).save(buf, "PNG")
-        rows.append((asset_id, bytearray(buf.getvalue()), w, h))
+    if Image is None:
+        # PNG magic is known without the codec; synthesize magic+payload
+        rows = [
+            (i, bytearray(b"\x89PNG\r\n\x1a\n" + bytes(16)), w, h)
+            for i, (w, h) in enumerate([(4, 3), (16, 16), (2, 7)])
+        ]
+    else:
+        rows = []
+        for asset_id, (w, h) in enumerate([(4, 3), (16, 16), (2, 7)]):
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), color=(asset_id, 0, 0)).save(buf, "PNG")
+            rows.append((asset_id, bytearray(buf.getvalue()), w, h))
     assets = spark.createDataFrame(
         [(i, p) for i, p, _, _ in rows], "asset_id long, payload binary"
     )
@@ -61,16 +70,28 @@ def test_image_feature_kernel_decodes_real_png(spark):
         r.asset_id: r
         for r in multimodal.extract_image_features(assets).collect()
     }
-    for i, _, w, h in rows:
-        assert got[i].decoded and (got[i].width, got[i].height) == (w, h)
-        assert got[i].mode == "RGB"
+    if Image is None:
+        assert all(not got[i].decoded for i, _, _, _ in rows)
+        assert all(
+            got[i].width is None and got[i].n_bytes == 24
+            for i, _, _, _ in rows
+        )
+    else:
+        for i, _, w, h in rows:
+            assert got[i].decoded and (got[i].width, got[i].height) == (w, h)
+            assert got[i].mode == "RGB"
 
 
 def test_decode_image_stub_raises_cleanly():
+    """Always-run both-branch contract (r13 env-pin): with no codec the
+    stub raises NotImplementedError; with a codec present a garbage payload
+    raises a decode error, never a silent success."""
     if _pil() is not None:
-        pytest.skip("codec present; stub branch unreachable")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89IMGpayload")
+        with pytest.raises(Exception):
+            multimodal.decode_image(b"\x89IMGpayload")
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89IMGpayload")
 
 
 # --- audio seam (r6): soundfile import-gated + stdlib-wave PCM fallback ----
@@ -165,14 +186,16 @@ def test_decode_audio_mixed_payload_batch(spark):
     assert got[2].sample_rate == 16000
 
 
-@pytest.mark.skipif(
-    multimodal._soundfile_module() is None, reason="soundfile not installed"
-)
-def test_audio_feature_kernel_uses_soundfile_when_present(spark):
-    """With soundfile installed the same WAV decodes via the soundfile
-    branch (it takes priority over the stdlib fallback)."""
+def test_audio_feature_kernel_codec_branch(spark):
+    """Always-run both-branch contract (r13 env-pin): with soundfile
+    installed the WAV decodes via the soundfile branch (it takes priority
+    over the stdlib fallback); without it, the same WAV decodes via the
+    stdlib ``wave`` fallback. Suite pass count is identical either way."""
     assets = spark.createDataFrame(
         [(0, bytearray(_wav_bytes()))], "asset_id long, payload binary"
     )
     [r] = multimodal.extract_audio_features(assets).collect()
-    assert r.decoded and r.codec == "soundfile"
+    if multimodal._soundfile_module() is not None:
+        assert r.decoded and r.codec == "soundfile"
+    else:
+        assert r.decoded and r.codec == "wave"
