@@ -1025,3 +1025,70 @@ def test_spool_txn_commit_lands_data_before_markers(tmp_path, monkeypatch):
     p.send("results", b"row")
     p.commit_transaction()
     assert landed == ["results", "results.epoch-markers"]
+
+
+def test_spool_txn_read_committed_never_sees_aborted_records(tmp_path):
+    """Read-committed contract of the spool stand-in (r12 verdict task 7):
+    a consumer reading the spool via the transactional factory must never
+    observe records from an aborted or crashed transaction — on either the
+    data topic (file reader) or the marker stream (``committed_markers``).
+    The data-file-before-marker ordering makes a violation observable: if
+    sends landed eagerly (or markers landed first), the abort/crash below
+    would leak records or read as committed."""
+    from bigtwine_streamprocessor_spark.streaming.transport import FileTopic
+
+    spool = str(tmp_path / "spool")
+    factory = kt.SpoolTxnFactory(spool)
+    topic = kt.KafkaTopic(
+        f"spool:{spool}",
+        "results",
+        producer_factory=kt.SpoolProducerFactory(spool),
+        stage_root=str(tmp_path / "stage"),
+        transactional_factory=factory,
+    )
+    reader = FileTopic(spool, "results")
+
+    # (1) explicit abort: sends to BOTH topics buffered, then discarded
+    p = factory(topic.bootstrap, topic._txn_id("q1-e0"))
+    p.init_transactions()
+    p.begin_transaction()
+    p.send("results", b"aborted-row")
+    p.send("results.epoch-markers", b'{"epoch":"q1-e0","lines":1}')
+    p.abort_transaction()
+    assert reader.read_all() == []
+    assert factory.committed_markers(topic.bootstrap, topic.marker_topic()) == []
+    assert topic.epoch_committed("q1-e0") is False
+
+    # (2) crash before commit: producer dropped mid-transaction
+    p = factory(topic.bootstrap, topic._txn_id("q1-e0"))
+    p.init_transactions()
+    p.begin_transaction()
+    p.send("results", b"crashed-row")
+    del p  # simulated process death — nothing was ever flushed to disk
+    assert reader.read_all() == []
+    assert topic.epoch_committed("q1-e0") is False
+
+    # (3) commit_epoch whose commit_transaction raises (non-fenced broker
+    # error): the abort path must leave the spool clean, and the healthy
+    # replay of the SAME epoch then lands exactly one copy of each record
+    topic.begin_epoch("q1-e0")
+    topic.line_writer(fname_prefix="q1-e0")(_Rows(["a", "b"]))
+
+    class _FailingCommitProducer(kt.SpoolTxnProducer):
+        def commit_transaction(self):
+            raise RuntimeError("broker went away mid-commit")
+
+    class _FailingFactory(kt.SpoolTxnFactory):
+        def __call__(self, bootstrap, txn_id):
+            return _FailingCommitProducer(self.spool)
+
+    topic._txn_factory = _FailingFactory(spool)
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        topic.commit_epoch("q1-e0")
+    assert reader.read_all() == []  # aborted txn invisible to consumers
+    assert topic.epoch_committed("q1-e0") is False
+
+    topic._txn_factory = factory  # healthy replay, same epoch
+    topic.commit_epoch("q1-e0")
+    assert sorted(reader.read_all()) == ["a", "b"]
+    assert topic.epoch_committed("q1-e0") is True
