@@ -181,10 +181,70 @@ def _text_clusters_scale_oracle(con):
     return ["doc_id", "cluster_id"], sorted(comp.items())
 
 
+class ChunkedOracle:
+    """Exact chunk decomposition of an oracle whose SQL partitions entirely
+    by one key column of one table: evaluating the UNMODIFIED statement over
+    each key-residue slice (``key % n = i``) and concatenating/summing is
+    value-identical to the single-shot run, at ~1/n the peak memory.
+
+    Exists for ``events_gap_fill`` at the 640x rung: its 671M-row
+    generate_series grid spilled past the 24 GB default and needed a
+    hand-set ``SWEEP_DDB_MEM=90GB`` (r12 verdict task 6). Every CTE of the
+    gap-fill oracle — window functions, bounds, grid, LOCF — is
+    user_id-partitioned, so the residue slices never interact.
+
+    Chunk count auto-sizes from the source parquet (one chunk per
+    ``bytes_per_chunk``, clipped to [1, 64]) so small-SF sweeps pay one
+    query and the 640x rung decomposes without any env knob.
+    """
+
+    def __init__(self, sql: str, table: str, key: str,
+                 bytes_per_chunk: int = 256 * 2**20):
+        token = f"FROM {table}"
+        if token not in sql:
+            raise ValueError(f"oracle SQL never reads {token!r}")
+        self.sql, self.table, self.key = sql, table, key
+        self.bytes_per_chunk = bytes_per_chunk
+        self._src_dir: str | None = None  # main() wires the swept sf_dir
+
+    def n_chunks(self) -> int:
+        path = os.path.join(self._src_dir or ".", f"{self.table}.parquet")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return 1
+        return min(64, max(1, -(-size // self.bytes_per_chunk)))
+
+    def chunk_sql(self, i: int, n: int) -> str:
+        if n == 1:
+            return self.sql
+        sliced = (
+            f"FROM (SELECT * FROM {self.table} "
+            f"WHERE {self.key} % {n} = {i}) {self.table}"
+        )
+        return self.sql.replace(f"FROM {self.table}", sliced)
+
+    def __call__(self, con):  # full-compare path: concatenate chunk rows
+        n = self.n_chunks()
+        cols, rows = None, []
+        for i in range(n):
+            cur = con.execute(self.chunk_sql(i, n))
+            cols = [d[0] for d in cur.description]
+            rows += cur.fetchall()
+        return cols, rows
+
+
+def _gap_fill_chunked() -> ChunkedOracle:
+    return ChunkedOracle(
+        registry.ORACLES["events_gap_fill"], "events", "user_id"
+    )
+
+
 SCALE_ORACLES = {
     "dedup_embedding_clusters": _clusters_scale_oracle,
     "dedup_semantic_keep": _semantic_keep_scale_oracle,
     "dedup_clusters": _text_clusters_scale_oracle,
+    "events_gap_fill": _gap_fill_chunked(),
 }
 
 
@@ -411,13 +471,36 @@ def _duck_hex60(expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _duck_hash_scalars(con, sql: str, o_cols, classes) -> tuple[int, int]:
+    """(count, commutative row-hash) of one DuckDB statement — the hash is
+    an exact integer SUM, so chunk scalars add to the single-shot value."""
+    d_canon = ", ".join(
+        _canon_expr(c, classes[c], "duck") for c in sorted(o_cols)
+    )
+    row = con.execute(
+        f"WITH _r AS (SELECT concat_ws('{_SEP}', {d_canon}) AS _s"
+        f" FROM ({sql})) SELECT count(*), COALESCE(sum("
+        f"{_duck_hex60('md5(_s)')}), 0) FROM _r"
+    ).fetchone()
+    return row[0], int(row[1])
+
+
 def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
     """Count + order-independent row-hash on each engine; compare scalars."""
     s_cols = spark_df.columns
     s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
 
     pre_dur = 0.0
-    if callable(sql):  # scale-oracle rows already live in Python
+    chunked = isinstance(sql, ChunkedOracle)
+    if chunked:  # per-chunk DuckDB-side hash; rows never enter Python
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW _hc AS ({sql.chunk_sql(0, 1)} LIMIT 0)"
+        )
+        d_types = {
+            r[0]: r[1] for r in con.execute("DESCRIBE _hc").fetchall()
+        }
+        o_cols = list(d_types)
+    elif callable(sql):  # scale-oracle rows already live in Python
         t0 = time.perf_counter()
         o_cols, o_rows = sql(con)
         pre_dur = time.perf_counter() - t0
@@ -453,7 +536,16 @@ def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
     t_spark = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    if callable(sql):
+    if chunked:
+        n = sql.n_chunks()
+        o_n = o_h = 0
+        for i in range(n):
+            cn, ch = _duck_hash_scalars(
+                con, sql.chunk_sql(i, n), o_cols, classes
+            )
+            o_n += cn
+            o_h += ch
+    elif callable(sql):
         import hashlib
 
         o_n, o_h = len(o_rows), 0
@@ -462,15 +554,7 @@ def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
             s = _SEP.join(_canon_py(r[i], cls) for i, cls in idx_cls)
             o_h += int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     else:
-        d_canon = ", ".join(
-            _canon_expr(c, classes[c], "duck") for c in sorted(o_cols)
-        )
-        row = con.execute(
-            f"WITH _r AS (SELECT concat_ws('{_SEP}', {d_canon}) AS _s"
-            f" FROM _hc) SELECT count(*), COALESCE(sum("
-            f"{_duck_hex60('md5(_s)')}), 0) FROM _r"
-        ).fetchone()
-        o_n, o_h = row[0], int(row[1])
+        o_n, o_h = _duck_hash_scalars(con, "SELECT * FROM _hc", o_cols, classes)
     t_ddb = pre_dur + (time.perf_counter() - t0)
 
     if s_n != o_n:
@@ -478,6 +562,57 @@ def compare_hash(spark_df, con, sql, name) -> tuple[bool, str, float, float]:
     if s_h != o_h:
         return False, f"hash spark={s_h} oracle={o_h} (n={s_n})", t_spark, t_ddb
     return True, f"{s_n} rows, hash ok", t_spark, t_ddb
+
+
+def _parse_size_gb(s: str) -> float:
+    """'48g' / '8G' / '512m' / '90GB' -> GiB as float."""
+    t = s.strip().lower().removesuffix("b")
+    if t.endswith("g"):
+        return float(t[:-1])
+    if t.endswith("m"):
+        return float(t[:-1]) / 1024.0
+    if t.endswith("k"):
+        return float(t[:-1]) / 1024.0**2
+    return float(t) / 2**30  # bare bytes
+
+
+def resolve_ddb_memory(
+    override: str | None = None,
+    meminfo_path: str = "/proc/meminfo",
+    jvm_heap: str | None = None,
+) -> str:
+    """DuckDB memory_limit for the in-process oracle, resolved from box RAM
+    minus the Spark driver JVM's projected footprint (r12 verdict task 6 —
+    the 640x rung needed a hand-set SWEEP_DDB_MEM=90GB; now the standing
+    rung runs with zero hand knobs).
+
+    ``override`` (the SWEEP_DDB_MEM env) always wins. Otherwise: start from
+    MemAvailable (falling back to MemTotal, then to the old 24GB constant
+    when /proc/meminfo is unreadable), subtract 1.3x the JVM heap the sweep
+    is ABOUT to start (get_spark honors SPARK_DRIVER_MEMORY, default 8g;
+    the 1.3 covers off-heap buffers + metaspace + GC headroom) and a 6 GiB
+    OS/page-cache floor, never going below 8GB so small boxes still spill
+    to disk instead of refusing to run. DuckDB connects BEFORE the JVM
+    starts here; if a JVM is already resident, MemAvailable has shrunk by
+    its RSS and the subtraction is merely conservative."""
+    if override:
+        return override
+    avail_kb = total_kb = None
+    try:
+        with open(meminfo_path) as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    avail_kb = int(ln.split()[1])
+                elif ln.startswith("MemTotal:"):
+                    total_kb = int(ln.split()[1])
+    except OSError:
+        return "24GB"
+    base_kb = avail_kb if avail_kb is not None else total_kb
+    if base_kb is None:
+        return "24GB"
+    heap_gb = _parse_size_gb(jvm_heap or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    budget_gb = base_kb / 2**20 - 1.3 * heap_gb - 6.0
+    return f"{max(8, int(budget_gb))}GB"
 
 
 def main() -> None:
@@ -515,7 +650,10 @@ def main() -> None:
     # unbounded, a big hash build dies with a bad-allocation OOM instead of
     # spilling (bit the sf10 sweep at 48g JVM heap). An explicit limit +
     # temp dir makes it spill to disk; fewer threads leaves Spark its cores.
-    con.execute(f"SET memory_limit = '{os.environ.get('SWEEP_DDB_MEM', '24GB')}'")
+    ddb_mem = resolve_ddb_memory(os.environ.get("SWEEP_DDB_MEM"))
+    print(f"duckdb memory_limit = {ddb_mem} (auto unless SWEEP_DDB_MEM set)",
+          flush=True)
+    con.execute(f"SET memory_limit = '{ddb_mem}'")
     con.execute("SET threads = 16")
     con.execute("SET temp_directory = '/tmp/duckdb_sweep_spill'")
     # Both compare paths are order-independent (the full compare sorts, the
@@ -536,6 +674,9 @@ def main() -> None:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    for oracle in SCALE_ORACLES.values():
+        if isinstance(oracle, ChunkedOracle):
+            oracle._src_dir = args.sf_dir  # auto-size chunks to this rung
 
     spark = get_spark(app_name="oracle-sweep")
     names = args.only or [n for n in registry.QUERIES if n in registry.ORACLES]
@@ -555,7 +696,9 @@ def main() -> None:
             match, msg, ts, td = False, f"{type(exc).__name__}: {exc}"[:300], 0, 0
         status = "MATCH" if match else "FAIL "
         tag = ""
-        if alt:
+        if alt and isinstance(oracle, ChunkedOracle):
+            tag = f" [alt-oracle chunked x{oracle.n_chunks()}]"
+        elif alt:
             tag = " [alt-oracle union-find%s]" % (
                 ", pairs cached" if _PAIR_HIT else ""
             )

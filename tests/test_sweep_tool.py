@@ -222,3 +222,109 @@ def test_build_slice_is_deterministic_and_symlinks_rest(sf_dir):
         con.execute(f"SELECT count(*) FROM '{out2}/documents.parquet'").fetchone()
         == con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()
     )
+
+
+# --- r13: auto-sized oracle memory + chunk-decomposed gap-fill oracle -------
+
+
+def test_resolve_ddb_memory_override_wins(tmp_path):
+    sweep = _load_sweep()
+    assert sweep.resolve_ddb_memory("90GB", meminfo_path="/nonexistent") == "90GB"
+
+
+def test_resolve_ddb_memory_from_meminfo(tmp_path):
+    sweep = _load_sweep()
+    mi = tmp_path / "meminfo"
+    # 128 GiB total, 120 GiB available (values in kB, /proc/meminfo format)
+    mi.write_text(
+        "MemTotal:       134217728 kB\n"
+        "MemFree:        100000000 kB\n"
+        "MemAvailable:   125829120 kB\n"
+    )
+    # 120 - 1.3*48 - 6 = 51.6 -> 51GB
+    got = sweep.resolve_ddb_memory(None, meminfo_path=str(mi), jvm_heap="48g")
+    assert got == "51GB"
+    # default 8g heap: 120 - 10.4 - 6 = 103.6 -> 103GB
+    got = sweep.resolve_ddb_memory(None, meminfo_path=str(mi), jvm_heap="8g")
+    assert got == "103GB"
+
+
+def test_resolve_ddb_memory_floors_and_falls_back(tmp_path):
+    sweep = _load_sweep()
+    mi = tmp_path / "meminfo"
+    mi.write_text("MemTotal: 16777216 kB\nMemAvailable: 8388608 kB\n")
+    # 8 - 1.3*8 - 6 < 0 -> floor at 8GB (spill to disk, never refuse)
+    assert sweep.resolve_ddb_memory(None, str(mi), "8g") == "8GB"
+    # unreadable meminfo -> the old constant
+    assert sweep.resolve_ddb_memory(None, "/nonexistent/meminfo") == "24GB"
+    # MemAvailable absent -> MemTotal
+    mi.write_text("MemTotal: 134217728 kB\n")
+    assert sweep.resolve_ddb_memory(None, str(mi), "8g") == "111GB"
+
+
+def test_parse_size_gb_units():
+    sweep = _load_sweep()
+    assert sweep._parse_size_gb("48g") == 48.0
+    assert sweep._parse_size_gb("90GB") == 90.0
+    assert sweep._parse_size_gb("512m") == 0.5
+    assert sweep._parse_size_gb(str(2**30)) == 1.0
+
+
+def _events_con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return con
+
+
+def test_chunked_gap_fill_oracle_equals_single_shot(sf_dir):
+    """The chunk decomposition must be value-identical to the registered
+    single-shot statement — rows (full-compare path) AND the summed
+    (count, commutative-hash) scalars (hash-compare path)."""
+    sweep = _load_sweep()
+    oracle = sweep.SCALE_ORACLES["events_gap_fill"]
+    assert isinstance(oracle, sweep.ChunkedOracle)
+    oracle._src_dir = sf_dir
+    oracle.bytes_per_chunk = 1  # force the 64-chunk ceiling on tiny input
+    n = oracle.n_chunks()
+    assert n > 1
+
+    con = _events_con(sf_dir)
+    cur = con.execute(registry.ORACLES["events_gap_fill"])
+    ref_cols = [d[0] for d in cur.description]
+    ref_rows = sorted(cur.fetchall())
+
+    cols, rows = oracle(con)
+    assert cols == ref_cols
+    assert sorted(rows) == ref_rows
+    assert len(rows) > 0
+
+    # hash-path equivalence: chunk scalars sum to the single-shot scalars
+    d_types = {
+        r[0]: r[1]
+        for r in con.execute(
+            "DESCRIBE SELECT * FROM ("
+            + registry.ORACLES["events_gap_fill"] + ")"
+        ).fetchall()
+    }
+    classes = {c: sweep._type_class(d_types[c], d_types[c]) for c in ref_cols}
+    single = sweep._duck_hash_scalars(
+        con, registry.ORACLES["events_gap_fill"], ref_cols, classes
+    )
+    total_n = total_h = 0
+    for i in range(n):
+        cn, ch = sweep._duck_hash_scalars(
+            con, oracle.chunk_sql(i, n), ref_cols, classes
+        )
+        total_n += cn
+        total_h += ch
+    assert (total_n, total_h) == single
+
+
+def test_chunked_oracle_requires_table_reference():
+    sweep = _load_sweep()
+    import pytest
+
+    with pytest.raises(ValueError, match="never reads"):
+        sweep.ChunkedOracle("SELECT 1", "events", "user_id")
