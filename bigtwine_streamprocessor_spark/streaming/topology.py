@@ -174,6 +174,27 @@ def _entity_payload_struct(e: F.Column) -> F.Column:
     )
 
 
+import threading as _threading
+
+# Observability counters for the epoch-publish path (r12 verdict task 1):
+# a restarted topology's recovery clock divides into REPLAYED work (epochs
+# re-staged because their commit never landed) and FRESH work. These
+# counters let a soak report that split directly instead of inferring it.
+# Driver-side only (foreachBatch callbacks), guarded for the 6 concurrent
+# query threads; reset via reset_publish_stats() at a measurement boundary.
+PUBLISH_STATS = {"skipped_committed": 0, "published": 0}
+_PUBLISH_STATS_LOCK = _threading.Lock()
+
+
+def reset_publish_stats() -> dict:
+    """Zero the counters and return the pre-reset snapshot."""
+    with _PUBLISH_STATS_LOCK:
+        snap = dict(PUBLISH_STATS)
+        PUBLISH_STATS["skipped_committed"] = 0
+        PUBLISH_STATS["published"] = 0
+    return snap
+
+
 def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
     """Exactly-once epoch publish (r8-advisor fix): per-partition publish
     NAMES alone cannot survive a restart that repartitions the replayed
@@ -194,7 +215,11 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
     counts diverge and we fail loudly instead of committing an empty
     marker that would drop the epoch's rows forever."""
     if topic.epoch_committed(prefix):
+        with _PUBLISH_STATS_LOCK:
+            PUBLISH_STATS["skipped_committed"] += 1
         return
+    with _PUBLISH_STATS_LOCK:
+        PUBLISH_STATS["published"] += 1
     topic.begin_epoch(prefix)
     count_staged = getattr(topic, "staged_partition_count", None)
     if count_staged is None:

@@ -149,16 +149,20 @@ def restart_soak(
         state_bytes = _du_bytes(os.path.join(topics_root, "_chk"))
 
         # ---- second life: same root, run to completion -------------------
+        life1_stats = topology.reset_publish_stats()
         t1 = _time.perf_counter()
         queries, sims, topics = topology.start_topology(
             spark, topics_root, make_stream(), "soak", timeout_ms=120_000
         )
         counter2 = TopicCounter(topics["results"])
         got = 0
+        first_new_result_s = None  # replay-stall: restart -> first NEW result
         try:
             deadline = _time.time() + timeout_s
             while _time.time() < deadline and got < n:
                 got = counter2.count()
+                if first_new_result_s is None and got > mid:
+                    first_new_result_s = round(_time.perf_counter() - t1, 1)
                 _time.sleep(0.5)
         finally:
             spark.sparkContext.setLogLevel("OFF")
@@ -174,6 +178,7 @@ def restart_soak(
                     pass
             spark.sparkContext.setLogLevel("WARN")
         recovery_s = _time.perf_counter() - t1
+        life2_stats = topology.reset_publish_stats()
         parsed.unpersist()
 
         results = [json.loads(r) for r in topics["results"].read_all()]
@@ -197,6 +202,16 @@ def restart_soak(
             "kill_at_s": round(kill_at, 1),
             "state_bytes_at_kill": state_bytes,
             "recovery_to_complete_s": round(recovery_s, 1),
+            # replay-waste split (r12 verdict task 1): epoch publishes in
+            # life 2 that were SKIPPED as already-committed vs run fresh,
+            # plus life 1's counts and the restart->first-NEW-result stall
+            "life1_epoch_publishes": life1_stats,
+            "life2_epoch_publishes": life2_stats,
+            "first_new_result_s": first_new_result_s,
+            "max_files_per_trigger": max_files_per_trigger,
+            "shuffle_partitions": int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            ),
             "results": len(results),
             "unique_tags": len(set(tags)),
             "partials": sum(1 for r in results if r["is_partial"]),
@@ -250,6 +265,22 @@ def main() -> None:
         "point needs state off-heap)",
     )
     ap.add_argument(
+        "--soak-trigger",
+        type=int,
+        default=8,
+        help="soak: maxFilesPerTrigger for both lives (the recovery clock "
+        "is throughput-dominated — run the soak at the measured capacity "
+        "knee, see --points sweep)",
+    )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="session shuffle partitions (stateful-op partition count; "
+        "soak lives share one checkpoint so it must not change between "
+        "them — set it here, not mid-run)",
+    )
+    ap.add_argument(
         "--changelog",
         action="store_true",
         help="with --rocksdb: changelog checkpointing (per-batch deltas "
@@ -266,6 +297,7 @@ def main() -> None:
 
     spark = get_spark(
         app_name="topology-scaling",
+        shuffle_partitions=args.shuffle_partitions,
         rocksdb_state=getattr(args, "rocksdb", False),
         rocksdb_changelog=getattr(args, "changelog", False),
     )
@@ -275,6 +307,7 @@ def main() -> None:
             args.sf_dir,
             amplify=args.amplify,
             n_files=args.soak_n_files,
+            max_files_per_trigger=args.soak_trigger,
             min_inflight=args.min_inflight,
             timeout_s=args.soak_timeout,
         )
