@@ -335,6 +335,78 @@ def calibration_probe(spark) -> dict:
     }
 
 
+# --- scheduling/IO calibration probe (r12 verdict task 5) -------------------
+#
+# The pure-CPU probe held ~1.0 across r12 runs while streaming entries moved
+# 13-21% and the dedup LSH family drifted 25-30% round-over-round with NO
+# code change (round-13 tree A/B, PERF.md) — contention in the stage-launch /
+# scheduler / shuffle-file / micro-batch-trigger dimension is invisible to a
+# single-stage compute job. This probe is that dimension, isolated: a fixed
+# backlog of tiny json files drained through a real Structured Streaming
+# query at maxFilesPerTrigger=1, each micro-batch running a small shuffle
+# (groupBy over 8 keys) — SCHED_FILES triggers x 2 stages of sub-ms tasks,
+# so wall time is almost entirely fixed per-trigger/per-stage/per-shuffle
+# overhead. Paired before/after like the CPU probe: flat sched probes + a
+# moved entry = engine; uniformly inflated sched probes = environment, read
+# the many-short-stage entries (LSH dedup, streaming) against sched_ratio.
+
+SCHED_FILES = 16
+SCHED_ROWS_PER_FILE = 100
+# reference median (r13, idle box, load1 0.5: five consecutive warmed
+# probes read medians 3.67/3.68/3.79/3.99/4.44 -> lowest repeatable
+# 3.67). Re-pin only from a lower repeatable median, never higher.
+SCHED_REFERENCE_S = 3.67
+
+
+def scheduling_probe(spark) -> dict:
+    """Median-of-3 wall time of the fixed micro-batch drain (median, not
+    min — sustained contention must stay visible), plus samples."""
+    import shutil
+    import tempfile
+
+    samples = []
+    # indexes -2/-1 are UNTIMED warmups: the session's first streaming
+    # query pays one-time machinery init (~7 s extra, measured) and the
+    # second still carries ~15% JIT tail — either would misread as
+    # contention on the "before" probe
+    for it in range(-2, 3):
+        root = tempfile.mkdtemp(prefix="bench_sched_probe_")
+        indir = os.path.join(root, "in")
+        os.makedirs(indir)
+        for i in range(SCHED_FILES):
+            with open(os.path.join(indir, f"f{i:03d}.json"), "w") as f:
+                for r in range(SCHED_ROWS_PER_FILE):
+                    f.write('{"k": %d, "v": %d}\n' % (r % 8, r))
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+
+        def _sink(batch_df, _eid) -> None:
+            batch_df.groupBy("k").count().collect()
+
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if it >= 0:
+            samples.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(root, ignore_errors=True)
+    med = sorted(samples)[1]
+    return {
+        "median_s": med,
+        "samples_s": samples,
+        "ratio": round(med / SCHED_REFERENCE_S, 3),
+    }
+
+
 def _wait_for_idle() -> float:
     """Poll load1 until it drops under LOAD1_IDLE_TARGET (preferred) or, once
     the budget runs out, accept anything under LOAD1_IDLE_MAX.
@@ -398,6 +470,7 @@ def main() -> None:
     # paired contention probe: before the sweep (after warmup so JVM state
     # is comparable), and again after capacity mode — see calibration_probe
     calib_before = calibration_probe(spark)
+    sched_before = scheduling_probe(spark)
 
     from bigtwine_streamprocessor_spark.operators import dedup, similarity
     from pyspark.sql import functions as F
@@ -585,6 +658,7 @@ def main() -> None:
         streaming_cap = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     calib_after = calibration_probe(spark)
+    sched_after = scheduling_probe(spark)
 
     total = round(sum(timings.values()), 3)
     # contention multiplier across the sweep: mean of the paired probes'
@@ -609,6 +683,12 @@ def main() -> None:
         "calibration_after": calib_after,
         "calibration_multiplier": calib_mult,
         "calibration_reference_s": CALIB_REFERENCE_S,
+        "sched_probe_before": sched_before,
+        "sched_probe_after": sched_after,
+        "sched_multiplier": round(
+            (sched_before["ratio"] + sched_after["ratio"]) / 2, 3
+        ),
+        "sched_reference_s": SCHED_REFERENCE_S,
         "value_calibrated": total_calibrated,
         "queries": timings,
         "subtimings": subtimings,
@@ -665,6 +745,14 @@ def main() -> None:
         "calibration_before_s": calib_before["median_s"],
         "calibration_after_s": calib_after["median_s"],
         "calibration_multiplier": calib_mult,
+        # paired scheduling/IO probe medians (see scheduling_probe): the
+        # stage-launch/shuffle/trigger-overhead dimension the CPU probe
+        # is blind to — streaming and LSH-dedup deltas read against this
+        "sched_before_s": sched_before["median_s"],
+        "sched_after_s": sched_after["median_s"],
+        "sched_multiplier": round(
+            (sched_before["ratio"] + sched_after["ratio"]) / 2, 3
+        ),
         "value_calibrated": total_calibrated,
         "queries": {
             k: timings[k]

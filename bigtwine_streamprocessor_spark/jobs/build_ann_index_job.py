@@ -333,6 +333,17 @@ def run(argv: list[str] | None = None) -> dict:
         "curve (hash-sliced, disjoint from the serving pre-train sample)",
     )
     p.add_argument(
+        "--spill",
+        type=int,
+        default=1,
+        help="ivf build: store each vector in its top-N cells (assignment "
+        "rank kept as a_rank; queries dedup). N-fold storage/scan for a "
+        "measured recall jump per scanned row — the sf10 frontier shape "
+        "is 2048 cells / spill 3: recall@5 0.753 at 7.6%% scanned vs "
+        "0.747 at 13.0%% single-assigned (PERF.md round-13). append and "
+        "retrain inherit the sidecar's value",
+    )
+    p.add_argument(
         "--n-files",
         type=int,
         default=None,
@@ -388,6 +399,8 @@ def run(argv: list[str] | None = None) -> dict:
 
     if args.embeddings_path is None:
         p.error("--embeddings-path is required for --op build")
+    if args.spill > 1 and args.mode != "ivf":
+        p.error("--spill is an IVF cell-assignment knob (lsh has no cells)")
     emb = spark.read.parquet(args.embeddings_path)
     n_bits = args.n_bits if args.n_bits is not None else similarity.N_BITS
     if args.mode == "lsh":
@@ -434,6 +447,7 @@ def run(argv: list[str] | None = None) -> dict:
             n_iters=args.n_iters,
             n_files=args.n_files,
             centroids=centroids,
+            spill=args.spill,
         )
         corpus, cents = similarity.read_ivf_index(spark, args.output_path)
         report = {
@@ -442,6 +456,8 @@ def run(argv: list[str] | None = None) -> dict:
             "vectors": corpus.count(),
             "cells": cents.count(),
         }
+        if args.spill > 1:
+            report["spill"] = args.spill
         if args.serving:
             report["serving"] = {
                 "n_iters": args.n_iters,

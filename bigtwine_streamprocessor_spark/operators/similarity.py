@@ -642,6 +642,11 @@ def _fit_col() -> Column:
 
 
 def _mean_fit(corpus: DataFrame, cents: DataFrame) -> float:
+    if "a_rank" in corpus.columns:
+        # spilled layout: quantizer fit is a property of the PRIMARY
+        # assignment; averaging in the spill copies (by construction
+        # worse-fitting) would read as phantom drift
+        corpus = corpus.filter(F.col("a_rank") == 1)
     row = (
         corpus.join(F.broadcast(cents), F.col("cell") == F.col("cid"))
         .agg(F.avg(_fit_col()).alias("fit"))
@@ -659,6 +664,8 @@ def ivf_drift_stats(spark, path: str) -> dict:
     retrain trigger (``retrain_ivf_index`` / ``--op retrain``). One
     distributed agg, one small collect (rows = epochs)."""
     corpus, cents = read_ivf_index(spark, path)
+    if "a_rank" in corpus.columns:
+        corpus = corpus.filter(F.col("a_rank") == 1)  # see _mean_fit
     epoch_raw = F.regexp_extract(F.input_file_name(), r"(delta-e\d+)", 1)
     per = (
         corpus.withColumn(
@@ -719,8 +726,11 @@ def retrain_ivf_index(
     _reject_remote_compaction(path)
     meta = read_index_meta(spark, path) or {}
     n_cells = int(n_cells or meta.get("n_cells", IVF_CELLS))
+    spill = int(meta.get("spill", 1))
     corpus, old_cents = read_ivf_index(spark, path)
     fit_before = _mean_fit(corpus, old_cents)
+    if spill > 1:  # distinct vectors; the rebuild re-spills below
+        corpus = corpus.filter(F.col("a_rank") == 1)
     emb = corpus.select("vec_id", "embedding")
     train = (
         emb
@@ -733,12 +743,16 @@ def retrain_ivf_index(
     cents = kmeans_centroids(train, n_cells, n_iters)
     staging = path.rstrip("/") + ".retraining"
     shutil.rmtree(staging, ignore_errors=True)
-    build_ivf_index(emb, staging, n_cells=n_cells, n_files=n_files, centroids=cents)
+    build_ivf_index(
+        emb, staging, n_cells=n_cells, n_files=n_files, centroids=cents,
+        spill=spill,
+    )
     new_corpus, new_cents = read_ivf_index(spark, staging)
     n_src, n_dst = emb.count(), new_corpus.count()
-    if n_dst != n_src:
+    if n_dst != n_src * spill:
         raise RuntimeError(
-            f"retrain row-count mismatch at {staging}: {n_dst} != {n_src}"
+            f"retrain row-count mismatch at {staging}: {n_dst} != "
+            f"{n_src} x spill {spill}"
         )
     fit_after = _mean_fit(new_corpus, new_cents)
     _swap_staged(spark, path, staging)
@@ -943,7 +957,10 @@ def measure_recall_curve(
 
     corpus, cents = read_ivf_index(spark, path)
     n_cells = cents.count()
-    n = corpus.count()
+    spilled = "a_rank" in corpus.columns
+    n = (
+        corpus.filter(F.col("a_rank") == 1).count() if spilled else corpus.count()
+    )
     if probes is None:
         probes = sorted(
             {p for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p < n_cells}
@@ -954,11 +971,12 @@ def measure_recall_curve(
         # whatever order the caller passed
         probes = sorted(set(probes))
     _, qf = holdout_filter(n, n_queries)
-    vectors = corpus.select("vec_id", "embedding")
+    primary = corpus.filter(F.col("a_rank") == 1) if spilled else corpus
+    vectors = primary.select("vec_id", "embedding")
     exact = cosine_topk(vectors, k, query_filter=qf).localCheckpoint(
         eager=True
     )
-    q_scored = _scored(corpus.filter(qf).select("vec_id", "embedding"), cents)
+    q_scored = _scored(primary.filter(qf).select("vec_id", "embedding"), cents)
     queries = (
         _best_cells(q_scored, max(probes))
         .select(
@@ -982,15 +1000,29 @@ def measure_recall_curve(
         F.col("vec_id").alias("neighbor_id"),
         cos.alias("cos"),
         "c_rank",
-    ).localCheckpoint(eager=True)
+    )
+    if spilled:
+        # a neighbor reached through two probed cells scores once, counted
+        # at its EARLIEST-found probe rank (min c_rank) so per-level
+        # filtering matches what ivf_topk's dedup would surface at that p
+        scored_pairs = scored_pairs.groupBy("query_id", "neighbor_id").agg(
+            F.min("c_rank").alias("c_rank"), F.first("cos").alias("cos")
+        )
+    scored_pairs = scored_pairs.localCheckpoint(eager=True)
+    nq = queries.select("query_id").distinct().count()
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     curve = []
     for p in probes:
+        cands = scored_pairs.filter(F.col("c_rank") <= p)
+        # MEASURED scan cost: candidates actually scored per query over the
+        # corpus size. For single assignment this tracks p/n_cells; for a
+        # spilled layout it charges the duplication honestly (r12 verdict
+        # task 3 — the stored curve is the budget a deployment trades on)
+        n_cand = cands.count()
         approx = (
-            scored_pairs.filter(F.col("c_rank") <= p)
-            .withColumn("rank", F.row_number().over(w))
+            cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
         r = recall_at_k(approx, exact)
@@ -1000,6 +1032,7 @@ def measure_recall_curve(
                 "recall": r["recall"],
                 "min_recall": r["min_recall"],
                 "scan_frac": round(p / n_cells, 4),
+                "scan_frac_measured": round(n_cand / (max(1, nq) * n), 4),
                 "n_queries": r["n_queries"],
             }
         )
@@ -1519,6 +1552,27 @@ def kmeans_centroids(
     return cents
 
 
+def _assign_corpus(emb: DataFrame, cents: DataFrame, spill: int = 1) -> DataFrame:
+    """Cell-assign a corpus under ``cents``. ``spill=1`` is the classic IVF
+    single assignment (schema ``vec_id, embedding, cell, nrm`` — unchanged).
+    ``spill>1`` stores each vector in its top-``spill`` cells with the
+    assignment rank kept as ``a_rank`` — the boundary-loss fix measured on
+    the realistic sf10 corpus (PERF.md round-13): recall misses are
+    dominated by true neighbors sitting just across a Voronoi boundary
+    from the query's probed cells, and storing the neighbor in 2-3 cells
+    converts those misses into hits at the SAME probe budget. Storage and
+    scan cost scale ~``spill``-fold; the measured frontier (2048 cells,
+    spill 3) paid 7.6% scanned for recall@5 0.753 where single assignment
+    paid 13.0% for 0.747."""
+    assigned = _best_cells(_scored(emb, cents), spill)
+    out = assigned.select(
+        "vec_id", "embedding", F.col("cid").alias("cell"), "c_rank"
+    ).withColumn("nrm", _norm(F.col("embedding")))
+    if spill > 1:
+        return out.withColumnRenamed("c_rank", "a_rank")
+    return out.drop("c_rank")
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -1526,6 +1580,7 @@ def build_ivf_index(
     n_iters: int = IVF_ITERS,
     n_files: int | None = None,
     centroids: DataFrame | None = None,
+    spill: int = 1,
 ) -> None:
     """Ingest-time IVF index — the write-once twin of ``bucketize_corpus``
     for the k-means path. At 100 TB the coarse quantizer trains ONCE at
@@ -1548,11 +1603,7 @@ def build_ivf_index(
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = emb.sparkSession.read.parquet(f"{path}/centroids")
-    corpus = (
-        _best_cells(_scored(emb, cents), 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
-        .withColumn("nrm", _norm(F.col("embedding")))
-    )
+    corpus = _assign_corpus(emb, cents, spill)
     corpus = (
         corpus.repartition(n_files, F.col("cell"))
         if n_files is not None
@@ -1563,7 +1614,9 @@ def build_ivf_index(
     )
     # sidecar lets maintenance verbs identify the layout without probing
     _write_index_meta(
-        emb.sparkSession, path, {"kind": "ivf", "n_cells": n_cells}
+        emb.sparkSession,
+        path,
+        {"kind": "ivf", "n_cells": n_cells, "spill": spill},
     )
 
 
@@ -1600,11 +1653,10 @@ def append_to_ivf_index(
     ``build_ivf_index`` when it climbs."""
     spark = emb_delta.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
-    delta = (
-        _best_cells(_scored(emb_delta, cents), 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
-        .withColumn("nrm", _norm(F.col("embedding")))
-    )
+    # same spill as the index was built with (sidecar), so appended rows
+    # are laid out exactly as a from-scratch rebuild would place them
+    spill = int((read_index_meta(spark, path) or {}).get("spill", 1))
+    delta = _assign_corpus(emb_delta, cents, spill)
     delta = (
         delta.repartition(n_files, F.col("cell"))
         if n_files is not None
@@ -1661,6 +1713,12 @@ def ivf_topk(
     if index is not None:
         corpus, cents = index
         q_vecs = corpus.filter(qf).select("vec_id", "embedding")
+        if "a_rank" in corpus.columns:
+            # spilled layout: each vector appears in `spill` cells — the
+            # query SIDE wants it once
+            q_vecs = corpus.filter(qf).filter(F.col("a_rank") == 1).select(
+                "vec_id", "embedding"
+            )
         q_scored = _scored(q_vecs, cents)
     else:
         cents = kmeans_centroids(emb, n_cells, n_iters)
@@ -1688,11 +1746,18 @@ def ivf_topk(
         COS_ROUND,
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    cand = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    if "a_rank" in corpus.columns:
+        # spilled layout (see _assign_corpus): a vector living in two
+        # probed cells yields duplicate candidate rows with identical cos —
+        # dedup before ranking so top-k never counts a neighbor twice.
+        # Gated on the column so the single-assignment (oracle-pinned)
+        # plan is byte-unchanged.
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     return (
-        pairs.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
-        )
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
