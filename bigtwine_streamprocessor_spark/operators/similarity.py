@@ -1682,6 +1682,7 @@ def ivf_topk(
     n_iters: int = IVF_ITERS,
     index: tuple[DataFrame, DataFrame] | None = None,
     query_filter=None,
+    spill: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus sharded by
     nearest cell, queries probe their ``n_probe`` nearest cells, exact cosine
@@ -1689,8 +1690,14 @@ def ivf_topk(
 
     At scale this is the classic IVF layout: the corpus partitions by cell id
     (each cell a shard), queries fan out to n_probe shards — candidate count
-    is ~n_probe/n_cells of the corpus. A corpus vector lives in exactly one
-    cell, so no candidate dedup is needed.
+    is ~n_probe/n_cells of the corpus. With the default single assignment a
+    corpus vector lives in exactly one cell, so no candidate dedup is
+    needed; ``spill > 1`` (on-the-fly twin of ``build_ivf_index(spill=)``)
+    stores each vector in its top-``spill`` cells and dedups candidates —
+    the measured recall-per-scanned-row winner on the realistic sf10
+    corpus (PERF.md round-13). An ``index=`` whose layout carries
+    ``a_rank`` spills implicitly; the ``spill`` argument is for the
+    on-the-fly path and must be left at 1 when ``index`` is given.
 
     Serving-shape guidance (r10 sweep on the realistic sf10 replica, grid
     in PERF.md): size ``n_cells ~ 2-5x sqrt(n)`` and train with ``n_iters
@@ -1727,6 +1734,8 @@ def ivf_topk(
             _best_cells(scored, 1)
             .select("vec_id", "embedding", F.col("cid").alias("cell"))
             .withColumn("nrm", _norm(F.col("embedding")))
+            if spill == 1
+            else _assign_corpus(emb, cents, spill)
         )
         q_scored = scored.filter(qf)
     queries = (
@@ -1810,7 +1819,12 @@ def ivf_topk_sql(
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,
+    spill: int = 1,
 ) -> str:
+    """DuckDB twin of ``ivf_topk``; ``spill`` mirrors the corpus
+    multi-assignment (corpus keeps c_rank <= spill, pairs dedup on the
+    pair key — cos is identical across a pair's copies, so SELECT
+    DISTINCT is exact)."""
     return f"""
 WITH {_kmeans_sql(n_cells, n_iters)},
 scored_final AS (
@@ -1828,7 +1842,7 @@ scored_final AS (
 corpus AS (
     SELECT vec_id, embedding, cid AS cell,
            {_NORM_SQL.format(a="embedding")} AS nrm
-    FROM scored_final WHERE c_rank = 1
+    FROM scored_final WHERE c_rank <= {spill}
 ),
 queries AS (
     SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell,
@@ -1836,7 +1850,7 @@ queries AS (
     FROM scored_final WHERE c_rank <= {n_probe} AND vec_id < {n_queries}
 ),
 pairs AS (
-    SELECT q.query_id, n.vec_id AS neighbor_id,
+    SELECT {"DISTINCT " if spill > 1 else ""}q.query_id, n.vec_id AS neighbor_id,
            (floor(({_DOT_SQL.format(a="q.q_emb", b="n.embedding")}
                  / (q.q_nrm * n.nrm)) * power(10.0, {COS_ROUND}) + 0.5) / power(10.0, {COS_ROUND})) AS cos
     FROM corpus n JOIN queries q ON n.cell = q.cell AND n.vec_id <> q.query_id

@@ -547,7 +547,7 @@ ORACLE_SQL["agg_approx_distinct"] = (
 )
 
 ORACLE_SQL["similarity_ivf_topk"] = (
-similarity.ivf_topk_sql()
+similarity.ivf_topk_sql(spill=2)  # gate serves off the spilled layout (r13)
 )
 
 ORACLE_SQL["dedup_embedding_clusters"] = (

@@ -960,9 +960,17 @@ def similarity_ivf_topk(spark, sf_dir):
     on-the-fly path runs — then queries via ``read_ivf_index``; the oracle
     recomputes everything from scratch, so the driver gates the full
     ingest -> index -> serve path (n_probe=4, exact cosine within probed
-    cells; the shard-per-cell ANN layout for 100 TB, n_cells ~ sqrt(n))."""
+    cells; the shard-per-cell ANN layout for 100 TB, n_cells ~ sqrt(n)).
+
+    r13: the index builds with ``spill=2`` (corpus multi-assignment — the
+    measured recall/scan frontier lever, PERF.md round-13), so the gate
+    covers the strictly more general serve path: a_rank layout read via
+    the sidecar, candidate dedup before ranking, oracle recomputing the
+    chain from scratch with ``c_rank <= 2`` + pair-key DISTINCT. The
+    single-assignment plan stays pinned by the ANN pytest suite
+    (full-probe == brute-force, append == rebuild, curve equality)."""
     path = _gate_index_path("ivf", sf_dir)
-    similarity.build_ivf_index(_emb(spark, sf_dir), path)
+    similarity.build_ivf_index(_emb(spark, sf_dir), path, spill=2)
     return similarity.ivf_topk(
         None, index=similarity.read_ivf_index(spark, path)
     )
