@@ -50,6 +50,7 @@ def restart_soak(
     max_files_per_trigger: int = 8,
     min_inflight: int = 10_000,
     timeout_s: int = 900,
+    fanin_timeout_ms: int = 120_000,
 ) -> dict:
     """Restart-under-load soak (r8 verdict task 8): hard-kill the x80 bench
     feed mid-stream with >= ``min_inflight`` keys in flight, restart the
@@ -114,7 +115,8 @@ def restart_soak(
         # ---- first life: run until the pipeline is warm with a big ------
         # ---- in-flight population, then hard-kill ------------------------
         queries, sims, topics = topology.start_topology(
-            spark, topics_root, make_stream(), "soak", timeout_ms=120_000
+            spark, topics_root, make_stream(), "soak",
+            timeout_ms=fanin_timeout_ms,
         )
         counter = TopicCounter(topics["results"])
         t0 = _time.perf_counter()
@@ -152,7 +154,8 @@ def restart_soak(
         life1_stats = topology.reset_publish_stats()
         t1 = _time.perf_counter()
         queries, sims, topics = topology.start_topology(
-            spark, topics_root, make_stream(), "soak", timeout_ms=120_000
+            spark, topics_root, make_stream(), "soak",
+            timeout_ms=fanin_timeout_ms,
         )
         counter2 = TopicCounter(topics["results"])
         got = 0
@@ -208,6 +211,7 @@ def restart_soak(
             "life1_epoch_publishes": life1_stats,
             "life2_epoch_publishes": life2_stats,
             "first_new_result_s": first_new_result_s,
+            "fanin_timeout_ms": fanin_timeout_ms,
             "max_files_per_trigger": max_files_per_trigger,
             "shuffle_partitions": int(
                 spark.conf.get("spark.sql.shuffle.partitions")
@@ -265,6 +269,17 @@ def main() -> None:
         "point needs state off-heap)",
     )
     ap.add_argument(
+        "--soak-timeout-ms",
+        type=int,
+        default=120_000,
+        help="soak: fan-in one-shot deadline. The deadline exists in the "
+        "soak only to NEVER fire (partials would diverge from the batch "
+        "golden by design, masking the loss/duplicate check) — size it "
+        "above the worst-case key latency of the chosen trigger (120 s "
+        "holds for 8-file triggers; 32-file batches at ~1M keys in "
+        "flight need ~420 s)",
+    )
+    ap.add_argument(
         "--soak-trigger",
         type=int,
         default=8,
@@ -310,6 +325,7 @@ def main() -> None:
             max_files_per_trigger=args.soak_trigger,
             min_inflight=args.min_inflight,
             timeout_s=args.soak_timeout,
+            fanin_timeout_ms=args.soak_timeout_ms,
         )
         print(json.dumps(report), flush=True)
         spark.stop()
