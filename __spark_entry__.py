@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules saw collateral edits. New queries register outside both lists and
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
-# r13 rotation (flip of r12): _GATE_FIRST = the 50 NOT sampled in r12
-# (newest green row: r11), _GATE_LAST = the 50 green in CORRECTNESS_r12.json. The registry holds exactly 100 entries (four pure
+# r14 rotation (flip of r13): _GATE_FIRST = the 50 NOT sampled in r13
+# (newest green row: r12), _GATE_LAST = the 50 green in CORRECTNESS_r13.json. The registry holds exactly 100 entries (four pure
 # serialization twins merged into their surviving twin — see COVERAGE.md
 # "Gate rotation arithmetic"), so the 50-slot sample now covers the whole
 # registry in exactly 2 rounds: each round, _GATE_FIRST = the 50 queries NOT
@@ -45,61 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # lists, sorts mid (position 51+, outside the sample), and must be promoted
 # into _GATE_FIRST explicitly — test_gate_rotation.py fails loudly if the
 # head overflows 50 so overflow can't silently push a query out.
-_GATE_FIRST = [  # r13 flip: the 50 NOT sampled in r12 (newest green row: r11)
-    "similarity_bruteforce_topk",
-    "similarity_ivf_topk",
-    "similarity_ann_lsh",
-    "similarity_embedding_neardup",
-    "group_collect_entities",
-    "profile_documents",
-    "progress_running_totals",
-    "enrich_request_envelopes",
-    "join_asof_last_purchase",
-    "join_interval_nearby_events",
-    "sampling_stratified",
-    "agg_salted_heavy_hitters",
-    "neel_fanin_batch",
-    "neel_assembled_join",
-    "agg_approx_distinct",
-    "dedup_embedding_clusters",
-    "dedup_semantic_keep",
-    "agg_percentiles_exact",
-    "window_event_deltas",
-    "compact_latest_events",
-    "join_anti_customers_no_orders",
-    "agg_cube_events",
-    "join_salted_skew",
-    "agg_moments",
-    "sketch_kmv_distinct",
-    "dedup_paragraphs",
-    "mix_weighted_sources",
-    "bucket_by_length",
-    "filter_url_domains",
-    "embedding_random_projection",
-    "join_shipping_priority",
-    "join_local_supplier_volume",
-    "dedup_incremental",
-    "quality_sigmoid_score",
-    "sketch_countmin_terms",
-    "curriculum_token_budget",
-    "join_returned_items",
-    "join_nation_trade_volume",
-    "window_rank_features",
-    "dedup_edit_distance",
-    "events_gap_fill",
-    "join_full_outer_balance",
-    "agg_promo_revenue",
-    "agg_small_quantity_revenue",
-    "chunk_sliding_windows",
-    "embedding_norm_stats",
-    "scd2_user_history",
-    "agg_event_transitions",
-    "agg_retention_cohorts",
-    "agg_funnel_steps",
-]
-_GATE_LAST = [  # all green in r12 (CORRECTNESS_r12.json, 50/50); head =
-    # the dedup queries whose operator module takes the r13 bench-creep
-    # decomposition edits, so collateral-edit coverage stays near the sample
+_GATE_FIRST = [  # r14 flip: the 50 NOT sampled in r13 (newest green row: r12)
     "dedup_exact_groups",
     "dedup_exact_keep",
     "dedup_lsh_pairs",
@@ -150,6 +96,61 @@ _GATE_LAST = [  # all green in r12 (CORRECTNESS_r12.json, 50/50); head =
     "shuffle_global",
     "index_inverted",
     "embedding_label_centroids",
+]
+_GATE_LAST = [  # all green in r13 (CORRECTNESS_r13.json, 50/50); head =
+    # the similarity + fan-in queries whose operator modules take this
+    # round's edits (scan-frac fix, spill guards, fan-in state work),
+    # so collateral-edit coverage stays near the sample
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "similarity_ann_lsh",
+    "similarity_embedding_neardup",
+    "neel_fanin_batch",
+    "neel_assembled_join",
+    "group_collect_entities",
+    "profile_documents",
+    "progress_running_totals",
+    "enrich_request_envelopes",
+    "join_asof_last_purchase",
+    "join_interval_nearby_events",
+    "sampling_stratified",
+    "agg_salted_heavy_hitters",
+    "agg_approx_distinct",
+    "dedup_embedding_clusters",
+    "dedup_semantic_keep",
+    "agg_percentiles_exact",
+    "window_event_deltas",
+    "compact_latest_events",
+    "join_anti_customers_no_orders",
+    "agg_cube_events",
+    "join_salted_skew",
+    "agg_moments",
+    "sketch_kmv_distinct",
+    "dedup_paragraphs",
+    "mix_weighted_sources",
+    "bucket_by_length",
+    "filter_url_domains",
+    "embedding_random_projection",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "dedup_incremental",
+    "quality_sigmoid_score",
+    "sketch_countmin_terms",
+    "curriculum_token_budget",
+    "join_returned_items",
+    "join_nation_trade_volume",
+    "window_rank_features",
+    "dedup_edit_distance",
+    "events_gap_fill",
+    "join_full_outer_balance",
+    "agg_promo_revenue",
+    "agg_small_quantity_revenue",
+    "chunk_sliding_windows",
+    "embedding_norm_stats",
+    "scd2_user_history",
+    "agg_event_transitions",
+    "agg_retention_cohorts",
+    "agg_funnel_steps",
 ]
 
 

@@ -702,7 +702,14 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=2, sort_keys=True)
-    print(json.dumps(detail), flush=True)
+    # pointer only — printing the full detail JSON here left a truncated
+    # fragment inside the driver's ~2000-char output-tail capture (the
+    # stale mid-record blob in BENCH_r13.json's "tail"; r13 verdict task 8)
+    print(
+        json.dumps({"metric": "detail_written", "path": detail_path,
+                    "n_queries": len(timings)}),
+        flush=True,
+    )
 
     streaming_compact = {
         k: streaming[k]

@@ -218,8 +218,6 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
         with _PUBLISH_STATS_LOCK:
             PUBLISH_STATS["skipped_committed"] += 1
         return
-    with _PUBLISH_STATS_LOCK:
-        PUBLISH_STATS["published"] += 1
     topic.begin_epoch(prefix)
     count_staged = getattr(topic, "staged_partition_count", None)
     if count_staged is None:
@@ -247,6 +245,12 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
                 "(same class as the streaming checkpoint)."
             )
     topic.commit_epoch(prefix)
+    # counted only AFTER the commit lands (advisor r13): a publish that
+    # raises (staged-count divergence) must not count as fresh work — its
+    # replay would double-count in exactly the replayed/fresh split these
+    # counters exist to measure
+    with _PUBLISH_STATS_LOCK:
+        PUBLISH_STATS["published"] += 1
 
 
 import re as _re

@@ -198,11 +198,35 @@ class ChunkedOracle:
     query and the 640x rung decomposes without any env knob.
     """
 
+    # keywords that may legally follow `FROM <table>` — anything else in
+    # that position is a table alias, which the naive slice rewrite below
+    # would corrupt (`FROM events e` -> double alias), so the constructor
+    # rejects it loudly (advisor r13)
+    _POST_TABLE_KEYWORDS = frozenset(
+        "WHERE GROUP ORDER LIMIT HAVING WINDOW QUALIFY UNION INTERSECT "
+        "EXCEPT JOIN LEFT RIGHT INNER FULL CROSS ON USING".split()
+    )
+
     def __init__(self, sql: str, table: str, key: str,
                  bytes_per_chunk: int = 256 * 2**20):
-        token = f"FROM {table}"
-        if token not in sql:
-            raise ValueError(f"oracle SQL never reads {token!r}")
+        import re
+
+        # word-bounded so `FROM events` never matches `FROM events_x`
+        self._from_re = re.compile(
+            rf"\bFROM\s+{re.escape(table)}\b", re.IGNORECASE
+        )
+        matches = list(self._from_re.finditer(sql))
+        if not matches:
+            raise ValueError(f"oracle SQL never reads 'FROM {table}'")
+        alias_re = re.compile(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+        for m in matches:
+            nxt = alias_re.match(sql, m.end())
+            if nxt and nxt.group(1).upper() not in self._POST_TABLE_KEYWORDS:
+                raise ValueError(
+                    f"oracle SQL aliases {table!r} as {nxt.group(1)!r} — "
+                    "ChunkedOracle's slice rewrite requires unaliased "
+                    f"'FROM {table}' references (rewrite adds its own alias)"
+                )
         self.sql, self.table, self.key = sql, table, key
         self.bytes_per_chunk = bytes_per_chunk
         self._src_dir: str | None = None  # main() wires the swept sf_dir
@@ -222,7 +246,7 @@ class ChunkedOracle:
             f"FROM (SELECT * FROM {self.table} "
             f"WHERE {self.key} % {n} = {i}) {self.table}"
         )
-        return self.sql.replace(f"FROM {self.table}", sliced)
+        return self._from_re.sub(sliced, self.sql)
 
     def __call__(self, con):  # full-compare path: concatenate chunk rows
         n = self.n_chunks()

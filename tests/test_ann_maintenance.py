@@ -839,9 +839,11 @@ def test_recall_curve_on_spilled_index_measures_scan(spark, corpus, tmp_path):
     )
     by_p = {pt["n_probe"]: pt for pt in curve}
     assert by_p[16]["recall"] == 1.0
-    # full probe: after pair dedup every distinct vector is scored once
-    # per query (minus self) -> measured fraction ~1.0, NOT ~spill
-    assert 0.9 <= by_p[16]["scan_frac_measured"] <= 1.01
+    # full probe on a spill=2 layout: every copy is reached and SCORED, so
+    # the measured fraction charges the duplication — ~spill, not ~1
+    # (advisor r13: the field counts pre-dedup scored rows, the scan a
+    # deployment actually pays; ranking still dedups per pair)
+    assert 1.8 <= by_p[16]["scan_frac_measured"] <= 2.01
     idx = similarity.read_ivf_index(spark, path)
     n = corpus.count()
     _, qf = similarity.holdout_filter(n, 10)
@@ -854,3 +856,28 @@ def test_recall_curve_on_spilled_index_measures_scan(spark, corpus, tmp_path):
         )
         r = similarity.recall_at_k(approx, exact)
         assert abs(r["recall"] - by_p[p]["recall"]) < 1e-9
+
+
+def test_ivf_topk_rejects_spill_with_index(spark, corpus, tmp_path):
+    """spill= is the on-the-fly knob; an index= layout carries its own
+    spill via a_rank, so combining them is a loud error (advisor r13)."""
+    path = str(tmp_path / "ivf_spill_guard")
+    similarity.build_ivf_index(corpus, path, n_cells=8, n_iters=1, spill=2)
+    idx = similarity.read_ivf_index(spark, path)
+    with pytest.raises(ValueError, match="on-the-fly"):
+        similarity.ivf_topk(None, K, n_probe=2, index=idx, spill=2)
+
+
+def test_retrain_shrinking_cells_below_spill(spark, corpus, tmp_path):
+    """Retraining a spill=3 index down to 2 cells is legitimate: each
+    vector can only occupy min(spill, surviving cells) cells — Lloyd may
+    additionally drop an empty cell — and the row-count invariant must
+    account for that instead of raising (advisor r13)."""
+    path = str(tmp_path / "ivf_shrink")
+    similarity.build_ivf_index(corpus, path, n_cells=8, n_iters=1, spill=3)
+    report = similarity.retrain_ivf_index(spark, path, n_cells=2, n_iters=1)
+    assert report["rows"] == corpus.count()
+    new_corpus, new_cents = similarity.read_ivf_index(spark, path)
+    n_cells_trained = new_cents.count()
+    assert 1 <= n_cells_trained <= 2
+    assert new_corpus.count() == corpus.count() * min(3, n_cells_trained)

@@ -328,3 +328,37 @@ def test_chunked_oracle_requires_table_reference():
 
     with pytest.raises(ValueError, match="never reads"):
         sweep.ChunkedOracle("SELECT 1", "events", "user_id")
+
+
+def test_chunked_oracle_rejects_aliased_and_prefix_tables():
+    """The slice rewrite adds its own alias, so an aliased reference
+    ('FROM events e' -> double alias) must be rejected at construction,
+    and a name that merely extends the token ('events_x') must neither
+    satisfy nor be mangled by the rewrite (advisor r13)."""
+    sweep = _load_sweep()
+    import pytest
+
+    with pytest.raises(ValueError, match="aliases"):
+        sweep.ChunkedOracle(
+            "SELECT e.user_id FROM events e", "events", "user_id"
+        )
+    with pytest.raises(ValueError, match="aliases"):
+        sweep.ChunkedOracle(
+            "SELECT x.user_id FROM events AS x", "events", "user_id"
+        )
+    # a prefix-extending table name is NOT a reference to `events`
+    with pytest.raises(ValueError, match="never reads"):
+        sweep.ChunkedOracle(
+            "SELECT user_id FROM events_x", "events", "user_id"
+        )
+    # keywords after the table are fine, and the rewrite is word-bounded:
+    # the events_x reference survives untouched
+    oracle = sweep.ChunkedOracle(
+        "SELECT user_id FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events_x) GROUP BY user_id",
+        "events",
+        "user_id",
+    )
+    sliced = oracle.chunk_sql(1, 4)
+    assert "FROM events_x)" in sliced
+    assert "WHERE user_id % 4 = 1) events" in sliced
