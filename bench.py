@@ -654,11 +654,68 @@ def main() -> None:
             "diagnostic only — capacity headline is the one-shot plateau"
             " (tweets_per_s); steady slope is epoch-quantized at 24 epochs"
         )
+        # KNEE run (r13 verdict task 4): the r13 trigger sweep put the
+        # small-state knee at maxFilesPerTrigger=64 (~7,000 tweets/s steady
+        # vs 668/s one-shot at trigger 32) — the number a cluster sizing
+        # extrapolates from. Record the knee config alongside the
+        # trigger-32 run (kept for round-over-round continuity).
+        cap_knee = bench_topology(
+            spark,
+            stream_sf,
+            max_files_per_trigger=64,
+            shuffle_partitions=cap_shuffle,
+            amplify=240,
+            n_files=768,
+        )
+        streaming_cap["knee"] = {
+            "max_files_per_trigger": 64,
+            "shuffle_partitions": cap_shuffle,
+            "tweets_per_s": cap_knee.get("tweets_per_s"),
+            "elapsed_s": cap_knee.get("elapsed_s"),
+            "steady_tweets_per_s": cap_knee.get("steady_tweets_per_s"),
+            "steady_consistency": cap_knee.get("steady_consistency"),
+        }
+        # STATE-WALL point (r13 verdict task 4): sustained rate at ~1M
+        # in-flight fan-in keys is a soak-scale measurement (minutes of
+        # feed build + run) — re-measured by scripts/topology_scaling.py
+        # per round, not inside every bench. Surface the stored point with
+        # its provenance so the capacity block answers both sizing
+        # questions (warm small-state knee vs bounded-state ceiling).
+        wall_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "STATE_WALL.json"
+        )
+        if os.path.isfile(wall_path):
+            with open(wall_path) as fh:
+                streaming_cap["state_wall"] = json.load(fh)
     except Exception as exc:
         streaming_cap = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     calib_after = calibration_probe(spark)
     sched_after = scheduling_probe(spark)
+
+    # Append the probe medians to a PERMANENT per-run series (r13 verdict
+    # task 1: the SCHED_REFERENCE_S pin was taken on a box that had already
+    # drifted, so the ratio alone can't see pre-pin drift — the archived
+    # series is the auditable record a future adjudication diffs against).
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCHED_HISTORY.jsonl"
+    )
+    with open(hist_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": round(time.time(), 1),
+                    "sf": sf,
+                    "load1": load1,
+                    "sched_before_s": sched_before["median_s"],
+                    "sched_after_s": sched_after["median_s"],
+                    "calib_before_s": calib_before["median_s"],
+                    "calib_after_s": calib_after["median_s"],
+                    "sched_reference_s": SCHED_REFERENCE_S,
+                }
+            )
+            + "\n"
+        )
 
     total = round(sum(timings.values()), 3)
     # contention multiplier across the sweep: mean of the paired probes'
@@ -736,6 +793,17 @@ def main() -> None:
         )
         if k in streaming_cap
     }
+    if "knee" in streaming_cap:
+        cap_compact["knee_tweets_per_s"] = streaming_cap["knee"].get(
+            "tweets_per_s"
+        )
+        cap_compact["knee_steady_tweets_per_s"] = streaming_cap["knee"].get(
+            "steady_tweets_per_s"
+        )
+    if "state_wall" in streaming_cap:
+        cap_compact["state_wall_tweets_per_s"] = streaming_cap[
+            "state_wall"
+        ].get("sustained_tweets_per_s")
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,

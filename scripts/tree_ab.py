@@ -173,6 +173,7 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--topology", action="store_true")
+    ap.add_argument("--topology-all-reps", action="store_true")
     ap.add_argument("--out", default=os.path.join(HERE, "..", "AB_r14.json"))
     ap.add_argument(
         "--sf-dir",
@@ -201,9 +202,11 @@ def main() -> None:
                 "--sf-dir",
                 args.sf_dir,
             ]
-            # topology once per tree (first rep) — it is minutes, not
-            # seconds, and its run-to-run swing is epoch-quantized anyway
-            if args.topology and rep == 0:
+            # topology once per tree (first rep) by default — it is
+            # minutes, not seconds; --topology-all-reps repeats it when the
+            # topology delta is the thing being adjudicated (its run-to-run
+            # swing is epoch-quantized, so one sample per tree can't decide)
+            if args.topology and (rep == 0 or args.topology_all_reps):
                 cmd.append("--topology")
             t0 = time.time()
             proc = subprocess.run(
