@@ -236,6 +236,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--points", type=int, nargs="*", default=[8, 16, 32])
     ap.add_argument(
+        "--state-wall",
+        action="store_true",
+        help="measure the bounded-state ceiling: one x240 long-feed run at "
+        "the capacity knee (trigger 64 / 2x shuffle), recording the "
+        "half-window decay as in-flight fan-in state grows toward ~1M "
+        "keys; writes STATE_WALL.json at the repo root for the bench "
+        "capacity block (r13 verdict task 4)",
+    )
+    ap.add_argument(
         "--restart-soak",
         action="store_true",
         help="instead of the scaling curve: hard-kill the x80 feed "
@@ -316,6 +325,45 @@ def main() -> None:
         rocksdb_state=getattr(args, "rocksdb", False),
         rocksdb_changelog=getattr(args, "changelog", False),
     )
+    if args.state_wall:
+        base_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # --soak-trigger defaults to 8 for the soak; the wall point runs at
+        # the measured knee (64) unless explicitly overridden
+        wall_trigger = args.soak_trigger if args.soak_trigger != 8 else 64
+        wall_shuffle = args.shuffle_partitions or base_shuffle * 2
+        r = bench_topology(
+            spark,
+            args.sf_dir,
+            timeout_s=900,
+            max_files_per_trigger=wall_trigger,
+            shuffle_partitions=wall_shuffle,
+            amplify=args.amplify if args.amplify != 80 else 240,
+            n_files=args.soak_n_files if args.soak_n_files != 256 else 768,
+        )
+        subs = r.get("steady_subwindow_rates") or []
+        report = {
+            "metric": "state_wall",
+            # the SECOND half-window rate is the wall: by then the
+            # in-flight fan-in population has grown to its peak and the
+            # per-batch state maintenance dominates (PERF.md round-13)
+            "sustained_tweets_per_s": subs[-1] if subs else None,
+            "first_half_tweets_per_s": subs[0] if subs else None,
+            "one_shot_tweets_per_s": r.get("tweets_per_s"),
+            "tweets": r.get("tweets"),
+            "elapsed_s": r.get("elapsed_s"),
+            "max_files_per_trigger": wall_trigger,
+            "shuffle_partitions": wall_shuffle,
+            "source": "scripts/topology_scaling.py --state-wall (x240 feed)",
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "STATE_WALL.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+        print(json.dumps(report), flush=True)
+        spark.stop()
+        return
     if args.restart_soak:
         report = restart_soak(
             spark,
