@@ -91,12 +91,24 @@ def restart_soak(
         parsed.repartition(n_files).write.json(indir)
 
         # batch golden BEFORE any streaming work (driver-held: this is the
-        # verification script, not the engine)
+        # verification script, not the engine). Held as per-tag md5 DIGESTS
+        # of the canonical payload, not the payload strings: at the x240 /
+        # 1.13M-key point the string maps were ~28 GB of small objects and
+        # the final compare sat in CPython's cyclic GC for ~45 minutes
+        # (r14; clocks were unaffected — they stop before the compare —
+        # but the wall cost was absurd and the in-run heap pressure real).
+        import hashlib
+
+        def _digest(payload) -> bytes:
+            return hashlib.md5(
+                json.dumps(payload, sort_keys=True).encode()
+            ).digest()
+
         want_df = fragments.finalize_results(
             fanin.fanin_batch(fragments.build_fragments(parsed))
         )
         want = {
-            r["tag"]: r["value"]
+            r["tag"]: _digest(json.loads(r["value"])["payload"])
             for r in want_df.select(
                 F.col("tag"),
                 F.to_json(F.struct(F.col("payload"))).alias("value"),
@@ -123,12 +135,31 @@ def restart_soak(
         mid = 0
         try:
             deadline = _time.time() + timeout_s
+            last_note = _time.time()
             while _time.time() < deadline:
                 mid = counter.count()
                 if mid >= n // 8 and (n - mid) >= min_inflight:
                     break  # warm AND loaded: kill here
                 if n - mid < min_inflight:
                     break  # corpus too small for the requested in-flight
+                # a dead query can never complete more keys — spinning to
+                # the timeout hides the failure (r14: a stream thread died
+                # mid-life and the loop sat silent for 19 minutes)
+                dead = [q for q in queries if not q.isActive]
+                if dead:
+                    msgs = [str(q.exception())[:400] for q in dead]
+                    raise RuntimeError(
+                        f"life 1: {len(dead)} topology quer"
+                        f"{'y' if len(dead) == 1 else 'ies'} died mid-run: "
+                        + " | ".join(msgs)
+                    )
+                if _time.time() - last_note >= 30:
+                    last_note = _time.time()
+                    print(
+                        f"life1 t={_time.perf_counter() - t0:.0f}s "
+                        f"completed={mid} inflight={n - mid}",
+                        flush=True,
+                    )
                 _time.sleep(0.25)
         finally:
             spark.sparkContext.setLogLevel("OFF")
@@ -162,10 +193,26 @@ def restart_soak(
         first_new_result_s = None  # replay-stall: restart -> first NEW result
         try:
             deadline = _time.time() + timeout_s
+            last_note = _time.time()
             while _time.time() < deadline and got < n:
                 got = counter2.count()
                 if first_new_result_s is None and got > mid:
                     first_new_result_s = round(_time.perf_counter() - t1, 1)
+                dead = [q for q in queries if not q.isActive]
+                if dead:
+                    msgs = [str(q.exception())[:400] for q in dead]
+                    raise RuntimeError(
+                        f"life 2: {len(dead)} topology quer"
+                        f"{'y' if len(dead) == 1 else 'ies'} died mid-run: "
+                        + " | ".join(msgs)
+                    )
+                if _time.time() - last_note >= 30:
+                    last_note = _time.time()
+                    print(
+                        f"life2 t={_time.perf_counter() - t1:.0f}s "
+                        f"completed={got}/{n}",
+                        flush=True,
+                    )
                 _time.sleep(0.5)
         finally:
             spark.sparkContext.setLogLevel("OFF")
@@ -184,19 +231,23 @@ def restart_soak(
         life2_stats = topology.reset_publish_stats()
         parsed.unpersist()
 
-        results = [json.loads(r) for r in topics["results"].read_all()]
-        tags = [r["payload"]["status"]["id"] for r in results]
-        got_map = {
-            t: json.dumps(r["payload"], sort_keys=True)
-            for t, r in zip(tags, results)
-        }
-        want_map = {
-            t: json.dumps(json.loads(v)["payload"], sort_keys=True)
-            for t, v in want.items()
-        }
-        mismatches = sum(
-            1 for t in want_map if got_map.get(t) != want_map[t]
-        )
+        # streaming one-pass compare against the digest golden: constant
+        # small state per result line, no 10M-object dicts (see the golden
+        # construction note above)
+        n_results = 0
+        partial_count = 0
+        seen_tags: set[str] = set()
+        matched_tags: set[str] = set()
+        for line in topics["results"].read_all():
+            r = json.loads(line)
+            n_results += 1
+            tag = r["payload"]["status"]["id"]
+            seen_tags.add(tag)
+            if r["is_partial"]:
+                partial_count += 1
+            if want.get(tag) == _digest(r["payload"]):
+                matched_tags.add(tag)
+        mismatches = len(want) - len(matched_tags)
         return {
             "metric": "topology_restart_soak",
             "tweets": n,
@@ -216,15 +267,15 @@ def restart_soak(
             "shuffle_partitions": int(
                 spark.conf.get("spark.sql.shuffle.partitions")
             ),
-            "results": len(results),
-            "unique_tags": len(set(tags)),
-            "partials": sum(1 for r in results if r["is_partial"]),
+            "results": n_results,
+            "unique_tags": len(seen_tags),
+            "partials": partial_count,
             "payload_mismatches_vs_batch_golden": mismatches,
             "exactly_once": (
-                len(results) == n
-                and len(set(tags)) == n
+                n_results == n
+                and len(seen_tags) == n
                 and mismatches == 0
-                and not any(r["is_partial"] for r in results)
+                and partial_count == 0
             ),
         }
     finally:
