@@ -17,11 +17,10 @@ keyed global window + custom trigger (SURVEY.md §2.5):
   concatenate (`NeelProcessedTweetWindowFunction.java:57-61`) — preserved.
 
 Spark mapping: ``groupBy(tag).applyInPandasWithState`` with
-``GroupStateTimeout.ProcessingTimeTimeout``. The state holds the key's
-fragment JSON packed into one zlib blob (see ``STATE_SCHEMA``); assembly
-back to typed columns happens AFTER the stateful operator with the same
-JVM-side expressions as the batch path, so batch and stream produce
-identical output on bounded input (parity test).
+``GroupStateTimeout.ProcessingTimeTimeout``. The state holds raw fragment JSON
+(small, per-key); assembly back to typed columns happens AFTER the stateful
+operator with the same JVM-side expressions as the batch path, so batch and
+stream produce identical output on bounded input (parity test).
 
 Scale: state is keyed by tweet id — the same single shuffle the reference's
 ``keyBy`` does (`TwitterStreamJob.java:347`) — and each key's state is O(its
@@ -34,7 +33,6 @@ stream length.
 from __future__ import annotations
 
 import json
-import zlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -55,53 +53,18 @@ FRAGMENT_IN = T.StructType(
     ]
 )
 
-# State: accumulated fragments + arrival bookkeeping, packed into ONE
-# zlib-compressed blob (r13 verdict task 2). The measured state-size wall —
-# sustained throughput halving and the 391 s/M recovery clock both tracked
-# per-batch state maintenance at ~1M in-flight keys — is paid PER STATE
-# BYTE three times over: the per-batch expired-timer scan reads every
-# key's state row, the RocksDB changelog checkpoint uploads every changed
-# row, and a restart reloads the full store before the first new result.
-# Tweet-fragment JSON compresses ~4-6x at zlib level 1 (~10 us per update,
-# trivial against the per-key Arrow round-trip), so the blob cuts all
-# three clocks at identical semantics. The deadline stays a separate LONG
-# so the re-arm path never depends on blob internals.
+# State: accumulated fragments + arrival bookkeeping.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("status_json", T.StringType(), True),
+        T.StructField("entities_json", T.ArrayType(T.StringType()), True),
+        T.StructField("resources_json", T.ArrayType(T.StringType()), True),
+        T.StructField("location_json", T.StringType(), True),
+        T.StructField("received", T.ArrayType(T.StringType()), True),
         # first-arrival deadline (epoch ms): fixed at first element + timeout
         T.StructField("deadline_ms", T.LongType(), True),
     ]
 )
-
-
-def _pack_state(s: dict[str, Any]) -> bytes:
-    """State dict -> compressed blob (level 1: speed over ratio — the win
-    is already ~5x on tweet JSON and the pack runs per key per batch)."""
-    return zlib.compress(
-        json.dumps(
-            [
-                s["status_json"],
-                s["entities_json"],
-                s["resources_json"],
-                s["location_json"],
-                sorted(s["received"]),
-            ],
-            separators=(",", ":"),
-        ).encode("utf-8"),
-        1,
-    )
-
-
-def _unpack_state(blob) -> dict[str, Any]:
-    sj, ej, rj, lj, recv = json.loads(zlib.decompress(bytes(blob)))
-    return {
-        "status_json": sj,
-        "entities_json": ej,
-        "resources_json": rj,
-        "location_json": lj,
-        "received": set(recv),
-    }
 
 # Output: one row per completed (or timed-out partial) tweet.
 ASSEMBLED_OUT = T.StructType(
@@ -160,16 +123,30 @@ def make_fanin_fn(timeout_ms: int):
         if state.hasTimedOut:
             # timer path: partial emit iff status arrived, else silent purge
             # (`TwitterStreamTypeWindowTrigger.java:69-78`)
-            (blob, _dl) = state.get
-            s = _unpack_state(blob)
+            (sj, ej, rj, lj, recv, _dl) = state.get
             state.remove()
-            if s["status_json"] is not None:
-                yield _emit(tag, s, True)
+            if sj is not None:
+                yield _emit(
+                    tag,
+                    {
+                        "status_json": sj,
+                        "entities_json": ej,
+                        "resources_json": rj,
+                        "location_json": lj,
+                    },
+                    True,
+                )
             return
 
         if state.exists:
-            (blob, deadline_ms) = state.get
-            s = _unpack_state(blob)
+            (sj, ej, rj, lj, recv, deadline_ms) = state.get
+            s = {
+                "status_json": sj,
+                "entities_json": list(ej),
+                "resources_json": list(rj),
+                "location_json": lj,
+                "received": set(recv),
+            }
         else:
             # one-shot timer: deadline fixes at FIRST element + timeout
             # (`TwitterStreamTypeWindowTrigger.java:44-48`)
@@ -191,7 +168,16 @@ def make_fanin_fn(timeout_ms: int):
             state.remove()
             yield _emit(tag, s, False)
         else:
-            state.update((_pack_state(s), deadline_ms))
+            state.update(
+                (
+                    s["status_json"],
+                    s["entities_json"],
+                    s["resources_json"],
+                    s["location_json"],
+                    sorted(s["received"]),
+                    deadline_ms,
+                )
+            )
             # Spark clears the timeout each invocation; re-arm with the
             # REMAINING time so the original deadline holds (no roll-forward)
             remaining = max(1, deadline_ms - state.getCurrentProcessingTimeMs())
@@ -233,16 +219,30 @@ def make_fanin_fn_event_time(timeout_ms: int):
     ) -> Iterator[pd.DataFrame]:
         tag = key[0]
         if state.hasTimedOut:
-            (blob, _dl) = state.get
-            s = _unpack_state(blob)
+            (sj, ej, rj, lj, recv, _dl) = state.get
             state.remove()
-            if s["status_json"] is not None:
-                yield _emit(tag, s, True)
+            if sj is not None:
+                yield _emit(
+                    tag,
+                    {
+                        "status_json": sj,
+                        "entities_json": ej,
+                        "resources_json": rj,
+                        "location_json": lj,
+                    },
+                    True,
+                )
             return
 
         if state.exists:
-            (blob, deadline_ms) = state.get
-            s = _unpack_state(blob)
+            (sj, ej, rj, lj, recv, deadline_ms) = state.get
+            s = {
+                "status_json": sj,
+                "entities_json": list(ej),
+                "resources_json": list(rj),
+                "location_json": lj,
+                "received": set(recv),
+            }
         else:
             deadline_ms = None
             s = {
@@ -267,7 +267,16 @@ def make_fanin_fn_event_time(timeout_ms: int):
             state.remove()
             yield _emit(tag, s, False)
         else:
-            state.update((_pack_state(s), deadline_ms))
+            state.update(
+                (
+                    s["status_json"],
+                    s["entities_json"],
+                    s["resources_json"],
+                    s["location_json"],
+                    sorted(s["received"]),
+                    deadline_ms,
+                )
+            )
             # absolute event-time deadline (cleared each invocation like all
             # GroupState timeouts — re-set to the SAME stored instant); Spark
             # rejects timestamps at/below the watermark, so clamp just above

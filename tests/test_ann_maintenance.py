@@ -881,3 +881,40 @@ def test_retrain_shrinking_cells_below_spill(spark, corpus, tmp_path):
     n_cells_trained = new_cents.count()
     assert 1 <= n_cells_trained <= 2
     assert new_corpus.count() == corpus.count() * min(3, n_cells_trained)
+
+
+def test_spilled_curve_refresh_after_append(spark, corpus, tmp_path):
+    """r13 verdict task 6: the stored recall curve is only remeasured at
+    retrain, so after appends a spilled index's curve — and the probe
+    budget --target-recall resolves from it — is stale. Pin the
+    maintenance contract: append ~25% new vectors, REMEASURE, re-store.
+    The remeasured curve must cover the appended rows (full probe back to
+    recall 1.0 on the grown corpus), the appended epoch must be visible
+    to the drift trigger, and serving must resolve from the refreshed
+    sidecar (meeting the target or loudly 'unmet', never silently stale)."""
+    path = str(tmp_path / "ivf_sp_append_curve")
+    base = corpus.filter(F.col("vec_id") < 320)
+    delta = corpus.filter(F.col("vec_id") >= 320)
+    similarity.build_ivf_index(base, path, n_cells=16, n_iters=2, spill=2)
+    curve0 = similarity.measure_recall_curve(
+        spark, path, k=K, n_queries=16, probes=[2, 4, 16]
+    )
+    similarity.store_recall_curve(spark, path, curve0)
+
+    similarity.append_to_ivf_index(delta, path)
+    curve1 = similarity.measure_recall_curve(
+        spark, path, k=K, n_queries=16, probes=[2, 4, 16]
+    )
+    by_p = {pt["n_probe"]: pt for pt in curve1}
+    assert by_p[16]["recall"] == 1.0
+    assert by_p[16]["n_queries"] > 0
+    # spilled append: the appended epoch must appear in the drift read
+    drift = similarity.ivf_drift_stats(spark, path)
+    assert any(e.startswith("delta-") for e in drift["per_epoch"])
+
+    similarity.store_recall_curve(spark, path, curve1)
+    meta = similarity.read_index_meta(spark, path)
+    assert meta["recall_curve"] == curve1
+    assert meta["spill"] == 2
+    pt = similarity.resolve_n_probe(curve1, 0.95)
+    assert pt["recall"] >= 0.95 or pt.get("unmet")

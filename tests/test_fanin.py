@@ -111,14 +111,14 @@ def test_fanin_timeout_is_one_shot_not_rolling():
     # first fragment arrives at t=1_000_000 -> armed for the full 10s
     list(fn(("7",), _pdf([dict(tag="7", stream_type="linkedTweet", payload=[ENT])]), st))
     assert st.armed_ms == 10_000
-    deadline = st._state[1]
+    deadline = st._state[5]
     assert deadline == 1_010_000
 
     # 6s later another non-status fragment trickles in: deadline must NOT
     # move -> re-armed with the REMAINING 4s, not a fresh 10s
     st.now_ms = 1_006_000
     list(fn(("7",), _pdf([dict(tag="7", stream_type="resource", payload=[])]), st))
-    assert st._state[1] == deadline, "deadline must stay at first arrival + period"
+    assert st._state[5] == deadline, "deadline must stay at first arrival + period"
     assert st.armed_ms == 4_000
 
     # past the deadline: remaining clamps to the 1ms minimum (fires next tick)
@@ -229,21 +229,21 @@ def test_fanin_event_time_deadline_is_data_determined():
     list(fn(("7",), _pdf_ts(
         [dict(tag="7", stream_type="linkedTweet", payload=[ENT])], [50_000]
     ), st))
-    assert st._state[1] == 60_000 and st.timeout_ts == 60_000
+    assert st._state[5] == 60_000 and st.timeout_ts == 60_000
 
     # an out-of-order fragment with EARLIER event time (44s) arrives later:
     # the deadline moves BACK to 54s (deterministic on data, not arrival)
     list(fn(("7",), _pdf_ts(
         [dict(tag="7", stream_type="resource", payload=[])], [44_000]
     ), st))
-    assert st._state[1] == 54_000 and st.timeout_ts == 54_000
+    assert st._state[5] == 54_000 and st.timeout_ts == 54_000
 
     # Spark rejects timeout timestamps at/below the watermark -> clamp above
     st.watermark_ms = 60_000
     list(fn(("7",), _pdf_ts(
         [dict(tag="7", stream_type="resource", payload=[])], [45_000]
     ), st))
-    assert st._state[1] == 54_000, "stored deadline keeps the data value"
+    assert st._state[5] == 54_000, "stored deadline keeps the data value"
     assert st.timeout_ts == 60_001, "armed timestamp clamps past watermark"
 
     # timer fires without a status fragment -> orphan purge, no emit
