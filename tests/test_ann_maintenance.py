@@ -901,7 +901,10 @@ def test_spilled_curve_refresh_after_append(spark, corpus, tmp_path):
     )
     similarity.store_recall_curve(spark, path, curve0)
 
-    similarity.append_to_ivf_index(delta, path)
+    # epoch-keyed append: the drift trigger reads epochs off the delta-e<N>
+    # subdirs (ivf_drift_stats), so the maintenance pin appends the way a
+    # streaming ingester does — a bare append is drift-INVISIBLE by design
+    similarity.append_to_ivf_index(delta, path, subdir="delta-e1")
     curve1 = similarity.measure_recall_curve(
         spark, path, k=K, n_queries=16, probes=[2, 4, 16]
     )
