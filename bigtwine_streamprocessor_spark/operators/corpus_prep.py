@@ -879,20 +879,27 @@ def countmin_topterms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
     from bucket collisions only — holds by construction and is pinned in
     tests; every count is an integer, so the sketch is oracle-exact.
 
-    Scale shape: one token explode feeds both the exact counts (map-side
-    partials) and the d x w = {CMS_D}x{CMS_W} cell table, which is bounded
-    and BROADCAST back to score query terms — at 100 TB the sketch stays
-    1024 rows no matter the corpus, which is the entire point of CMS.
+    Scale shape: one token explode feeds the exact counts (map-side
+    partials); the d x w = {CMS_D}x{CMS_W} cell table is then derived from
+    the VOCABULARY (r14, guide §1.2 step 1): a bucket's cell count is the
+    integer sum of ``exact_n`` over the tokens hashing into it — bit-equal
+    to counting every occurrence, at |vocab| x d md5s instead of
+    |occurrences| x d (measured 3.5x the whole query co-timed at sf0.1,
+    OPTIMIZATION_r14.md). The bounded cell table is BROADCAST back to score
+    query terms — at 100 TB the sketch stays 1024 rows no matter the
+    corpus, which is the entire point of CMS.
     """
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     # one md5 per row via conv() — see kmv_distinct_by_source for why the
     # digit-sum form is DuckDB-only
     bucket = F.expr(_CMS_BUCKET_SPARK)
-    rows = toks.select(
-        "tok", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    rows = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
     ).withColumn("bucket", bucket)
-    cells = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    cells = rows.groupBy("d", "bucket").agg(F.sum("exact_n").alias("cell_n"))
     q = (
         exact.orderBy(F.col("exact_n").desc(), "tok")
         .limit(top)

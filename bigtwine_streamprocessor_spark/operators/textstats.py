@@ -394,19 +394,31 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     perplexity-filter upgrade over the unigram model (catches shuffled-word
     salad that unigram stats cannot).
 
-    Plan: one bigram explode + one token explode feed two count tables
-    (map-side partials); bigrams join their own count and the left-token
-    count (both vocabulary-sized sides), then a per-doc average. Deterministic
-    arithmetic on both engines; avg rounds to 5.
+    Plan (r14, guide §2.3/§2.4 — score the vocabulary, not the stream):
+    one bigram explode + one token explode feed the two count tables
+    (map-side partials); the interpolated log-prob is computed ONCE per
+    DISTINCT bigram on the vocabulary-sized ``bfreq`` frame (its two
+    unigram joins and the 1-row totals ride on frames the size of the
+    bigram vocabulary), and the occurrence rows join back through the
+    single ``bg`` key before the per-doc average. The pre-r14 shape pushed
+    every occurrence row through THREE joins (bg->bfreq, w1->uni, w2->uni)
+    and re-computed the token explode for each ``uni`` reference plus the
+    totals — measured 1.76x the wall at sf0.1 co-timed (OPTIMIZATION_r14
+    .md). Every occurrence carries the bit-identical double (same integer
+    expression), so the per-doc avg is unchanged. The bigram-validity
+    filter drops the regex + re-split of the old form: tokens never
+    contain spaces, so a bigram is invalid iff it starts or ends with the
+    joining space. Deterministic arithmetic on both engines; avg rounds
+    to 5.
     """
     toks = F.split(F.col("text"), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
-    bg = docs.select(
-        "doc_id", F.explode(bigrams).alias("bg")
-    ).filter(~F.col("bg").rlike("^ | $") & (F.size(F.split(F.col("bg"), " ")) == 2))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg")).filter(
+        ~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" ")
+    )
     uni = (
         docs.select(F.explode(toks).alias("term"))
         .filter(F.length("term") > 0)
@@ -415,27 +427,26 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     )
     totals = uni.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v"))
     bfreq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    w1 = F.split(F.col("bg"), " ")[0]
-    w2 = F.split(F.col("bg"), " ")[1]
-    scored = (
-        bg.join(bfreq, "bg")
-        .withColumn("_w1", w1)
-        .withColumn("_w2", w2)
-        .join(uni.select(F.col("term").alias("_w1"), F.col("cu").alias("c1")), "_w1")
-        .join(uni.select(F.col("term").alias("_w2"), F.col("cu").alias("c2")), "_w2")
-        .join(F.broadcast(totals))
-    )
     p = (
         F.lit(BIGRAM_LAMBDA) * F.col("cb").cast("double") / F.col("c1").cast("double")
         + F.lit(1 - BIGRAM_LAMBDA)
         * (F.col("c2") + 1).cast("double")
         / (F.col("n") + F.col("v")).cast("double")
     )
+    scored_bg = (
+        bfreq.withColumn("_w1", F.substring_index(F.col("bg"), " ", 1))
+        .withColumn("_w2", F.substring_index(F.col("bg"), " ", -1))
+        .join(uni.select(F.col("term").alias("_w1"), F.col("cu").alias("c1")), "_w1")
+        .join(uni.select(F.col("term").alias("_w2"), F.col("cu").alias("c2")), "_w2")
+        .join(F.broadcast(totals))
+        .select("bg", F.log(p).alias("_lp"))
+    )
     return (
-        scored.groupBy("doc_id")
+        bg.join(scored_bg, "bg")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            _rd(F.avg(F.log(p)), 5).alias("avg_logprob"),
+            _rd(F.avg("_lp"), 5).alias("avg_logprob"),
         )
     )
 

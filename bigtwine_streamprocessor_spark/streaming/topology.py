@@ -253,6 +253,76 @@ def _epoch_publish(topic, prefix: str, df: DataFrame, writer) -> None:
         PUBLISH_STATS["published"] += 1
 
 
+def _epoch_publish_multi(df: DataFrame, specs: list[tuple]) -> None:
+    """One Spark action publishing one batch to SEVERAL topics at once.
+
+    ``specs`` is a list of ``(topic, prefix, col, key, writer)``: ``col``
+    names a column of ``df`` holding that topic's payload for the row (a
+    string, or an array of strings to flatten; NULLs skip), ``key`` is the
+    row-dict key the topic's writer expects (``"value"`` for line writers,
+    ``"item"`` for envelope writers). Semantics are identical to running
+    ``_epoch_publish`` once per topic — same per-topic epoch skip/stage/
+    count-check/commit, same PUBLISH_STATS accounting, same staged file
+    contents (each writer sees the same per-partition row order the
+    separate action would have) — but the batch is computed and scanned
+    ONCE instead of once per topic (guide §1.2/§2.6: per-micro-batch fixed
+    cost was 3 jobs + a persist for Q1, now 1 job and no cache churn).
+    """
+    live: list[tuple] = []
+    for topic, prefix, col, key, writer in specs:
+        if topic.epoch_committed(prefix):
+            with _PUBLISH_STATS_LOCK:
+                PUBLISH_STATS["skipped_committed"] += 1
+            continue
+        topic.begin_epoch(prefix)
+        live.append((topic, prefix, col, key, writer))
+    if not live:
+        return
+    sc = df.sparkSession.sparkContext
+    checked = [
+        spec for spec in live
+        if getattr(spec[0], "staged_partition_count", None) is not None
+    ]
+    accs = {spec[2]: sc.accumulator(0) for spec in checked}
+    plan = [
+        (col, key, writer, col in accs) for (_t, _p, col, key, writer) in live
+    ]
+
+    def write_all(rows, _plan=plan, _accs=accs) -> None:
+        rows = list(rows)
+        for col, key, writer, counted in _plan:
+            vals: list[dict] = []
+            for r in rows:
+                v = r[col]
+                if v is None:
+                    continue
+                if isinstance(v, (list, tuple)):
+                    vals.extend({key: x} for x in v if x is not None)
+                else:
+                    vals.append({key: v})
+            if vals and counted:
+                _accs[col].add(1)
+            writer(iter(vals))
+
+    df.foreachPartition(write_all)
+    for topic, prefix, col, _key, _writer in live:
+        if col in accs:
+            visible = topic.staged_partition_count(prefix)
+            if visible != accs[col].value:
+                raise RuntimeError(
+                    f"epoch {prefix} on topic {topic.name!r}: executors "
+                    f"staged {accs[col].value} non-empty partition(s) but "
+                    f"the driver sees {visible} — the stage root is not on "
+                    "driver+executor-shared storage. Refusing to commit "
+                    "(it would silently drop rows); point the transport's "
+                    "stage at shared storage (same class as the streaming "
+                    "checkpoint)."
+                )
+        topic.commit_epoch(prefix)
+        with _PUBLISH_STATS_LOCK:
+            PUBLISH_STATS["published"] += 1
+
+
 import re as _re
 
 _EPOCH_DIR_RE = _re.compile(r"^q\d+-e\d+$")
@@ -378,47 +448,58 @@ def start_topology(
         )
     )
 
+    # all three Q1 outputs are projections of the same batch: publish them
+    # in ONE pass (one Spark job per trigger instead of three + a persist);
+    # each topic keeps its own epoch stage/commit (see _epoch_publish_multi)
     def q1(batch_df: DataFrame, epoch_id: int) -> None:
         pfx = f"q1-e{epoch_id}"
-        bdf = batch_df.persist()
-        try:
-            _epoch_publish(
-                topics["fragments"],
-                pfx,
-                bdf.select(F.explode(q1_frag_lines).alias("value")),
-                topics["fragments"].line_writer(pfx),
-            )
-            _epoch_publish(
-                topics["ner-requests"],
-                pfx,
-                bdf.select(
-                    F.to_json(
-                        F.struct(F.col("id").alias("tag"), F.col("text"))
-                    ).alias("item")
+        combined = batch_df.select(
+            q1_frag_lines.alias("_frag"),
+            F.to_json(
+                F.struct(F.col("id").alias("tag"), F.col("text"))
+            ).alias("_ner"),
+            F.when(
+                has_loc,
+                F.to_json(
+                    F.struct(
+                        F.col("id").alias("tag"),
+                        F.col("user__location").alias("address"),
+                    )
                 ),
-                topics["ner-requests"].envelope_writer(
-                    reply("ner-responses"), fname_prefix=pfx
+            ).alias("_geo"),
+        )
+        _epoch_publish_multi(
+            combined,
+            [
+                (
+                    topics["fragments"],
+                    pfx,
+                    "_frag",
+                    "value",
+                    topics["fragments"].line_writer(pfx),
                 ),
-            )
-            _epoch_publish(
-                topics["geodecoder-requests"],
-                pfx,
-                bdf.filter(has_loc).select(
-                    F.to_json(
-                        F.struct(
-                            F.col("id").alias("tag"),
-                            F.col("user__location").alias("address"),
-                        )
-                    ).alias("item")
+                (
+                    topics["ner-requests"],
+                    pfx,
+                    "_ner",
+                    "item",
+                    topics["ner-requests"].envelope_writer(
+                        reply("ner-responses"), fname_prefix=pfx
+                    ),
                 ),
-                topics["geodecoder-requests"].envelope_writer(
-                    reply("geodecoder-responses"),
-                    chunk=GEO_CHUNK,
-                    fname_prefix=pfx,
+                (
+                    topics["geodecoder-requests"],
+                    pfx,
+                    "_geo",
+                    "item",
+                    topics["geodecoder-requests"].envelope_writer(
+                        reply("geodecoder-responses"),
+                        chunk=GEO_CHUNK,
+                        fname_prefix=pfx,
+                    ),
                 ),
-            )
-        finally:
-            bdf.unpersist()
+            ],
+        )
 
     q1_query = (
         parsed.writeStream.foreachBatch(q1)
@@ -457,54 +538,57 @@ def start_topology(
         lambda e: e["token"],
     )
 
+    # both Q3 outputs are projections of the same parsed item rows: one
+    # pass, one job per trigger (was two + a persist). linkedTweet fragment
+    # always; empty-resource synth fragment when no entity links
+    # (`TwitterStreamJob.java:327-331`)
     def q3(batch_df: DataFrame, epoch_id: int) -> None:
-        items = _resp_items_df(batch_df, NEL_RESP_ITEM).persist()
-        try:
-            ent_payload = F.to_json(
-                F.transform(F.col("it.entities"), _entity_payload_struct)
-            )
-            # linkedTweet fragment always; empty-resource synth fragment when
-            # no entity links (`TwitterStreamJob.java:327-331`)
-            pfx = f"q3-e{epoch_id}"
-            _epoch_publish(
-                topics["fragments"],
-                pfx,
-                items.select(
-                    F.explode(
-                        F.array_compact(
-                            F.array(
-                                _frag_json(
-                                    F.col("it.tag"), "linkedTweet", ent_payload
-                                ),
-                                F.when(
-                                    F.size(_linked_tokens) == 0,
-                                    _frag_json(
-                                        F.col("it.tag"), "resource", F.lit("[]")
-                                    ),
-                                ),
-                            )
-                        )
-                    ).alias("value")
+        items = _resp_items_df(batch_df, NEL_RESP_ITEM)
+        ent_payload = F.to_json(
+            F.transform(F.col("it.entities"), _entity_payload_struct)
+        )
+        pfx = f"q3-e{epoch_id}"
+        combined = items.select(
+            F.array_compact(
+                F.array(
+                    _frag_json(F.col("it.tag"), "linkedTweet", ent_payload),
+                    F.when(
+                        F.size(_linked_tokens) == 0,
+                        _frag_json(F.col("it.tag"), "resource", F.lit("[]")),
+                    ),
+                )
+            ).alias("_frag"),
+            F.when(
+                F.size(_linked_tokens) > 0,
+                F.to_json(
+                    F.struct(
+                        F.col("it.tag").alias("tag"),
+                        _linked_tokens.alias("tokens"),
+                    )
                 ),
-                topics["fragments"].line_writer(pfx),
-            )
-            _epoch_publish(
-                topics["linkresolver-requests"],
-                pfx,
-                items.filter(F.size(_linked_tokens) > 0).select(
-                    F.to_json(
-                        F.struct(
-                            F.col("it.tag").alias("tag"),
-                            _linked_tokens.alias("tokens"),
-                        )
-                    ).alias("item")
+            ).alias("_res"),
+        )
+        _epoch_publish_multi(
+            combined,
+            [
+                (
+                    topics["fragments"],
+                    pfx,
+                    "_frag",
+                    "value",
+                    topics["fragments"].line_writer(pfx),
                 ),
-                topics["linkresolver-requests"].envelope_writer(
-                    reply("linkresolver-responses"), fname_prefix=pfx
+                (
+                    topics["linkresolver-requests"],
+                    pfx,
+                    "_res",
+                    "item",
+                    topics["linkresolver-requests"].envelope_writer(
+                        reply("linkresolver-responses"), fname_prefix=pfx
+                    ),
                 ),
-            )
-        finally:
-            items.unpersist()
+            ],
+        )
 
     q3_query = (
         topics["nel-responses"].read_stream(spark)

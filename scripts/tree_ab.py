@@ -53,7 +53,7 @@ MIN2_THRESHOLD_S = 8.0
 
 
 def _worker(root: str, queries: list[str], sf_dir: str,
-            topology: bool) -> None:
+            topology: bool, amplify: int = 20, n_files: int = 64) -> None:
     sys.path.insert(0, root)
     from bigtwine_streamprocessor_spark import registry
     from bigtwine_streamprocessor_spark.session import get_spark
@@ -141,7 +141,7 @@ def _worker(root: str, queries: list[str], sf_dir: str,
             "SPARK_GRAFT_STREAM_SF_DIR", "/root/testdata/sf0.01"
         )
         topo = bench_tree.bench_topology(
-            spark, stream_sf, timeout_s=240, amplify=20, n_files=64
+            spark, stream_sf, timeout_s=420, amplify=amplify, n_files=n_files
         )
         topo = {
             k: topo.get(k)
@@ -173,6 +173,8 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--topology", action="store_true")
+    ap.add_argument("--topo-amplify", type=int, default=20)
+    ap.add_argument("--topo-files", type=int, default=64)
     ap.add_argument("--topology-all-reps", action="store_true")
     ap.add_argument("--out", default=os.path.join(HERE, "..", "AB_r14.json"))
     ap.add_argument(
@@ -183,7 +185,8 @@ def main() -> None:
     queries = [q for q in args.queries.split(",") if q]
 
     if args.worker:
-        _worker(args.root, queries, args.sf_dir, args.topology)
+        _worker(args.root, queries, args.sf_dir, args.topology,
+                args.topo_amplify, args.topo_files)
         return
 
     trees = {"a": args.tree_a, "b": args.tree_b}
@@ -207,7 +210,9 @@ def main() -> None:
             # topology delta is the thing being adjudicated (its run-to-run
             # swing is epoch-quantized, so one sample per tree can't decide)
             if args.topology and (rep == 0 or args.topology_all_reps):
-                cmd.append("--topology")
+                cmd += ["--topology", "--topo-amplify",
+                        str(args.topo_amplify), "--topo-files",
+                        str(args.topo_files)]
             t0 = time.time()
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, cwd=trees[side]
