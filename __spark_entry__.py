@@ -98,9 +98,12 @@ _GATE_FIRST = [  # r14 flip: the 50 NOT sampled in r13 (newest green row: r12)
     "embedding_label_centroids",
 ]
 _GATE_LAST = [  # all green in r13 (CORRECTNESS_r13.json, 50/50); head =
-    # the similarity + fan-in queries whose operator modules take this
-    # round's edits (scan-frac fix, spill guards, fan-in state work),
-    # so collateral-edit coverage stays near the sample
+    # the queries whose operator modules took round 14's optimization
+    # edits (countmin cells from vocabulary counts, the overlapped
+    # dedup-index build), then the similarity + fan-in queries from the
+    # r13 edits, so collateral-edit coverage stays near the sample
+    "sketch_countmin_terms",
+    "dedup_incremental",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "similarity_ann_lsh",
@@ -133,9 +136,7 @@ _GATE_LAST = [  # all green in r13 (CORRECTNESS_r13.json, 50/50); head =
     "embedding_random_projection",
     "join_shipping_priority",
     "join_local_supplier_volume",
-    "dedup_incremental",
     "quality_sigmoid_score",
-    "sketch_countmin_terms",
     "curriculum_token_budget",
     "join_returned_items",
     "join_nation_trade_volume",

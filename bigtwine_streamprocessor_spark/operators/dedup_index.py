@@ -104,15 +104,35 @@ def build_dedup_index(
     the build cost at sf0.1 — the r9 official record's 13.97 s vs the 11.6 s
     claim was exactly this, cold). Reading the persisted table back costs one
     cheap (doc_id, sig) scan and no executor cache — the shape a 100 TB
-    build wants, where bands are a projection of the persisted sigs table."""
+    build wants, where bands are a projection of the persisted sigs table.
+
+    The ``digests/`` and ``sigs/`` writes are INDEPENDENT jobs over the same
+    input: they run from a 2-thread pool (guide §2.6 — overlap independent
+    jobs) so the cheap digest scan back-fills executors idled by the MinHash
+    aggregation's tail instead of serializing after it. Co-timed at sf0.1:
+    warm build 4.09 -> 3.45 s (OPTIMIZATION_r14.md)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = docs.sparkSession
     tables = signature_tables(docs)
-    _write_tables(
-        {"digests": tables["digests"], "sigs": tables["sigs"]},
-        path,
-        n_files,
-        mode="overwrite",
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [
+            pool.submit(
+                _write_tables,
+                {"digests": tables["digests"]},
+                path,
+                n_files,
+                "overwrite",
+            ),
+            pool.submit(
+                _write_tables,
+                {"sigs": tables["sigs"]},
+                path,
+                n_files,
+                "overwrite",
+            ),
+        ]:
+            fut.result()
     sigs_back = spark.read.parquet(f"{path.rstrip('/')}/sigs")
     _write_tables(
         {"bands": dedup.signature_bands(sigs_back)}, path, n_files, mode="overwrite"

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -491,28 +493,70 @@ class KafkaTopic:
 class SpoolProducer:
     """Producer writing each flush to ``spool/<topic>/`` as atomic json-line
     files — the broker-less stand-in (degrades KafkaTopic to FileTopic
-    behavior for dev and for exercising the producer path in tests)."""
+    behavior for dev and for exercising the producer path in tests).
+
+    Thread-safety + per-batch idempotence (r14): this producer is CACHED and
+    SHARED by every driver-side ``commit_epoch`` thread (one instance per
+    spool dir per process), and the r13-era shape — iterate the shared
+    buffer, write, then clear — had two windows a real, thread-safe Kafka
+    producer does not: (a) two concurrent flushes could write the same
+    buffered records twice before either cleared (observed in the wild as
+    byte-identical duplicate request files, same requestId, which the
+    fan-in then faithfully CONCATs into a batch-golden mismatch), and
+    (b) an interrupt between write and clear re-flushed the stale buffer
+    later. Now ``flush`` TAKES the buffer as a sequenced batch under a
+    lock and delivers each pending batch to deterministic per-(producer,
+    seq) file names, so a re-delivery of the same batch lands on the same
+    name and dedups (the stand-in's analog of Kafka's idempotent-producer
+    sequence numbers) and a batch is forgotten only after every topic's
+    file is on disk (no loss). Cross-PROCESS replays of an uncommitted
+    epoch still re-stage fresh content under a fresh producer token —
+    the documented at-least-once window of the non-transactional path is
+    unchanged (pinned in test_crash_inside_commit_window_replays_one_epoch).
+    """
 
     def __init__(self, spool: str):
         self.spool = spool
+        self._lock = threading.Lock()
+        self._token = uuid.uuid4().hex[:12]
+        self._seq = 0
         self._buf: list[tuple[str, str]] = []
+        # sequenced batches taken from _buf but not yet fully on disk
+        self._pending: list[tuple[int, list[tuple[str, str]]]] = []
 
     def send(self, topic: str, value: bytes) -> None:
-        self._buf.append((topic, value.decode("utf-8")))
+        with self._lock:
+            self._buf.append((topic, value.decode("utf-8")))
 
     def flush(self) -> None:
         import os
 
         from .transport import append_lines_to_dir
 
-        by_topic: dict[str, list[str]] = {}
-        for t, v in self._buf:
-            by_topic.setdefault(t, []).append(v)
-        for t, lines in by_topic.items():
-            d = os.path.join(self.spool, t)
-            os.makedirs(d, exist_ok=True)
-            append_lines_to_dir(d, lines)
-        self._buf = []
+        with self._lock:
+            if self._buf:
+                self._pending.append((self._seq, self._buf))
+                self._seq += 1
+                self._buf = []
+            pending = list(self._pending)
+        for seq, batch in pending:
+            by_topic: dict[str, list[str]] = {}
+            for t, v in batch:
+                by_topic.setdefault(t, []).append(v)
+            for t, lines in by_topic.items():
+                d = os.path.join(self.spool, t)
+                os.makedirs(d, exist_ok=True)
+                # deterministic name: a re-delivery (concurrent flush or a
+                # retry after an interrupt) lands on the same file and is
+                # skipped by the atomic-name dedup
+                append_lines_to_dir(
+                    d, lines, fname=f"{os.getpid()}-{self._token}-s{seq:08d}"
+                )
+            with self._lock:
+                try:
+                    self._pending.remove((seq, batch))
+                except ValueError:
+                    pass  # a concurrent flush already delivered it
 
 
 class SpoolProducerFactory:
