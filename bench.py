@@ -723,6 +723,25 @@ def main() -> None:
     # have cost at reference CPU availability)
     calib_mult = round((calib_before["ratio"] + calib_after["ratio"]) / 2, 3)
     total_calibrated = round(total / calib_mult, 3) if calib_mult > 0 else None
+    sched_mult = round(
+        (sched_before["ratio"] + sched_after["ratio"]) / 2, 3
+    )
+    # Per-query calibrated values (r14 verdict task 2): the box's scheduling
+    # dimension swings 0.92-1.52x BETWEEN records while the CPU probe stays
+    # near 1.0, and two consecutive PERF comparisons painted untouched
+    # sub-second queries as regressed by exactly that swing. First-order
+    # correction: divide every entry by the mean of this run's two probe
+    # multipliers (CPU + scheduling — short entries are mostly stage-launch
+    # overhead, long ones mostly compute, so the blend under-corrects both
+    # rather than over-correcting either). Additions-only: the raw block is
+    # unchanged and stays the primary record; compare queries_calibrated
+    # across rounds before flagging a regression.
+    query_mult = round((calib_mult + sched_mult) / 2, 3)
+    queries_calibrated = (
+        {k: round(v / query_mult, 3) for k, v in timings.items()}
+        if query_mult > 0
+        else {}
+    )
 
     # Full per-query detail goes to a separate artifact (and an EARLIER
     # stdout line): the driver captures only the last ~2000 chars of output,
@@ -742,11 +761,11 @@ def main() -> None:
         "calibration_reference_s": CALIB_REFERENCE_S,
         "sched_probe_before": sched_before,
         "sched_probe_after": sched_after,
-        "sched_multiplier": round(
-            (sched_before["ratio"] + sched_after["ratio"]) / 2, 3
-        ),
+        "sched_multiplier": sched_mult,
         "sched_reference_s": SCHED_REFERENCE_S,
         "value_calibrated": total_calibrated,
+        "query_calibration_multiplier": query_mult,
+        "queries_calibrated": queries_calibrated,
         "queries": timings,
         "subtimings": subtimings,
         "steady": steady,
@@ -825,14 +844,20 @@ def main() -> None:
         # is blind to — streaming and LSH-dedup deltas read against this
         "sched_before_s": sched_before["median_s"],
         "sched_after_s": sched_after["median_s"],
-        "sched_multiplier": round(
-            (sched_before["ratio"] + sched_after["ratio"]) / 2, 3
-        ),
+        "sched_multiplier": sched_mult,
         "value_calibrated": total_calibrated,
+        "query_calibration_multiplier": query_mult,
         "queries": {
             k: timings[k]
             for k in HEADLINE + ["topology_stream"]
             if k in timings
+        },
+        # per-entry calibrated twins of "queries" (r14 verdict task 2);
+        # additions-only — the raw block above is unchanged
+        "queries_calibrated": {
+            k: queries_calibrated[k]
+            for k in HEADLINE + ["topology_stream"]
+            if k in queries_calibrated
         },
         "steady": steady,
         "streaming": streaming_compact,
@@ -842,9 +867,19 @@ def main() -> None:
     }
     line = json.dumps(compact)
     # hard guard on the driver's ~2000-char output-tail capture: drop keys
-    # until the line fits with margin (never expected to trigger at ~1.2 kB)
-    for drop in ("queries", "streaming_capacity", "streaming", "steady"):
-        if len(line) <= 1500:
+    # until the line fits with margin (calibrated twins go first — the raw
+    # block is the primary record and BENCH_DETAIL always holds both)
+    for drop in (
+        "queries_calibrated",
+        "queries",
+        "streaming_capacity",
+        "streaming",
+        "steady",
+    ):
+        # 1700: the calibrated block lifted the expected line to ~1.5 kB;
+        # the driver's tail capture is ~2000 chars and the JSON prints last,
+        # so 1700 keeps 300 chars of margin before anything is dropped
+        if len(line) <= 1700:
             break
         compact.pop(drop, None)
         line = json.dumps(compact)

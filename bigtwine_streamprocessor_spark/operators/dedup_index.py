@@ -109,23 +109,30 @@ def build_dedup_index(
     The ``digests/`` and ``sigs/`` writes are INDEPENDENT jobs over the same
     input: they run from a 2-thread pool (guide §2.6 — overlap independent
     jobs) so the cheap digest scan back-fills executors idled by the MinHash
-    aggregation's tail instead of serializing after it. Co-timed at sf0.1:
-    warm build 4.09 -> 3.45 s (OPTIMIZATION_r14.md)."""
+    aggregation's tail instead of serializing after it. Each submitted job is
+    wrapped in ``pyspark.inheritable_thread_target`` so the caller's Spark
+    thread-local properties (job group, scheduler pool, description) apply to
+    the pool threads — a caller's ``cancelJobGroup``/FAIR-pool routing reaches
+    these writes (advisor r14). Co-timed at sf0.1: warm build 4.09 -> 3.45 s
+    (OPTIMIZATION_r14.md)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
 
     spark = docs.sparkSession
     tables = signature_tables(docs)
+    write = inheritable_thread_target(spark)(_write_tables)
     with ThreadPoolExecutor(max_workers=2) as pool:
         for fut in [
             pool.submit(
-                _write_tables,
+                write,
                 {"digests": tables["digests"]},
                 path,
                 n_files,
                 "overwrite",
             ),
             pool.submit(
-                _write_tables,
+                write,
                 {"sigs": tables["sigs"]},
                 path,
                 n_files,

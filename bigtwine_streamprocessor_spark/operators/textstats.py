@@ -407,9 +407,15 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     .md). Every occurrence carries the bit-identical double (same integer
     expression), so the per-doc avg is unchanged. The bigram-validity
     filter drops the regex + re-split of the old form: tokens never
-    contain spaces, so a bigram is invalid iff it starts or ends with the
-    joining space. Deterministic arithmetic on both engines; avg rounds
-    to 5.
+    contain spaces, so a joined 2-token slice always contains exactly one
+    interior space, and a slice is invalid iff it starts or ends with the
+    joining space (empty token at either edge) OR contains no space at all
+    — the degenerate 1-element slice a single-token document produces
+    (``slice(toks, 1, 2)`` on a 1-element array joins to the bare token).
+    The ``contains(" ")`` guard keeps that case excluded exactly as the
+    oracle's ``len(string_split(bg,' ')) = 2`` does (r14 verdict item 1:
+    the r14 rewrite dropped it and latently diverged on single-token
+    docs). Deterministic arithmetic on both engines; avg rounds to 5.
     """
     toks = F.split(F.col("text"), " ")
     bigrams = F.transform(
@@ -417,7 +423,9 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
     bg = docs.select("doc_id", F.explode(bigrams).alias("bg")).filter(
-        ~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" ")
+        ~F.col("bg").startswith(" ")
+        & ~F.col("bg").endswith(" ")
+        & F.col("bg").contains(" ")
     )
     uni = (
         docs.select(F.explode(toks).alias("term"))

@@ -268,6 +268,12 @@ def _epoch_publish_multi(df: DataFrame, specs: list[tuple]) -> None:
     ONCE instead of once per topic (guide §1.2/§2.6: per-micro-batch fixed
     cost was 3 jobs + a persist for Q1, now 1 job and no cache churn).
     """
+    cols = [spec[2] for spec in specs]
+    if len(set(cols)) != len(cols):
+        # accumulators are keyed by payload column: two specs sharing one
+        # would silently share an accumulator and double-count non-empty
+        # partitions, tripping the staged-count check spuriously
+        raise ValueError(f"_epoch_publish_multi: duplicate payload columns {cols}")
     live: list[tuple] = []
     for topic, prefix, col, key, writer in specs:
         if topic.epoch_committed(prefix):

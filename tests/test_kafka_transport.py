@@ -104,6 +104,78 @@ def test_producer_cache_evicts_lru_and_flushes(tmp_path):
     kt._PRODUCER_CACHE.clear()
 
 
+def test_spool_producer_concurrent_send_flush_exactly_once(tmp_path):
+    """r14 flush-race fix pin (advisor r14): many threads hammering
+    send()+flush() on the SHARED producer — the pre-fix iterate/write/clear
+    flush double-delivered byte-identical batches — must land every record
+    exactly once in the spool."""
+    import threading
+
+    spool = str(tmp_path / "spool")
+    prod = kt.SpoolProducer(spool)
+    n_threads, n_per = 8, 50
+    barrier = threading.Barrier(n_threads)
+
+    def worker(tid):
+        barrier.wait()
+        for i in range(n_per):
+            prod.send("reqs", f"t{tid}-r{i}".encode())
+            if i % 5 == tid % 5:
+                prod.flush()  # interleaved flushes race on the shared buffer
+        prod.flush()
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    prod.flush()
+    got = _spool_lines(spool, "reqs")
+    want = [f"t{t}-r{i}" for t in range(n_threads) for i in range(n_per)]
+    assert sorted(got) == sorted(want), (
+        f"{len(got)} delivered vs {len(want)} sent "
+        f"(dups={len(got) - len(set(got))})"
+    )
+    assert not prod._pending and not prod._buf
+
+
+def test_spool_producer_interrupted_delivery_retries_without_loss_or_dup(
+    tmp_path, monkeypatch
+):
+    """A crash BETWEEN a batch's topic writes (first topic on disk, second
+    not) must leave the batch pending; the retry flush re-delivers onto the
+    same per-(producer, seq) names so the already-landed topic dedups and
+    the missing one lands — exactly-once content per batch."""
+    from bigtwine_streamprocessor_spark.streaming import transport
+
+    spool = str(tmp_path / "spool")
+    prod = kt.SpoolProducer(spool)
+    prod.send("topic-a", b"a1")
+    prod.send("topic-b", b"b1")
+
+    real_append = transport.append_lines_to_dir
+    calls = {"n": 0}
+
+    def crash_on_second(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between topic writes")
+        return real_append(*args, **kwargs)
+
+    monkeypatch.setattr(transport, "append_lines_to_dir", crash_on_second)
+    with pytest.raises(OSError):
+        prod.flush()
+    assert len(prod._pending) == 1, "interrupted batch must stay pending"
+    monkeypatch.setattr(transport, "append_lines_to_dir", real_append)
+
+    prod.flush()  # retry: topic-a dedups on its name, topic-b lands
+    assert _spool_lines(spool, "topic-a") == ["a1"]
+    assert _spool_lines(spool, "topic-b") == ["b1"]
+    assert not prod._pending
+
+
 def test_line_writer_through_foreachpartition(spark, tmp_path):
     spool = str(tmp_path / "spool")
     topic = kt.KafkaTopic("b:9092", "results", kt.SpoolProducerFactory(spool))

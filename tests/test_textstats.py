@@ -1,14 +1,17 @@
 """Behavioral tests for operators/textstats.py beyond the registry oracle
-gates: hapax-count semantics at the boundaries, and the long-document probe
-proving the hapax path is no longer quadratic per row."""
+gates: hapax-count semantics at the boundaries, the long-document probe
+proving the hapax path is no longer quadratic per row, and the
+single-token-doc bigram pin (r14 verdict item 1)."""
 
 from __future__ import annotations
 
 import time
 
+import duckdb
 from pyspark.sql import functions as F
 
 from bigtwine_streamprocessor_spark.operators import textstats
+from tests.conftest import assert_frames_match
 
 
 def test_lexical_diversity_hand_checked(spark):
@@ -79,3 +82,42 @@ def test_lexical_diversity_long_document_probe(spark):
         assert r.hapax_frac == round(
             exact_by_id.get(r.doc_id, 0) / r.n_tokens, 5
         )
+
+
+def test_bigram_logprob_single_token_and_empty_docs(spark, tmp_path):
+    """r14 verdict item 1 pin: a single-token document's forced
+    ``slice(toks, 1, 2)`` degenerates to the bare token (no joining space).
+    The oracle's ``len(string_split(bg,' ')) = 2`` excludes that doc from
+    the output entirely; the Spark filter must too (the r14 rewrite's
+    space-edge checks alone let it through latently — sf0.1 happens to
+    contain zero single-token docs). Fixture covers: single-token doc,
+    empty-text doc, normal docs, and an empty-token edge (double space)."""
+    rows = [
+        (0, "the cat sat"),
+        (1, "solo"),  # single token: must be ABSENT from the output
+        (2, ""),  # empty text: split -> [""], degenerate bg "" — absent
+        (3, "the cat"),
+        (4, "a  b"),  # double space: both slices touch the empty token
+        (5, "the cat sat down"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.bigram_logprob(docs).collect()}
+    assert set(out) == {0, 3, 5}, sorted(out)
+    assert out[0].n_bigrams == 2 and out[3].n_bigrams == 1
+    assert out[5].n_bigrams == 3
+
+    # full driver-style compare against the unchanged DuckDB oracle twin
+    # on the SAME fixture (the corpus LM counts shift with every doc, so
+    # this proves equivalence of the whole query, not just presence)
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+        assert_frames_match(
+            textstats.bigram_logprob(docs),
+            con,
+            textstats.bigram_logprob_sql("documents"),
+        )
+    finally:
+        con.close()
