@@ -382,7 +382,7 @@ def start_topology(
     parsed: DataFrame,
     analysis_id: str,
     timeout_ms: int = 15_000,
-    trigger_s: int = 1,
+    trigger_s: float = 1.0,
     topics: dict | None = None,
 ):
     """Wire and start every query + service simulator. Returns (queries,
@@ -396,7 +396,12 @@ def start_topology(
     if topics is None:
         topics = {n: FileTopic(root, n) for n in TOPIC_NAMES}
     bind_stage_roots(topics, root)
-    trig = {"processingTime": f"{trigger_s} seconds"}
+    # milliseconds so fractional intervals work ("0.25 seconds" is not a
+    # portable interval literal); int seconds format identically as before.
+    # r15 NOTE: the interval itself was swept (1.0/0.25/0.1 s co-timed,
+    # scripts/opt_topo_r15.py) and 1 s stays — batches already overrun it,
+    # so shorter intervals only add empty-trigger churn (OPTIMIZATION_r15).
+    trig = {"processingTime": f"{int(round(trigger_s * 1000))} milliseconds"}
 
     # Durable "consumer offsets" for the service stand-ins: a restarted
     # topology must not get its already-answered requests re-answered, or

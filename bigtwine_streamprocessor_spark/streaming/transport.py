@@ -379,25 +379,30 @@ class ServiceSimulator(threading.Thread):
             for fn_ in _visible_json_files(self.req.dir):
                 if fn_ in self._seen:
                     continue
-                # response names derive from (request file, line): a
-                # re-handled request file re-lands on the same names and
-                # dedups, so the offset can safely commit AFTER producing
+                # ONE response file per request FILE (r15; was one per
+                # request line): the response name derives from the request
+                # file, so a re-handled file re-lands on the same name and
+                # dedups, and the offset can still safely commit AFTER
+                # producing. The write is atomic (tmp + rename), so a crash
+                # mid-file re-produces the whole file — same exactly-once
+                # guarantee at file granularity, and the downstream topic
+                # accumulates per-FILE not per-LINE files (the geo hop's
+                # getBatch was 15.4 s of a 43 s drive listing/planning
+                # thousands of 1-line response files — topo_batch_probe).
                 tag = fn_[: -len(".json")].replace("/", "_")
+                lines = []
                 with open(os.path.join(self.req.dir, fn_)) as f:
-                    for i, line in enumerate(f.read().splitlines()):
+                    for line in f.read().splitlines():
                         if not line.strip():
                             continue
                         env = json.loads(line)
                         items = self.fn(env["items"])
-                        append_lines_to_dir(
-                            self.resp.dir,
-                            [
-                                json.dumps(
-                                    {"requestId": env["requestId"], "items": items}
-                                )
-                            ],
-                            fname=f"r-{tag}-l{i}",
+                        lines.append(
+                            json.dumps(
+                                {"requestId": env["requestId"], "items": items}
+                            )
                         )
+                append_lines_to_dir(self.resp.dir, lines, fname=f"r-{tag}")
                 self._seen.add(fn_)
                 if self._offsets_path:
                     with open(self._offsets_path, "a") as f:
