@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules saw collateral edits. New queries register outside both lists and
 # sort between them automatically. (Every query, sampled or not, is still
 # oracle-gated in tests/test_registry.py each round.)
-# r14 rotation (flip of r13): _GATE_FIRST = the 50 NOT sampled in r13
-# (newest green row: r12), _GATE_LAST = the 50 green in CORRECTNESS_r13.json. The registry holds exactly 100 entries (four pure
+# r15 rotation (flip of r14): _GATE_FIRST = the 50 NOT sampled in r14
+# (newest green row: r13), _GATE_LAST = the 50 green in CORRECTNESS_r14.json. The registry holds exactly 100 entries (four pure
 # serialization twins merged into their surviving twin — see COVERAGE.md
 # "Gate rotation arithmetic"), so the 50-slot sample now covers the whole
 # registry in exactly 2 rounds: each round, _GATE_FIRST = the 50 queries NOT
@@ -45,63 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # lists, sorts mid (position 51+, outside the sample), and must be promoted
 # into _GATE_FIRST explicitly — test_gate_rotation.py fails loudly if the
 # head overflows 50 so overflow can't silently push a query out.
-_GATE_FIRST = [  # r14 flip: the 50 NOT sampled in r13 (newest green row: r12)
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_minhash_estimate",
-    "neel_parsed",
-    "neel_ner",
-    "neel_export_challenge",
-    "neel_export_extended",
-    "neel_nel",
-    "neel_resources",
-    "neel_geo",
-    "neel_assembled",
-    "neel_export_dataset",
-    "neel_export_json",
-    "agg_pricing_summary",
-    "join_broadcast_dims",
-    "join_fact_fact",
-    "window_topk_per_group",
-    "window_tumbling_events",
-    "union_tagged_streams",
-    "chunked_requests",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_tfidf_topterms",
-    "text_fingerprint_overlap",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_repetition_ratio",
-    "text_gopher_rules",
-    "text_pii_redaction",
-    "text_lexical_diversity",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "project_nested_json",
-    "project_dump_rows",
-    "filter_has_links",
-    "sampling_deterministic",
-    "agg_rollup",
-    "sessionize_events",
-    "pivot_event_types",
-    "join_bloom_pruned",
-    "decontaminate_benchmark",
-    "pack_sequences",
-    "shuffle_global",
-    "index_inverted",
-    "embedding_label_centroids",
-]
-_GATE_LAST = [  # all green in r13 (CORRECTNESS_r13.json, 50/50); head =
-    # the queries whose operator modules took round 14's optimization
-    # edits (countmin cells from vocabulary counts, the overlapped
-    # dedup-index build), then the similarity + fan-in queries from the
-    # r13 edits, so collateral-edit coverage stays near the sample
+_GATE_FIRST = [  # r15 flip: the 50 NOT sampled in r14 (newest green row: r13)
     "sketch_countmin_terms",
     "dedup_incremental",
     "similarity_bruteforce_topk",
@@ -152,6 +96,61 @@ _GATE_LAST = [  # all green in r13 (CORRECTNESS_r13.json, 50/50); head =
     "agg_event_transitions",
     "agg_retention_cohorts",
     "agg_funnel_steps",
+]
+_GATE_LAST = [  # all green in r14 (CORRECTNESS_r14.json, 50/50); head =
+    # text_bigram_logprob, whose operator module (textstats.py) took
+    # round 15's semantic-equivalence fix — collateral-edit coverage
+    # stays near the sample
+    "text_bigram_logprob",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_minhash_estimate",
+    "neel_parsed",
+    "neel_ner",
+    "neel_export_challenge",
+    "neel_export_extended",
+    "neel_nel",
+    "neel_resources",
+    "neel_geo",
+    "neel_assembled",
+    "neel_export_dataset",
+    "neel_export_json",
+    "agg_pricing_summary",
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "window_topk_per_group",
+    "window_tumbling_events",
+    "union_tagged_streams",
+    "chunked_requests",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_tfidf_topterms",
+    "text_fingerprint_overlap",
+    "text_unigram_logprob",
+    "text_repetition_ratio",
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "text_lexical_diversity",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "project_nested_json",
+    "project_dump_rows",
+    "filter_has_links",
+    "sampling_deterministic",
+    "agg_rollup",
+    "sessionize_events",
+    "pivot_event_types",
+    "join_bloom_pruned",
+    "decontaminate_benchmark",
+    "pack_sequences",
+    "shuffle_global",
+    "index_inverted",
+    "embedding_label_centroids",
 ]
 
 

@@ -33,6 +33,28 @@ LOCATION_MOD = 5
 CITY_MOD = 20
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for per-row-expensive chains
+    (optimization guide §2.5, input skew: "one huge unsplittable file ...
+    repartition immediately after the read"). The local testdata ships each
+    table as ONE small parquet file = one row group, which Spark cannot
+    split — the scan yields a single partition, so everything up to the
+    first exchange (shingle explodes, md5 chains, HOF folds) runs on one
+    core while the rest idle (r15 measured: the MinHash signature chain
+    2.33 -> 0.88 s warm at sf0.1 once spread). A real deployment's scan
+    yields >= defaultParallelism splits and this is a NO-OP there — the
+    condition is the frame's CURRENT partition count against the cluster's
+    parallelism, never a local constant. Streaming frames pass through
+    untouched (micro-batches are already split by the source)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tweets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents parquet -> dataset-input-shaped tweet corpus (batch)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

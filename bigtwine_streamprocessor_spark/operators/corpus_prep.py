@@ -41,6 +41,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.corpus import spread_small_scan
+
 
 def _rd(col, d: int):
     """d-dp half-up rounding as the explicit floor(x*10^d + 0.5)/10^d IEEE
@@ -466,7 +468,10 @@ def embedding_random_projection(
     embeddings to ``out_dim`` components with a deterministic md5-derived
     +-1 matrix — the cheap dimensionality reduction in front of ANN/dedup
     at 100 TB. The matrix is a compile-time literal, so the plan is a
-    map-only whole-stage-codegen scan: no shuffle, no Python, no broadcast.
+    map-only whole-stage-codegen scan at scale: no Python, no broadcast, and
+    no shuffle beyond the conditional small-scan spread below (a no-op once
+    the scan has >= cluster-parallelism splits; locally the testdata is one
+    unsplittable row group and the 1024-term fold would run on one core).
 
     Each component serializes fixed-point (%.4f after round-4) and the
     vector joins with commas — the canonical-string encoding the driver
@@ -480,6 +485,7 @@ def embedding_random_projection(
     whole-stage method; the HOF form plans instantly and runs the same
     left-fold.
     """
+    emb = spread_small_scan(emb)  # r15: see docstring
     matrix = F.array(
         *[
             F.array(*[F.lit(_proj_sign(j, i)) for i in range(in_dim)])

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.corpus import spread_small_scan
 from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
 
 # MinHash configuration: K permutations, B bands x R rows per band (K = B*R).
@@ -136,6 +137,7 @@ DEDUP_EXACT_SQL = dedup_exact_sql()
 
 def _shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Word n-gram shingles, distinct per doc: (doc_id, shingle)."""
+    docs = spread_small_scan(docs)  # r15: single-row-group scans are 1-core
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(
@@ -309,6 +311,7 @@ def ngram_jaccard_pairs(
     ``cands`` takes a precomputed candidate set (same reuse contract as
     ``lsh_candidate_pairs(sigs=...)``).
     """
+    docs = spread_small_scan(docs)  # r15: see _shingles (no-op at scale)
     if cands is None:
         cands = lsh_candidate_pairs(docs)
     toks = F.split(F.col("text"), " ")

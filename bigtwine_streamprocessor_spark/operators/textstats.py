@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigtwine_streamprocessor_spark.corpus import spread_small_scan
 from bigtwine_streamprocessor_spark.fp import rd as _rd, rd_sql as _rd_sql
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -178,6 +179,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     min hash; the distinct set of kept hashes is the document fingerprint.
     Output: (doc_id, fp_hash) pairs — set semantics, join-friendly.
     """
+    docs = spread_small_scan(docs)  # r15: single-row-group scans are 1-core
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     grams = F.transform(
@@ -417,6 +419,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     the r14 rewrite dropped it and latently diverged on single-token
     docs). Deterministic arithmetic on both engines; avg rounds to 5.
     """
+    docs = spread_small_scan(docs)  # r15: single-row-group scans are 1-core
     toks = F.split(F.col("text"), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
